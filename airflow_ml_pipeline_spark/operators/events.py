@@ -1,0 +1,207 @@
+"""Event-table operators: event-time windowing (batch form), JSON props
+extraction, and sessionization. The streaming twins of these live in
+``airflow_ml_pipeline_spark.streaming`` — the batch forms here double as the
+exactness oracle for the streaming paths (SURVEY.md §7.2 M7).
+
+Scale notes: all three queries shuffle once on (window/user) keys; event
+tables are naturally partitionable by time, so at 100 TB the parquet layout
+would be date-partitioned and the window queries prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import (
+    SQL_DAVG,
+    SQL_DSUM,
+    SQL_TS,
+    davg,
+    dsum,
+    fmt_ts,
+)
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    SELECT {SQL_TS("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch form). Uses F.window — the
+    same operator the streaming path uses — so batch and stream share
+    semantics exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_daily",
+    oracle=f"""
+    WITH slides AS (
+        SELECT ts, value,
+               time_bucket(INTERVAL '12 hours', ts) AS b
+        FROM events
+    ),
+    expanded AS (
+        SELECT b AS window_start, ts, value FROM slides
+        UNION ALL
+        SELECT b - INTERVAL '12 hours' AS window_start, ts, value FROM slides
+    )
+    SELECT {SQL_TS('window_start')} AS window_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 24h length, 12h slide — each event lands in exactly
+    two windows. Spark's F.window(duration, slide) replicates rows into
+    their windows before the hash agg (the oracle reproduces that expansion
+    manually with a UNION ALL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_json_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {SQL_DAVG("CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate a typed field. get_json_object stays JVM-side (codegen)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg(k).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_sessionized",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           {SQL_TS('MIN(ts)')} AS session_start,
+           {SQL_TS('MAX(ts)')} AS session_end,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS session_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via the classic lag + running
+    sum idiom: one shuffle on user_id, everything else is per-partition.
+    The streaming twin uses F.session_window + watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            fmt_ts(F.min("ts")).alias("session_start"),
+            fmt_ts(F.max("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "user_event_profile",
+    oracle=f"""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user/type activity profile — plain two-key hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )

@@ -1,0 +1,522 @@
+"""Relational operator surface: scans, filters, projections, equi/semi/anti
+joins, hash aggregation, rollup, distinct, set ops, window functions,
+sort/limit/top-k — the operator categories SURVEY.md §2.12 requires beyond
+the reference's own surface. Every query here is a ``(spark, sf_dir) ->
+DataFrame`` builder registered with a DuckDB oracle.
+
+Scale notes (100 TB posture):
+- ``region``/``nation`` are fixed-cardinality dimensions → explicit
+  ``F.broadcast``; everything that grows with scale (customer, orders,
+  lineitem, part, supplier) is left to AQE, which converts to broadcast at
+  runtime when a side is actually small.
+- Aggregations are expressed as single groupBy/agg passes so Catalyst plans
+  partial (map-side) aggregation before the shuffle.
+- Filters sit directly on the scan columns so they push into the parquet
+  reader (verify via .explain: PushedFilters).
+- Top-k per group uses row_number + filter (no global sort); global top-k
+  uses orderBy+limit which Spark executes as TakeOrderedAndProject (no full
+  sort/single-node collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import (
+    SQL_DAVG,
+    SQL_DSUM,
+    SQL_TS,
+    davg,
+    dsum,
+    fmt_ts,
+)
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+def REVENUE() -> "F.Column":
+    """Per-item discounted revenue (built lazily: Column exprs need a live session)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# --- scan + filter + hash aggregation (TPC-H Q1 shape) ----------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+           {SQL_DSUM(SQL_REVENUE)} AS sum_disc_price,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {SQL_DAVG('l_quantity')} AS avg_qty,
+           {SQL_DAVG('l_extendedprice')} AS avg_price,
+           {SQL_DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → pushed filter → one wide hash
+    agg with map-side partials. 8 aggregates in ONE pass (the reference's
+    validation ran 8 separate passes; SURVEY.md §4.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(REVENUE()).alias("sum_disc_price"),
+            dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- 3-way equi join + agg (flagship) ----------------------------------------
+
+
+@query(
+    "revenue_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: customer ⋈ orders ⋈ lineitem → revenue per market segment.
+
+    Join order declared small→large; both joins are on the natural
+    distribution keys (custkey, orderkey) so at scale they become shuffle
+    joins co-partitioned on their keys — or broadcast when AQE sees a small
+    build side. Only c_mktsegment/c_custkey are read from customer (column
+    pruning through the join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum(REVENUE()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    oracle=f"""
+    SELECT l_orderkey,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           {SQL_TS('o_orderdate')} AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective filters on both fact sides pushed to the
+    scans, 3-way join, agg, global top-10 (TakeOrderedAndProject — the limit
+    is pushed into each partition, no full sort). Deterministic tie-break on
+    l_orderkey because decimal-summed revenue is engine-exact."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            fmt_ts(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "regional_customer_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. region/nation are fixed-size dims →
+    explicit broadcast (no shuffle for those joins at any scale); the
+    customer⋈orders⋈lineitem chain shuffles on its keys."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(dsum(REVENUE()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --- semi / anti joins --------------------------------------------------------
+
+
+@query(
+    "priority_returned_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS → left-semi join (never a full join + distinct:
+    semi join stops probing at first match and never duplicates rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "customers_no_open_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+)
+def customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join on the filtered build side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+    )
+
+
+# --- rollup / distinct / set ops ---------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate via ROLLUP (grand total + per-flag + per-pair);
+    Spark plans this as a single Expand + hash agg, not three scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(REVENUE()).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
+    "lineitem_distinct_stats",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct counts in one statement (Spark expands to
+    partial-distinct aggregates; at 100 TB swap to approx_count_distinct —
+    exposed separately because HLL sketches aren't oracle-comparable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "custkeys_both_statuses",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def custkeys_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct semantics) of two filtered projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.intersect(o_keys)
+
+
+@query(
+    "custkeys_only_finished",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def custkeys_only_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (distinct semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    rest = orders.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    return f_keys.subtract(rest)
+
+
+# --- joins to scale-growing dims (AQE decides broadcast) ----------------------
+
+
+@query(
+    "brand_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           {SQL_DSUM('l_quantity')} AS total_qty
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part: part grows with scale so no static broadcast hint —
+    AQE converts to broadcast-hash when the built side is actually small."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(REVENUE()).alias("revenue"), dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+@query(
+    "supplier_volume",
+    oracle=f"""
+    SELECT s_name, n_name,
+           COUNT(*) AS n_items,
+           {SQL_DSUM('l_extendedprice')} AS gross
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY s_name, n_name
+    """,
+)
+def supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier ⋈ nation; nation broadcast, supplier left to AQE."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("gross"),
+        )
+    )
+
+
+@query(
+    "nation_acctbal_profile",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {SQL_DAVG('c_acctbal')} AS avg_acctbal,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def nation_acctbal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-joined profile aggregate (min/max are order-independent; mean via
+    decimal sum)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg(F.col("c_acctbal")).alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+# --- window functions ----------------------------------------------------------
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over a per-customer event sequence → days between consecutive
+    orders (NULL for each customer's first order). Window partitioned on the
+    table's natural key → single shuffle, no skew (custkey is uniform)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@query(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer. Both engines fold the frame in the same
+    deterministic (orderdate, orderkey) order, so plain doubles match; round
+    guards the display value only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "segment_top_orders",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    )
+    WHERE rk <= 5
+    """,
+)
+def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: row_number + filter — the scalable idiom (each group
+    sorts locally after one hash shuffle; no global sort, no collect)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )

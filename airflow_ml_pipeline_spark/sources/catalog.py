@@ -1,0 +1,64 @@
+"""Table catalog: scans/sinks for the engine.
+
+Covers SURVEY.md §2.1: parquet scan (S9), CSV scan/sink with declared schema
+(S1/S2), JSON report sink stays driver-side (S6). Parquet is the engine's
+native interchange format — self-describing footer gives column pruning and
+predicate/partition pushdown for free; CSV is kept only for reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_ml_pipeline_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver-corpus table (schemas.TESTDATA).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    we read it as nanosecond longs and truncate to a microsecond timestamp —
+    the same ns→µs truncation DuckDB applies, so both engines see identical
+    instants.
+    """
+    if name not in schemas.TESTDATA:
+        raise ValueError(f"Unknown table: {name}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (for spark.sql paths)."""
+    for name in schemas.TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with a declared schema — never inferSchema in the engine
+    proper (SURVEY.md §1.3; reference: data_ingestion.py:183)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink, header, overwrite (reference: data_ingestion.py:190)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink — the engine's default checkpoint format (replaces the
+    reference's .npy/joblib inter-task files, SURVEY.md §2.1 S4)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
