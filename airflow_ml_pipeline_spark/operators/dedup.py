@@ -1,0 +1,281 @@
+"""Deduplication operators over ``documents`` (north-star LLM-data ops):
+
+- exact dedup via md5 fingerprint (hash-groupBy),
+- normalized exact dedup (case/whitespace-insensitive),
+- exact n-gram Jaccard near-dup pairs (the verification kernel),
+- MinHash + banded LSH near-dup candidates (the 100 TB scale path),
+- SimHash 64-bit fingerprints with hamming-ball bucketing.
+
+Scale design: exact pairwise Jaccard is quadratic per shared shingle — fine
+for verifying candidates, never for discovery at scale. Discovery is LSH:
+band signatures shuffle once on (band, signature), bucket sizes stay O(dups)
+because random docs rarely collide on a full band. The exact-Jaccard join
+here self-limits via shingle cardinality; its declared role at 100 TB is
+*verification of LSH candidates* (see near_dup_pairs_minhash which composes
+both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.text import ngrams, tokens
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+NEAR_DUP_THRESHOLD = 0.5
+N_MINHASH = 32  # minhash signature length
+LSH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.8) = 1-(1-0.8^2)^16 ~ 0.9999;
+# false candidates from low-J pairs are cheap because the exact-Jaccard
+# verification step filters them
+MERSENNE_P = (1 << 61) - 1
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct token n-gram shingles."""
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(tokens(F.col("text")), n))).alias("shingle"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id.
+    Hashing before the shuffle means the exchange carries 32-byte keys, not
+    documents — the standard trick at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase + whitespace collapse) —
+    catches trivially-reformatted copies that byte-identity misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.md5(canon).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "near_dup_pairs_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = doc_a
+    JOIN sizes s2 ON s2.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.5): shingle self-join →
+    shared counts → |A∩B| / (|A|+|B|-|A∩B|). Integer-ratio doubles are
+    engine-exact. This is the *verification* kernel; discovery at scale goes
+    through MinHash LSH below."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_coefficients(seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod p."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=N_MINHASH).tolist()
+    b = rng.randint(0, 1 << 31, size=N_MINHASH).tolist()
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> array<long> MinHash signature (length N_MINHASH).
+
+    Shingle hash = xxhash64 & 0x7FFFFFFF (31-bit) so a*x stays inside int64
+    against the Mersenne prime 2^61-1. One explode + one groupBy; signature
+    aggregation is N_MINHASH independent mins → perfect map-side partials.
+    """
+    a, b = _minhash_coefficients()
+    sh = _shingles(docs, n)
+    h = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
+    mins = [
+        F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(N_MINHASH)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded LSH: split each signature into LSH_BANDS bands, hash each band,
+    self-join docs sharing any (band, band_hash) bucket → distinct candidate
+    pairs. The only shuffle is on the band hash; bucket fan-out is O(dups)."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[band * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("near_dup_pairs_minhash")  # rows-only: LSH candidate set is algorithm-specific
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup discovery, then exact-Jaccard verification of the
+    candidates only — the composition that scales: discovery is linear-ish in
+    corpus size, exact verification touches O(candidates) docs.
+
+    Probabilistic recall (P(candidate | J) = 1-(1-J^2)^16) → rows-only driver
+    check; tests/test_dedup.py asserts it recovers the exact-kernel pairs at
+    J >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """doc_id -> 63-bit SimHash of the token stream (bit 63 unused so every
+    literal stays a positive signed long).
+
+    Per-bit vote: each distinct token 2-gram hashes to 64 bits; bit b of the
+    fingerprint is 1 iff the sum over features of (+1 if bit set else -1) is
+    positive. 2-gram features (vs bare tokens) keep the fingerprint
+    discriminative on small-vocabulary corpora. One explode + 63 conditional
+    sums, all JVM-side."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokens(F.col("text")), 2))
+        ).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v_{b}")
+        for b in range(63)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0)
+    for b in range(63):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = fp.bitwiseOR(bit)
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+@query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints for the corpus (near-dup = small hamming
+    distance; tests assert planted near-dups land within distance 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)

@@ -1,0 +1,209 @@
+"""Similarity search over the ``embeddings`` table (north-star ANN ops):
+
+- brute-force cosine top-k (the exactness baseline),
+- per-vector norms and per-label centroids (oracle-checked kernels),
+- random-hyperplane LSH bucketed ANN (the 100 TB scale path).
+
+Scale design: brute force is a broadcast of the query vector against a full
+scan — linear, embarrassingly parallel, and correct; it is the oracle for
+the LSH path, whose buckets cut the scanned fraction to ~2^-n_planes per
+probe at the cost of recall (tests measure it against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, davg
+from airflow_ml_pipeline_spark.functions.vectors import cosine, dot, l2_norm
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+QUERY_VEC_ID = 0  # the corpus vector used as the standing query
+TOP_K = 10
+N_PLANES = 6  # LSH: 6 hyperplanes -> 64 buckets (sized for the test corpora;
+# at 100 TB scale planes grow with log2(corpus/target_bucket_size))
+LSH_SEED = 7
+
+
+def _query_vec(df: DataFrame) -> DataFrame:
+    """The standing query vector as a 1-row broadcastable frame."""
+    return F.broadcast(
+        df.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> qvec[i] * qvec[i])))),
+                 6) AS cos_sim
+        FROM embeddings CROSS JOIN q
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the standing query vector: broadcast the query,
+    one scan, TakeOrderedAndProject for the global top-k (no full sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.crossJoin(_query_vec(emb))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the normalization kernel every cosine pipeline
+    hoists out; zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           {SQL_DAVG('v')} AS centroid_val
+    FROM (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long form (label, dim, mean): posexplode + hash
+    agg — the k-means/IVF assignment building block. The long form keeps the
+    shuffle key (label, dim) fine-grained, so partial aggregation compresses
+    each partition to n_labels*dims rows regardless of input size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(davg(F.col("v").cast("double")).alias("centroid_val"))
+    )
+
+
+def hyperplanes(seed: int = LSH_SEED, n_planes: int = N_PLANES, dims: int = 64):
+    """Deterministic random hyperplanes (fixed seed → reproducible buckets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dims))
+
+
+def lsh_bucket(emb_col: F.Column, planes) -> F.Column:
+    """Sign-bit bucket id: bit i = (embedding · plane_i) > 0. Pure column
+    arithmetic — the planes are literals baked into the plan (tiny: n_planes
+    × dims doubles), so executors evaluate with zero extra I/O."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return bucket
+
+
+@query("ann_lsh_topk")  # rows-only: LSH recall is probabilistic by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH with multi-probe (hamming<=2
+    neighbors of the query bucket): score only candidates whose bucket is
+    within 2 bit flips — (1+n+n(n-1)/2)/2^n of the corpus — then exact
+    cosine on the survivors. tests/test_similarity.py measures recall vs the
+    brute-force baseline."""
+    planes = hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+        )
+    )
+    masks = [0] + [1 << i for i in range(N_PLANES)]
+    masks += [
+        (1 << i) | (1 << j)
+        for i in range(N_PLANES)
+        for j in range(i + 1, N_PLANES)
+    ]
+    probe_buckets = F.array(
+        *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter(F.array_contains(probe_buckets, F.col("bucket")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def knn_join_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Library form: k nearest corpus vectors for EVERY query row (broadcast
+    the smaller query side, window top-k per query). Used by tests and by
+    the dedup-by-embedding path; not a declared query because its output is
+    quadratic in the declared corpus."""
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+            )
+        )
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

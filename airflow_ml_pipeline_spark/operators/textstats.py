@@ -1,0 +1,234 @@
+"""Text-analysis operators over the ``documents`` table: per-document
+statistics, token counting, corpus token frequencies, quality scoring, and a
+language-ID heuristic (SURVEY.md §2.12 / north-star text analysis).
+
+All hot paths are JVM-side column expressions (split/filter/transform) —
+no Python UDFs — so they codegen and scale linearly with one shuffle (or
+zero, for the per-document maps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, davg
+from airflow_ml_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    count_in,
+    tokens,
+    word_token_count,
+)
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@query(
+    "doc_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats map: char/token/unique-token counts, mean token
+    length. Pure projection — zero shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {SQL_DAVG('n_chars')} AS avg_chars,
+           {SQL_DAVG("len(string_split(text, ' '))")} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language tag — single hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        davg(F.size(tokens(F.col("text"))).cast("double")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+    SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term + document frequencies: explode → hash agg. At 100 TB
+    this is the canonical word-count shuffle; partial aggregation collapses
+    the per-partition token stream before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@query(
+    "token_counts_bpeish",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS regex_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens, regex word/punct
+    tokens, and the chars/4 BPE approximation used for LLM budget sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("whitespace_tokens"),
+        F.sum(word_token_count(F.col("text"))).cast("long").alias("regex_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long"))
+        .cast("long")
+        .alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS unique_ratio,
+           round(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0), 4)
+               AS length_score,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (the pre-training-filter classic): stopword
+    ratio, lexical diversity, length score, and a pass/fail gate. All
+    integer-count ratios → engine-exact doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 4).alias(
+            "unique_ratio"
+        ),
+        F.round(F.least(F.lit(1.0), n_tok.cast("double") / 100.0), 4).alias(
+            "length_score"
+        ),
+        F.when(
+            (n_tok >= 20) & (stop_ratio >= 0.01) & (stop_ratio <= 0.6), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("quality_pass"),
+    )
+
+
+def _langid_scores_sql() -> str:
+    cases = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        cases.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS score_{lang}"
+        )
+    return ", ".join(cases)
+
+
+@query(
+    "langid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_tag, {_langid_scores_sql()}
+        FROM documents
+    )
+    SELECT doc_id, lang_tag,
+           CASE
+             WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'unknown'
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+                THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: integer hit counts per language, argmax with
+    a fixed priority tie-break (en > de > es > fr), 'unknown' when no marker
+    hits. Deterministic, engine-portable, zero-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scores = {lang: count_in(toks, m) for lang, m in LANG_MARKERS.items()}
+    all_zero = (
+        (scores["en"] == 0)
+        & (scores["de"] == 0)
+        & (scores["es"] == 0)
+        & (scores["fr"] == 0)
+    )
+    pred = (
+        F.when(all_zero, F.lit("unknown"))
+        .when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_tag"), pred.alias("predicted_lang")
+    )

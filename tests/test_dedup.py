@@ -1,0 +1,64 @@
+"""Dedup operator tests: the exact-Jaccard kernel is the ground truth; the
+scalable paths (MinHash LSH, SimHash) are measured against it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import dedup
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.near_dup_pairs_jaccard(spark, sf_dir).collect()
+    }
+
+
+def test_corpus_has_planted_near_dups(exact_pairs):
+    assert len(exact_pairs) > 0, "test corpus should contain near-duplicates"
+
+
+def test_minhash_recovers_high_jaccard_pairs(spark, sf_dir, exact_pairs):
+    """P(LSH candidate | J>=0.8) = 1-(1-J^2)^16 >= 0.9999 — expected miss
+    count over the planted pairs is ~0; assert full recovery."""
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dup_pairs_minhash(spark, sf_dir).collect()
+    }
+    high = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert high, "expected planted pairs with J >= 0.8"
+    assert high <= found
+    # and LSH never reports a pair below the threshold (exact verification step)
+    assert all(p in exact_pairs for p in found)
+
+
+def test_minhash_signature_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    s1 = {r.doc_id: r.signature for r in dedup.minhash_signatures(docs).collect()}
+    s2 = {r.doc_id: r.signature for r in dedup.minhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert all(len(sig) == dedup.N_MINHASH for sig in s1.values())
+
+
+def test_simhash_near_dups_are_hamming_close(spark, sf_dir, exact_pairs):
+    fp = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(spark, sf_dir).collect()
+    }
+    high = [p for p, j in exact_pairs.items() if j >= 0.9]
+    assert high
+    # 2-gram simhash on this corpus: planted near-dups land <= 10 bits apart,
+    # random pairs >= 18 — threshold 12 sits in the separation gap
+    for a, b in high:
+        assert bin(fp[a] ^ fp[b]).count("1") <= 12, (a, b)
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    res = dedup.dedup_exact(spark, sf_dir)
+    assert res.agg(F.sum("n_copies")).collect()[0][0] == n_docs

@@ -1,0 +1,46 @@
+"""Similarity-search tests: brute force is the exactness baseline; ANN is
+measured as recall against it."""
+
+from __future__ import annotations
+
+from airflow_ml_pipeline_spark.operators import similarity
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def test_bruteforce_query_vector_is_own_top1(spark, sf_dir):
+    rows = similarity.knn_cosine_bruteforce(spark, sf_dir).collect()
+    assert len(rows) == similarity.TOP_K
+    assert rows[0].vec_id == similarity.QUERY_VEC_ID
+    assert abs(rows[0].cos_sim - 1.0) < 1e-4
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = [r.vec_id for r in similarity.knn_cosine_bruteforce(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in similarity.ann_lsh_topk(spark, sf_dir).collect()]
+    assert approx[0] == similarity.QUERY_VEC_ID  # query always probes own bucket
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4, f"ANN recall {recall} too low vs brute force"
+
+
+def test_knn_join_per_query_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3)
+    res = similarity.knn_join_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 3
+    for q_id, rows in by_q.items():
+        assert len(rows) == 5
+        top = max(rows, key=lambda r: r.cos_sim)
+        assert top.vec_id == q_id  # each vector is its own nearest neighbor
+
+
+def test_label_centroids_shape(spark, sf_dir):
+    rows = similarity.label_centroids(spark, sf_dir).collect()
+    labels = {r.label for r in rows}
+    dims = {r.dim for r in rows}
+    assert dims == set(range(64))
+    assert len(rows) == len(labels) * 64
