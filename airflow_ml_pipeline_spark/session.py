@@ -26,6 +26,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # runtime-settable: matters for driver-supplied sessions that default to
+    # 200 shuffle partitions (AQE coalesces batch queries, but stateful
+    # streaming pins its state partition count at query start)
+    "spark.sql.shuffle.partitions": "32",
     # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
     # read as long and convert in the catalog (sources/catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -33,7 +37,6 @@ RUNTIME_CONF = {
 
 #: Confs that must be set before the session starts.
 STARTUP_CONF = {
-    "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Naive parquet timestamps (pyarrow default) should stay wall-clock.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",

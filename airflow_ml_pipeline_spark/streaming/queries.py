@@ -1,0 +1,115 @@
+"""Declared streaming queries: each runs a REAL Structured Streaming job
+(file-replay source → stateful operators → AvailableNow → memory sink) and
+returns the final table. The oracles are plain batch SQL — exactness holds
+because the watermark exceeds the corpus time span, so no state is dropped
+early; the correctness gate therefore checks genuine stream/batch
+equivalence, the property Structured Streaming promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, SQL_TS
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.streaming import windows
+from airflow_ml_pipeline_spark.streaming.sources import (
+    read_events_stream,
+    run_available_now,
+)
+
+_WM = "100 days"  # > corpus span: stream == batch exactly
+
+
+@query(
+    "stream_events_hourly",
+    oracle=f"""
+    SELECT {SQL_TS("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate; same oracle as the batch
+    events_hourly — the stream/batch equivalence check."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(windows.tumbling_counts(stream, watermark=_WM))
+
+
+@query(
+    "stream_events_sessionized",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           {SQL_TS('MIN(ts)')} AS session_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS session_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful session windows (30-min gap). NB the oracle closes a
+    session when the gap is >= 30min — session_window merges only events
+    strictly inside the gap — whereas the batch events_sessionized query
+    uses > (lag semantics); both are valid sessionizations, the declared
+    pair here checks the session_window operator."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(windows.session_aggregate(stream, "30 minutes", _WM))
+
+
+@query(
+    "stream_dedup_user_event_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): with the watermark
+    beyond the corpus span this equals a global DISTINCT — checked exactly.
+    Only key columns are emitted (the representative row is order-dependent
+    and deliberately not part of the contract)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        windows.dedup_keys_within_watermark(stream, ["user_id", "event_type"], _WM),
+        output_mode="append",
+    )
+
+
+@query(
+    "stream_user_value_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed running aggregate per user (complete mode) — the
+    streaming-materialized-view pattern."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.functions.compare import dsum
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    return run_available_now(agg)

@@ -1,0 +1,69 @@
+"""Streaming sources: file-replay of the events table.
+
+The test corpus is static parquet; the streaming engine consumes it through
+a real ``readStream`` file source (staged into a driver-writable directory,
+since the corpus dir is read-only and a file source needs a listable
+directory it owns). In production this source is swapped for Kafka/Kinesis
+— every downstream operator is source-agnostic.
+
+``events.ts`` arrives as TIMESTAMP(NANOS) → read as long (nanosAsLong, same
+as the batch catalog) and truncated to a microsecond timestamp so batch and
+stream see identical event times.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGE_ROOT = "/tmp/spark_graft_stream"
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """Copy the events parquet into a per-sf staging directory (idempotent)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(STAGE_ROOT, tag)
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a streaming DataFrame with microsecond event-time ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = stage_events_dir(sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(stage, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+_COUNTER = {"n": 0}
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow) into a memory sink and return the result table.
+    This is a genuine incremental execution — micro-batches, state store,
+    watermarks — not a batch rewrite."""
+    _COUNTER["n"] += 1
+    name = f"stream_result_{_COUNTER['n']}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

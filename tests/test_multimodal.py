@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, determinism,
+frame fan-out. The decode/encode kernels are deterministic stubs (no codecs
+in this container) — the Spark-side contract is what's under test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import multimodal
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def _media(spark, sf_dir):
+    return multimodal.synthesize_media(load_table(spark, sf_dir, "documents").limit(60))
+
+
+def test_media_schema(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "modality", "payload", "meta",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    assert {r.modality for r in media.select("modality").distinct().collect()} == {
+        "image", "audio", "video",
+    }
+
+
+def test_decode_batch_shape_and_determinism(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    d1 = multimodal.decode_media(media).orderBy("media_id").collect()
+    d2 = multimodal.decode_media(media).orderBy("media_id").collect()
+    assert d1 == d2  # Arrow-batched kernel is deterministic
+    assert len(d1) == 60
+    for r in d1:
+        assert r.n_bytes > 0
+        assert 0.0 <= r.mean_intensity <= 255.0
+        assert len(r.sha256) == 64
+
+
+def test_feature_extraction_embeddings(spark, sf_dir):
+    feats = multimodal.extract_features(_media(spark, sf_dir)).collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert len(r.embedding) == multimodal.EMBED_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.embedding)
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    frames = multimodal.sample_frames(media, every_ms=500)
+    joined = (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last"))
+        .join(media.filter(F.col("modality") == "video"), "media_id")
+    )
+    for r in joined.collect():
+        expected = (r.meta.duration_ms - 1) // 500 + 1
+        assert r.n_frames == expected
+        assert r.last < r.meta.duration_ms

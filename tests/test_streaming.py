@@ -1,0 +1,107 @@
+"""Structured Streaming tests: stream/batch equivalence (the oracle pairs
+check this at sf0.01 too) and watermark late-data semantics, which only a
+multi-micro-batch replay can exercise."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import events as batch_events
+from airflow_ml_pipeline_spark.streaming import windows
+from airflow_ml_pipeline_spark.streaming.sources import (
+    read_events_stream,
+    run_available_now,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream_result = run_available_now(
+        windows.tumbling_counts(read_events_stream(spark, sf_dir), watermark="100 days")
+    )
+    batch_result = batch_events.events_hourly(spark, sf_dir)
+    assert stream_result.exceptAll(batch_result).count() == 0
+    assert batch_result.exceptAll(stream_result).count() == 0
+
+
+def test_stream_session_covers_all_users(spark, sf_dir):
+    result = run_available_now(
+        windows.session_aggregate(
+            read_events_stream(spark, sf_dir), "30 minutes", "100 days"
+        )
+    )
+    n_users = (
+        read_events_stream(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert result.select("user_id").distinct().count() == n_users
+    assert result.filter(F.col("n_events") < 1).count() == 0
+
+
+def _write_single_file(spark, rows, path: str, mtime: float) -> None:
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
+    part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(os.path.join(path + ".tmp", part), path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three micro-batches: batch 1 fills hours 0-5, batch 2 (hours 6-7)
+    advances the watermark past hour 0 and EVICTS+emits its window, batch 3
+    replays a late hour-0 event. Once a window's state is evicted, late rows
+    for it must be dropped — hour 0 stays at batch 1's count and appears
+    exactly once (append-mode sink contract).
+
+    NB Spark only guarantees dropping AFTER eviction: a late row arriving
+    while the window state is still live (watermark passed but not yet
+    processed a batch boundary) is merged — which is why batch 2's ordering
+    matters here."""
+    ts = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    stage = str(tmp_path / "stream_src")
+    os.makedirs(stage, exist_ok=True)
+    now = time.time()
+    rows1 = [(1, ts(0, 10), 1, 1.0), (2, ts(0, 20), 1, 1.0)] + [
+        (10 + h, ts(h, 0), 1, 1.0) for h in range(1, 6)
+    ]
+    rows2 = [(50, ts(6, 0), 1, 1.0), (51, ts(7, 0), 1, 1.0)]
+    rows3 = [(99, ts(0, 30), 1, 1.0), (100, ts(8, 0), 1, 1.0)]
+    _write_single_file(spark, rows1, os.path.join(stage, "f1.parquet"), now - 100)
+    _write_single_file(spark, rows2, os.path.join(stage, "f2.parquet"), now - 50)
+    _write_single_file(spark, rows3, os.path.join(stage, "f3.parquet"), now)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    windowed = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    rows = run_available_now(windowed, "append").collect()
+    hour0 = [r.n for r in rows if r.h == "00:00"]
+    assert hour0 == [2], rows  # late event dropped; window emitted once
+
+
+def test_stream_dedup_emits_each_key_once(spark, sf_dir):
+    result = run_available_now(
+        windows.dedup_keys_within_watermark(
+            read_events_stream(spark, sf_dir), ["user_id", "event_type"], "100 days"
+        ),
+        output_mode="append",
+    )
+    rows = result.collect()
+    assert len(rows) == len({(r.user_id, r.event_type) for r in rows})
