@@ -25,6 +25,7 @@ from airflow_ml_pipeline_spark.plans import registry  # noqa: E402
 
 # importing the operator modules populates the registry
 import airflow_ml_pipeline_spark.operators.relational  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.relational_ext  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.events  # noqa: F401,E402
 
 try:  # widened over time; keep entry importable even mid-build

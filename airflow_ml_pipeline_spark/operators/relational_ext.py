@@ -1,0 +1,316 @@
+"""Extended relational surface: cube, pivot, outer joins, scalar subqueries,
+window frames (moving aggregates, first/last, ntile), exact medians,
+date/string scalar functions, and schema-declared JSON parsing — completing
+the SURVEY.md §2.12 operator matrix beyond the core in relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import (
+    SQL_DAVG,
+    SQL_DSUM,
+    davg,
+    dsum,
+)
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one Expand + hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "segment_status_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an explicit value list — the explicit list
+    keeps the plan single-pass (no extra distinct job to discover columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@query(
+    "nation_order_coverage",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           {SQL_DSUM('coalesce(o_totalprice, 0.0)')} AS total_spend
+    FROM nation
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    LEFT JOIN orders   ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+)
+def nation_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join chain keeping empty nations (zero rows never vanish —
+    the null-preserving aggregation pattern)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "customer_supplier_nations",
+    oracle="""
+    SELECT n.n_name,
+           CAST(c.n_cust AS BIGINT) AS n_customers,
+           CAST(s.n_supp AS BIGINT) AS n_suppliers
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+           ON c.c_nationkey = n.n_nationkey
+    FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-then-join: the
+    join inputs are nation-cardinality, not row-cardinality — the shape that
+    survives 100 TB)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(supp, supp.s_nationkey == nation.n_nationkey, "full_outer")
+        .select(
+            "n_name",
+            F.col("n_cust").alias("n_customers"),
+            F.col("n_supp").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "above_average_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {SQL_DAVG('o_totalprice')} FROM orders) * 1.5
+    """,
+)
+def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (uncorrelated): Spark plans the aggregate once
+    and broadcasts the scalar into the filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg(F.col("o_totalprice")).alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "customer_moving_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+           round(FIRST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_spend,
+           CAST(ntile(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS spend_quartile
+    FROM orders
+    """,
+)
+def customer_moving_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame variants in one pass: bounded moving average (ROWS 2
+    PRECEDING sum), running first_value, and ntile bucketing — all three share
+    one partitioning so Spark plans a single window exchange per sort order.
+
+    The moving aggregate is an exact decimal frame-sum: Spark's sliding
+    frames accumulate incrementally (add new / remove old) so float sums and
+    any avg built on them diverge from a recomputing engine in the last
+    bits, and even round() diverges at double-rounding boundaries — decimal
+    addition is exact under both execution strategies."""
+    from airflow_ml_pipeline_spark.functions.compare import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_seq = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_first = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ntile = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    moving = F.sum(F.col("o_totalprice").cast(DEC)).over(w_seq).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        moving.alias("moving_sum_3"),
+        F.round(F.first("o_totalprice").over(w_first), 2).alias("first_spend"),
+        F.ntile(4).over(w_ntile).alias("spend_quartile"),
+    )
+
+
+@query(
+    "segment_price_quantiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark percentile ==
+    quantile_cont semantics). At 100 TB swap to approx_percentile — exposed
+    separately because sketches aren't oracle-comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "monthly_order_stats",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS total_spend,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function rollup: year/month extraction + distinct customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+
+
+@query(
+    "part_type_tokens",
+    oracle="""
+    SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS with_a
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: split/upper/length/LIKE inside a grouped agg."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.upper(F.split("p_type", " ")[0]).alias("type_head"),
+            F.length("p_name").cast("long").alias("name_len"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_name").like("%a%").cast("int")).cast("long").alias("with_a"),
+        )
+    )
+
+
+@query(
+    "events_props_schema_parsed",
+    oracle=f"""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+               AS k_decile,
+           COUNT(*) AS n_events,
+           {SQL_DAVG('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_props_schema_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json with an explicit StructType —
+    unlike get_json_object this yields a typed struct column once, however
+    many fields are read)."""
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", props_schema))
+    return (
+        parsed.groupBy(
+            F.floor(F.col("p.k") / 10).cast("int").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+    )

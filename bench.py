@@ -37,10 +37,18 @@ HEADLINE = [
     "order_gap_days",
     "running_customer_revenue",
     "segment_top_orders",
+    "cube_revenue",
+    "segment_status_pivot",
+    "nation_order_coverage",
+    "customer_moving_spend",
+    "segment_price_quantiles",
+    "monthly_order_stats",
     "events_hourly",
     "events_sliding_daily",
     "events_json_stats",
     "events_sessionized",
+    "events_props_schema_parsed",
+    "stream_events_hourly",
     "token_frequencies",
     "doc_quality",
     "dedup_exact",
