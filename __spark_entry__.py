@@ -32,6 +32,7 @@ try:  # widened over time; keep entry importable even mid-build
     import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402
     import airflow_ml_pipeline_spark.operators.dedup  # noqa: F401,E402
     import airflow_ml_pipeline_spark.operators.similarity  # noqa: F401,E402
+    import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
     import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
     import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
     import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402

@@ -140,7 +140,7 @@ class Preprocessor:
                     F.avg(c).alias(f"{c}__a"),
                     F.stddev_pop(c).alias(f"{c}__b"),  # sklearn StandardScaler uses ddof=0
                 ]
-        stats = df.agg(*aggs).collect()[0].asDict()
+        stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
         for c in self.numerical_cols:
             a, b = stats[f"{c}__a"], stats[f"{c}__b"]
             if self.scaling_method == "minmax":

@@ -1,0 +1,98 @@
+"""Grouped Pandas-UDF operators (SURVEY.md §2.12 UDF surface):
+applyInPandas for per-group vectorized kernels and a scalar pandas_udf —
+the Arrow slow-path used ONLY where column expressions genuinely cannot
+express the kernel. These exist to prove out the surface; every operator
+that *can* stay JVM-side elsewhere in the engine does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+ZSCORE_SCHEMA = "lang string, doc_id long, n_chars long, z_chars double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-group kernel: z-score n_chars within the group
+    (population std, matching the SQL oracle's stddev_pop)."""
+    mu = pdf["n_chars"].mean()
+    sigma = pdf["n_chars"].std(ddof=0)
+    z = (pdf["n_chars"] - mu) / sigma if sigma > 0 else pdf["n_chars"] * 0.0
+    return pd.DataFrame(
+        {
+            "lang": pdf["lang"],
+            "doc_id": pdf["doc_id"],
+            "n_chars": pdf["n_chars"],
+            "z_chars": z.round(6),
+        }
+    )
+
+
+@query(
+    "doc_length_zscore_by_lang",
+    oracle="""
+    SELECT lang, doc_id, n_chars,
+           round((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / stddev_pop(n_chars) OVER (PARTITION BY lang), 6) AS z_chars
+    FROM documents
+    """,
+)
+def doc_length_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group normalization, oracle-checked against the
+    window-function formulation. One shuffle on the group key; each group
+    arrives as a single Arrow batch.
+
+    (A real engine would use the window form — this declared pair proves the
+    applyInPandas path computes identically, which is exactly what you want
+    verified before trusting it with kernels SQL can't express.)"""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return docs.groupBy("lang").applyInPandas(_zscore_group, schema=ZSCORE_SCHEMA)
+
+
+@query(
+    "doc_token_entropy",
+    oracle="""
+    SELECT doc_id,
+           round(-list_sum(list_transform(freqs,
+                 p -> CASE WHEN p > 0 THEN p * ln(p) ELSE 0.0 END)), 6) AS token_entropy
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       list_distinct(string_split(text, ' ')),
+                       w -> len(list_filter(string_split(text, ' '), t -> t = w))),
+                   c -> CAST(c AS DOUBLE) / len(string_split(text, ' '))) AS freqs
+        FROM documents
+    )
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-batched) computing per-document Shannon
+    entropy of the token distribution — a kernel that is awkward as pure SQL
+    but one vectorized pandas expression. Oracle reproduces it with list
+    lambdas; both sides sum float terms over the same distinct-token order?
+    No — term ORDER differs, so both sides round to 6dp after summing ~30
+    near-unit terms (error ~1e-15, boundary risk negligible)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def entropy(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            counts = pd.Series(toks).value_counts().to_numpy(dtype="float64")
+            p = counts / counts.sum()
+            out.append(round(float(-(p * np.log(p)).sum()), 6))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", entropy(F.col("text")).alias("token_entropy"))

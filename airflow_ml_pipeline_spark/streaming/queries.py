@@ -91,6 +91,28 @@ def stream_dedup_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(SUM(value), 2) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, sum, max) state machine. The AvailableNow replay's final
+    snapshot per user must equal the batch aggregate — checked exactly
+    (float sum rounded at 2dp: single-batch pandas sum vs oracle sum)."""
+    from airflow_ml_pipeline_spark.streaming.stateful import user_running_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(user_running_totals(stream), output_mode="update")
+
+
+@query(
     "stream_user_value_totals",
     oracle=f"""
     SELECT user_id,
