@@ -279,3 +279,45 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance; tests assert planted near-dups land within distance 8)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+WINNOW_K = 8  # char k-gram length for the rolling hash
+WINNOW_W = 6  # winnowing window: guarantees matches of length >= k+w-1
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Document fingerprinting by winnowing (the MOSS scheme): rolling hash
+    of every char k-gram, then keep the minimum hash of each sliding window
+    of w hashes; the distinct kept hashes are the fingerprint set.
+
+    Entirely JVM-side: substring/xxhash64 inside array transforms — no UDF,
+    no shuffle; the fingerprint column is ~|text|/w longs per doc."""
+    n_hashes = F.length("text") - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(1))),
+        lambda p: F.xxhash64(F.col("text").substr(p, F.lit(k))),
+    )
+    n_windows = F.size(hashes) - w + 1
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_distinct(mins).alias("fingerprint"),
+    )
+
+
+@query("doc_winnowing_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document (fingerprint set size +
+    min hash as a spot-checkable digest). Near-dup pairs share a high
+    fraction of fingerprints — tests/test_dedup.py checks overlap against
+    the exact-Jaccard kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").alias("n_fingerprints"),
+        F.array_min("fingerprint").alias("min_fingerprint"),
+    )

@@ -185,6 +185,100 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")  # rows-only: trained-quantizer ANN is probabilistic
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a KMeans coarse quantizer (k=16, seed fixed) partitions the
+    corpus into inverted lists; the query scans only the nprobe=6 nearest
+    lists, then exact cosine on those candidates. This is the structure that
+    scales past LSH when the corpus clusters: list assignment is one
+    broadcast-scored pass, the index is just a cluster_id column (ideally a
+    partition key on disk). On an UNCLUSTERED corpus (this synthetic one)
+    recall ≈ the scanned fraction — the recall test asserts above that
+    floor; on real embedding corpora with cluster structure recall is far
+    higher at the same nprobe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.withColumn("v", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=16, seed=42, featuresCol="v", predictionCol="cluster_id")
+    model = km.fit(vec)
+    indexed = model.transform(vec).drop("v")
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]
+    q = np.array(qrow[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    nprobe = [int(i) for i in np.argsort(-(cn @ qn))[:6]]
+
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    return (
+        indexed.filter(F.col("cluster_id").isin(nprobe))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@query("embedding_near_dup_pairs")  # rows-only: LSH candidate generation
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket join generates
+    candidates (hamming<=1 between bucket codes via per-band self-join),
+    exact cosine keeps pairs >= threshold. The pairwise work touches only
+    bucket-collision pairs — the corpus never self-joins.
+    tests/test_similarity.py checks the survivors against a brute-force
+    pair scan."""
+    planes = hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes)).cache()
+    # probe expansion: each vector registers under its bucket and all
+    # hamming-1 neighbors; sharing ANY registered code => candidate pair
+    codes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+            )
+        ).alias("code"),
+    )
+    a = codes.alias("a")
+    b = bucketed.select("vec_id", "bucket").alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = bucketed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = bucketed.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(sim >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
 def knn_join_bruteforce(
     emb: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:

@@ -62,3 +62,30 @@ def test_exact_dedup_counts(spark, sf_dir):
     n_docs = docs.count()
     res = dedup.dedup_exact(spark, sf_dir)
     assert res.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_winnowing_fingerprint_overlap_separates_near_dups(spark, sf_dir, exact_pairs):
+    fp = {
+        r.doc_id: set(r.fingerprint)
+        for r in dedup.winnowing_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+
+    def overlap(a, b):
+        return len(fp[a] & fp[b]) / max(1, min(len(fp[a]), len(fp[b])))
+
+    high = [p for p, j in exact_pairs.items() if j >= 0.9]
+    assert high
+    for a, b in high:
+        assert overlap(a, b) >= 0.6, (a, b, overlap(a, b))
+
+    import random
+
+    random.seed(1)
+    ids = list(fp)
+    bg = [
+        overlap(*random.sample(ids, 2))
+        for _ in range(100)
+    ]
+    assert sum(bg) / len(bg) < 0.4

@@ -44,3 +44,33 @@ def test_label_centroids_shape(spark, sf_dir):
     dims = {r.dim for r in rows}
     assert dims == set(range(64))
     assert len(rows) == len(labels) * 64
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """This synthetic corpus has no cluster structure, so IVF recall is
+    bounded by the scanned fraction (6/16 lists); assert above a floor and
+    that the query's own vector is still found (it lands in its own list)."""
+    exact = [r.vec_id for r in similarity.knn_cosine_bruteforce(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in similarity.ann_ivf_topk(spark, sf_dir).collect()]
+    assert approx[0] == similarity.QUERY_VEC_ID
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall} below scan-fraction floor"
+
+
+def test_embedding_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
+    """Every emitted pair must be a genuine above-threshold pair (exact
+    verification step), and all pairs are id_a < id_b with no duplicates."""
+    import numpy as np
+
+    rows = similarity.embedding_near_dup_pairs(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in rows}
+    assert len(pairs) == len(rows)
+    assert all(a < b for (a, b) in pairs)
+
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for (a, b), sim in pairs.items():
+        va, vb = emb[a], emb[b]
+        expected = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(sim - expected) < 1e-4
+        assert expected >= similarity.COSINE_DUP_THRESHOLD - 1e-9
