@@ -27,6 +27,7 @@ from airflow_ml_pipeline_spark.plans import registry  # noqa: E402
 import airflow_ml_pipeline_spark.operators.relational  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.relational_ext  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.events  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.temporal  # noqa: F401,E402
 
 try:  # widened over time; keep entry importable even mid-build
     import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402

@@ -40,6 +40,39 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _pair_shared_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, shared-shingle count) for every co-occurring pair.
+
+    Shape: ONE shuffle (groupBy shingle) + in-partition pair explosion +
+    one pair-key aggregation — vs a shingle self-join which shuffles the
+    exploded table twice and probes a join. Posting lists are sorted so
+    pairs come out (min, max) without a per-pair comparison; singleton
+    shingles are dropped before exploding."""
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("shared"))
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -114,20 +147,15 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (J >= 0.5): shingle self-join →
-    shared counts → |A∩B| / (|A|+|B|-|A∩B|). Integer-ratio doubles are
-    engine-exact. This is the *verification* kernel; discovery at scale goes
-    through MinHash LSH below."""
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.5): shingle posting
+    lists → in-list pair explosion → shared counts → |A∩B| /
+    (|A|+|B|-|A∩B|). Integer-ratio doubles are engine-exact. This is the
+    *verification* kernel; discovery at scale goes through MinHash LSH
+    below."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = _pair_shared_counts(sh)
     s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("shared").cast("double") / (

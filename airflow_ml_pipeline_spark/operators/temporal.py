@@ -1,0 +1,127 @@
+"""Temporal operators Spark lacks as builtins, expressed as compositions of
+existing DataFrame ops (SURVEY.md 'custom operators' guidance: composition
+first, Pandas UDF only when semantics demand it):
+
+- **as-of join** (most recent earlier row) via the union + running-last
+  trick: tag both sides, union, one window pass per key carries the latest
+  right-side value forward — NO range-join explosion, one shuffle on the
+  key. This is the scalable as-of algorithm (the naive inequality join is
+  quadratic per key).
+- **range window frames** (events within a trailing interval) via
+  Window.rangeBetween over epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_TS, fmt_ts
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def asof_join_last_event(
+    events: DataFrame, match_type: str, target_type: str
+) -> DataFrame:
+    """For each ``target_type`` event, the same user's most recent STRICTLY
+    EARLIER ``match_type`` event time. Single window pass: the running max
+    of match-event timestamps over preceding rows is exactly the as-of
+    lookup when both sides live in one keyed stream."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_match = F.max(
+        F.when(F.col("event_type") == match_type, F.col("ts"))
+    ).over(w)
+    return (
+        events.withColumn("asof_ts", prior_match)
+        .filter(F.col("event_type") == target_type)
+        .select("event_id", "user_id", "ts", "asof_ts")
+    )
+
+
+@query(
+    "purchase_last_view_asof",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           {SQL_TS('ts')} AS purchase_ts,
+           {SQL_TS('asof_ts')} AS last_view_ts,
+           CASE WHEN asof_ts IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(asof_ts) END AS gap_us
+    FROM tagged
+    WHERE event_type = 'purchase'
+    """,
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    view (running-max composition — one shuffle, no inequality join)."""
+    ev = load_table(spark, sf_dir, "events")
+    asof = asof_join_last_event(ev, match_type="view", target_type="purchase")
+    gap = F.when(
+        F.col("asof_ts").isNotNull(),
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")),
+    )
+    return asof.select(
+        "event_id",
+        "user_id",
+        fmt_ts(F.col("ts")).alias("purchase_ts"),
+        fmt_ts(F.col("asof_ts")).alias("last_view_ts"),
+        gap.alias("gap_us"),
+    )
+
+
+@query(
+    "events_trailing_burst",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_last_5min
+    FROM events
+    """,
+)
+def events_trailing_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range window frame: per event, how many of the user's events fall in
+    the trailing 5 minutes (burst detection). Spark range frames need a
+    numeric sort key → epoch seconds with a [-300, 0] frame; DuckDB states
+    the same frame as an INTERVAL. Ties on ts are frame-equivalent (RANGE
+    frames include peers), so results match without a tiebreaker."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")) / 1_000_000)
+        .rangeBetween(-300, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_5min"),
+    )
+
+
+@query("corpus_sketch_stats")  # rows-only: sketches are engine-specific
+def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate aggregates used instead of exact ones at 100 TB:
+    HLL distinct counts and t-digest-style percentiles in one pass. No
+    oracle by design — sketch values differ across engines; the exact twins
+    (lineitem_distinct_stats, segment_price_quantiles) are oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

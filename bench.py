@@ -72,8 +72,14 @@ def main() -> None:
         n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL")
     ]
 
-    # warm the JVM + parquet footer caches with one tiny action
+    # warm the JVM, codegen, and parquet footer caches so the first timed
+    # query doesn't absorb session startup costs
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").agg(
+        F.count(F.lit(1))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -66,3 +66,19 @@ def test_segment_top_orders_rank_bounds(spark, sf_dir):
     assert all(1 <= r.rk <= 5 for r in rows)
     segs = {r.c_mktsegment for r in rows}
     assert len(rows) == 5 * len(segs)
+
+
+def test_asof_join_strictly_earlier(spark, sf_dir):
+    """The as-of match must be the latest view STRICTLY before the purchase."""
+    from airflow_ml_pipeline_spark.operators import temporal
+
+    ev = relational.load_table(spark, sf_dir, "events")
+    res = temporal.asof_join_last_event(ev, "view", "purchase")
+    rows = res.filter("asof_ts IS NOT NULL").limit(50).collect()
+    assert rows
+    views = {}
+    for r in ev.filter("event_type = 'view'").collect():
+        views.setdefault(r.user_id, []).append(r.ts)
+    for r in rows:
+        earlier = [t for t in views[r.user_id] if t < r.ts]
+        assert r.asof_ts == max(earlier)
