@@ -153,7 +153,10 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     *verification* kernel; discovery at scale goes through MinHash LSH
     below."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    # no cache: the shingle explode is a cheap zero-shuffle projection, and
+    # holding a shuffle-sized intermediate in memory is exactly what not to
+    # do at scale — each consumer re-derives it from the (OS-cached) scan
+    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = _pair_shared_counts(sh)
     s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))

@@ -232,3 +232,88 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.col("lang").alias("lang_tag"), pred.alias("predicted_lang")
     )
+
+
+@query(
+    "corpus_quality_filtered",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 20
+      AND CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+          / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+      AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.15
+    """,
+)
+def corpus_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus filter: length gate + stopword-ratio
+    band + lexical-diversity floor, as ONE pushed-down filter pass (the
+    pipeline shape that precedes dedup in an LLM data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
+    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return docs.filter(
+        (n_tok >= 20)
+        & (stop_ratio >= 0.01)
+        & (stop_ratio <= 0.6)
+        & (unique_ratio >= 0.15)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "doc_top_tfidf_term",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_term, tfidf
+    FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+        FROM scored
+    )
+    WHERE rk = 1
+    """,
+)
+def doc_top_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term, fully columnar (explode → tf → df →
+    idf join → window top-1). The idf factor ln(N/df) is a single-double
+    computation identical across engines; tf*idf rounds at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )

@@ -135,3 +135,32 @@ def stream_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value")).alias("total_value"),
     )
     return run_available_now(agg)
+
+
+@query(
+    "stream_static_enriched_segments",
+    oracle=f"""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched against the static
+    customer dimension (stateless per micro-batch — the canonical streaming
+    enrichment pattern), then aggregated. Oracle = the batch join."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.functions.compare import dsum
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    return run_available_now(agg)

@@ -43,12 +43,19 @@ HEADLINE = [
     "customer_moving_spend",
     "segment_price_quantiles",
     "monthly_order_stats",
+    "large_quantity_orders",
+    "promo_revenue_ratio",
+    "top_revenue_suppliers",
+    "returned_revenue_by_customer",
+    "purchase_last_view_asof",
+    "events_trailing_burst",
     "events_hourly",
     "events_sliding_daily",
     "events_json_stats",
     "events_sessionized",
     "events_props_schema_parsed",
     "stream_events_hourly",
+    "stream_stateful_running_totals",
     "token_frequencies",
     "doc_quality",
     "dedup_exact",
