@@ -352,3 +352,30 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fingerprint").alias("n_fingerprints"),
         F.array_min("fingerprint").alias("min_fingerprint"),
     )
+
+
+@query(
+    "dedup_corpus",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM documents GROUP BY md5(text)
+    )
+    """,
+)
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied form of exact dedup: materialize the surviving documents
+    (smallest doc_id per content fingerprint). Window-free formulation: the
+    keeper set is a tiny aggregate joined back semi-style — at 100 TB the
+    fingerprint group-by is the only full-data shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

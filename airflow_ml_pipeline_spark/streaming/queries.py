@@ -164,3 +164,28 @@ def stream_static_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFra
         dsum(F.col("value")).alias("total_value"),
     )
     return run_available_now(agg)
+
+
+@query(
+    "stream_events_sliding",
+    oracle=f"""
+    WITH slides AS (
+        SELECT ts, value, time_bucket(INTERVAL '12 hours', ts) AS b FROM events
+    ),
+    expanded AS (
+        SELECT b AS window_start, value FROM slides
+        UNION ALL
+        SELECT b - INTERVAL '12 hours' AS window_start, value FROM slides
+    )
+    SELECT {SQL_TS('window_start')} AS window_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (24h window, 12h slide) — each
+    event feeds two panes; oracle expands the panes manually."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(windows.sliding_totals(stream, watermark=_WM))

@@ -83,3 +83,29 @@ def test_ohe_basis_matches_sklearn_convention(spark, pdf):
     )
     row = prep.transform(unknown).collect()[0]
     assert all(v == 0.0 for v in row)
+
+
+def test_minmax_scaler_formula(spark, pdf):
+    prep = features.Preprocessor(
+        scaling_method="minmax",
+        numerical_cols=["monthly_charges"],
+        categorical_cols=[],
+    ).fit(spark.createDataFrame(pdf))
+    lo, rng = prep.scaler_stats["monthly_charges"][0], prep.scaler_stats["monthly_charges"][1]
+    assert abs(lo - pdf["monthly_charges"].min()) < 1e-9
+    assert abs(rng - (pdf["monthly_charges"].max() - pdf["monthly_charges"].min())) < 1e-9
+    out = prep.transform(spark.createDataFrame(pdf))
+    row = out.agg(F.min("num__monthly_charges"), F.max("num__monthly_charges")).collect()[0]
+    assert abs(row[0] - 0.0) < 1e-9 and abs(row[1] - 1.0) < 1e-9
+
+
+def test_robust_scaler_formula(spark, pdf):
+    prep = features.Preprocessor(
+        scaling_method="robust",
+        numerical_cols=["monthly_charges"],
+        categorical_cols=[],
+    ).fit(spark.createDataFrame(pdf))
+    center, scale = prep.scaler_stats["monthly_charges"]
+    s = pdf["monthly_charges"]
+    assert abs(center - s.quantile(0.5)) < 1e-9
+    assert abs(scale - (s.quantile(0.75) - s.quantile(0.25))) < 1e-9

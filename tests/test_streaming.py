@@ -105,3 +105,32 @@ def test_stream_dedup_emits_each_key_once(spark, sf_dir):
     )
     rows = result.collect()
     assert len(rows) == len({(r.user_id, r.event_type) for r in rows})
+
+
+def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch + checkpoint: re-running the same AvailableNow query over
+    an unchanged source must NOT duplicate data — the checkpoint remembers
+    processed files (exactly-once at the sink given idempotent batch writes).
+    """
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def run_once():
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(out).count() == n_events
+    run_once()  # second run: no new input -> no new rows
+    assert spark.read.parquet(out).count() == n_events
