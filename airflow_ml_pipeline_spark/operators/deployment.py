@@ -45,6 +45,7 @@ def promote_model(
     feature_names: list[str],
     config: dict,
     feature_importance: list[dict] | None = None,
+    background_means: dict[str, float] | None = None,
 ) -> str:
     """Promote the champion (D1): archive the old one, write artifacts +
     metadata.json with the reference's keys (deployment.py:55-62)."""
@@ -71,6 +72,10 @@ def promote_model(
     }
     if feature_importance is not None:
         metadata["feature_importance"] = feature_importance
+    if background_means is not None:
+        # frozen training-time feature means: the explanation background for
+        # serving (fixes the reference's input-as-own-background quirk)
+        metadata["background_means"] = background_means
 
     with open(champion_dir / "metadata.json", "w") as f:
         json.dump(metadata, f, indent=2, default=str)
@@ -171,6 +176,7 @@ def create_flask_app(spark: SparkSession, config: dict):
                 _to_df(data),
                 metadata.get("feature_names", []),
                 config,
+                background_means=metadata.get("background_means"),
             )
             return jsonify(explanation)
         except Exception as e:  # noqa: BLE001

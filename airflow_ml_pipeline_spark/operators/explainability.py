@@ -45,12 +45,18 @@ def compute_shap_values(
     features_df: DataFrame,
     feature_names: list[str],
     config: dict,
+    background_means: dict[str, float] | None = None,
 ) -> dict:
     """Occlusion attributions over a capped sample (explainability.py:42-95
     contract: sample_size cap with seed 42, expected_value scalar, values
     keyed to feature_names).
 
-    Returns {"shap_values": DataFrame[__row_id, contrib_<i>...],
+    ``background_means`` overrides the occlusion baseline (normally the
+    sample's own means) with frozen training-time means — the serving-path
+    fix for the reference's quirk where a 1-row request is its own
+    background and every contribution degenerates to zero.
+
+    Returns {"shap_values": DataFrame[__row_id, features..., contrib_<i>...],
     "feature_names", "expected_value", "sample_size"}."""
     explain_cfg = config.get("explainability", {})
     sample_size = explain_cfg.get("sample_size", 500)
@@ -64,9 +70,12 @@ def compute_shap_values(
     sample = sample.select(*feature_names).cache()
     n_sample = sample.count()
 
-    mus = sample.agg(
-        *[F.avg(c).alias(c) for c in feature_names]
-    ).collect()[0].asDict()
+    if background_means is not None:
+        mus = {c: float(background_means[c]) for c in feature_names}
+    else:
+        mus = sample.agg(
+            *[F.avg(c).alias(c) for c in feature_names]
+        ).collect()[0].asDict()
 
     # one distributed scoring pass for the full rows + one per occluded
     # feature; joined back by a row id that is stable because the base
@@ -74,7 +83,18 @@ def compute_shap_values(
     base = sample.withColumn("__row_id", F.monotonically_increasing_id()).cache()
     base.count()
     result = _attach_score(model, base, feature_names, None, mus, "f_full").cache()
-    expected_value = float(result.agg(F.avg("f_full")).collect()[0][0])
+    if background_means is not None:
+        # base value = model output at the frozen background point
+        spark = features_df.sparkSession
+        mean_row = spark.createDataFrame(
+            [tuple(mus[c] for c in feature_names)], feature_names
+        ).withColumn("__row_id", F.lit(0).cast("long"))
+        expected_value = float(
+            _attach_score(model, mean_row, feature_names, None, mus, "f_mu")
+            .collect()[0]["f_mu"]
+        )
+    else:
+        expected_value = float(result.agg(F.avg("f_full")).collect()[0][0])
     for j, feat in enumerate(feature_names):
         occluded = _attach_score(model, base, feature_names, feat, mus, f"f_occ_{j}")
         result = result.join(occluded.select("__row_id", f"f_occ_{j}"), "__row_id")
@@ -167,10 +187,13 @@ def explain_single_prediction(
     input_df: DataFrame,
     feature_names: list[str],
     config: dict,
+    background_means: dict[str, float] | None = None,
 ):
     """Serving-path explanation (explainability.py:159-214): returns a dict
     for one row, a list for several; contributions sorted by |value| desc,
-    rounded to 6dp; background = the input batch itself (reference parity).
+    rounded to 6dp. Default background = the input batch itself (reference
+    parity, including its degenerate-single-row quirk); pass the champion's
+    frozen ``background_means`` for meaningful 1-row explanations.
     """
     from airflow_ml_pipeline_spark.operators.features import add_engineered_features
 
@@ -179,7 +202,9 @@ def explain_single_prediction(
     )
     feats = preprocessor.transform(engineered).select(*feature_names)
 
-    shap_result = compute_shap_values(model, feats, feature_names, config)
+    shap_result = compute_shap_values(
+        model, feats, feature_names, config, background_means=background_means
+    )
     contrib_rows = shap_result["shap_values"].orderBy("__row_id").collect()
 
     scored = model.transform(assemble(feats, feature_names))

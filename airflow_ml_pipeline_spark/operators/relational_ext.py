@@ -314,3 +314,71 @@ def events_props_schema_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("value")).alias("avg_value"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+               AS grouping_level,
+           {SQL_DSUM(SQL_REVENUE)} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (NULL group
+    values vs NULL-from-rollup are distinguishable only via grouping())."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+                   AS grouping_level,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
+           array_to_string(chunk_toks, ' ') AS chunk_text
+    FROM (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(t) / 50.0) AS BIGINT))) AS chunk_idx,
+               t
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), LATERAL (SELECT t[chunk_idx * 50 + 1 : chunk_idx * 50 + 50] AS chunk_toks)
+    """,
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): split each document into 50-token
+    chunks — the context-window chunking step of an LLM data pipeline. One
+    input row yields N output rows through a real arrow-less UDTF; the
+    oracle reproduces the chunking with list slicing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens bigint, chunk_text string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(0, (len(toks) + 49) // 50):
+                chunk = toks[i * 50 : (i + 1) * 50]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__chunk_docs")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM __chunk_docs, LATERAL chunk_doc(doc_id, text) c"
+    )

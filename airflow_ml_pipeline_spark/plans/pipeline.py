@@ -102,7 +102,16 @@ def run_pipeline(spark: SparkSession, config_path: str | None = None, config: di
         )
         save_explainability_report(shap_result, feature_importance, explain_path)
 
-    # Step 5 — deployment
+    # Step 5 — deployment (freeze the training feature means so serving-time
+    # explanations have a meaningful background)
+    from pyspark.sql import functions as F
+
+    background_means = {
+        c: float(v)
+        for c, v in features_df.agg(
+            *[F.avg(c).alias(c) for c in feature_names]
+        ).collect()[0].asDict().items()
+    }
     champion_model = trained_models[champion_name]["model"]
     deploy_path = promote_model(
         model=champion_model,
@@ -112,6 +121,7 @@ def run_pipeline(spark: SparkSession, config_path: str | None = None, config: di
         feature_names=feature_names,
         config=config,
         feature_importance=feature_importance,
+        background_means=background_means,
     )
 
     return {

@@ -445,3 +445,32 @@ def test_load_champion_missing_raises(spark, mini_config, tmp_path):
     }
     with pytest.raises(FileNotFoundError):
         deployment.load_champion(spark, cfg)
+
+
+def test_explain_single_with_frozen_background(spark, trained, mini_config, customers):
+    """With frozen training means as background, a 1-row explanation has
+    NONZERO contributions equal to coef_j * (x_j - mu_j) for LR — unlike the
+    reference-parity default where a single row is its own background."""
+    from pyspark.ml.functions import vector_to_array
+
+    models, train_df, _, prep, names = trained
+    model = models["logistic_regression"]["model"]
+    mus = (
+        train_df.select(vector_to_array("features").alias("arr"))
+        .select(*[F.col("arr")[j].alias(n) for j, n in enumerate(names)])
+        .agg(*[F.avg(n).alias(n) for n in names])
+        .collect()[0]
+        .asDict()
+    )
+    one = customers.drop("churn").limit(1)
+    result = explainability.explain_single_prediction(
+        model, prep, one, names, mini_config, background_means=mus
+    )
+    assert isinstance(result, dict)
+    nonzero = [c for c in result["contributions"] if abs(c["contribution"]) > 1e-9]
+    assert nonzero, "frozen background must yield non-degenerate contributions"
+    # parity default (no background): all-zero contributions for 1 row
+    default = explainability.explain_single_prediction(
+        model, prep, one, names, mini_config
+    )
+    assert all(abs(c["contribution"]) < 1e-12 for c in default["contributions"])
