@@ -56,15 +56,26 @@ HEADLINE = [
     "events_props_schema_parsed",
     "stream_events_hourly",
     "stream_stateful_running_totals",
+    "grouping_sets_revenue",
     "token_frequencies",
     "doc_quality",
+    "corpus_quality_filtered",
+    "doc_top_tfidf_term",
+    "doc_length_zscore_by_lang",
+    "doc_token_entropy",
+    "doc_chunks_udtf",
     "dedup_exact",
+    "dedup_corpus",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
     "simhash_fingerprints",
+    "doc_winnowing_fingerprints",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
     "label_centroids",
+    "stream_static_enriched_segments",
 ]
 
 
