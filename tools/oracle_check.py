@@ -52,10 +52,19 @@ def value_hash(rows: list[tuple], col_order: list[int]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark("oracle-check", master="local[8]")
+    if plain:  # driver-fidelity mode: default confs, no engine tuning
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "oracle-check-plain"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle-check", master="local[8]")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
