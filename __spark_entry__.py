@@ -29,6 +29,8 @@ import airflow_ml_pipeline_spark.operators.relational_ext  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.events  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.temporal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.tpch_extra  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.tpch_extra2  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.stats  # noqa: F401,E402
 
 try:  # widened over time; keep entry importable even mid-build
     import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402

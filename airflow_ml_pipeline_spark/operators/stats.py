@@ -1,0 +1,269 @@
+"""Statistical aggregates, date-dimension rollups, edit distance, and
+range/interval joins.
+
+Exactness strategy for the statistical queries: built-in ``corr``/
+``stddev`` use merge-order-dependent co-moment updates, so Spark (parallel
+merges) and a single-node oracle disagree in the last bits. Instead every
+moment is an order-independent decimal sum (``functions/compare.py``) and
+the closed-form formula is evaluated in double *identically* in both
+engines — bit-equal results without giving up map-side partial
+aggregation. This is also the right 100 TB shape: one pass, five partial
+sums per group, no second scan.
+
+Reference parity: the reference's drift profile computes per-column
+mean/std (dags/data_quality_dag.py:49-61); these queries generalize that
+to grouped, exact, joinable statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, dsum
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def _sq(c: Column) -> Column:
+    return c * c
+
+
+@query(
+    "event_value_hour_stats",
+    oracle=f"""
+    WITH moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               {SQL_DSUM('value')} AS sx,
+               {SQL_DSUM('value * value')} AS sxx,
+               {SQL_DSUM('CAST(hour(ts) AS DOUBLE)')} AS sy,
+               {SQL_DSUM('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)')} AS syy,
+               {SQL_DSUM('value * CAST(hour(ts) AS DOUBLE)')} AS sxy
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 6) AS mean_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_value,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_value_hour
+    FROM moments
+    """,
+)
+def event_value_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean / sample-stddev / Pearson correlation from exact
+    one-pass moment sums (see module doc for why not built-in ``corr``)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(_sq(x)).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(_sq(y)).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return m.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_value"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_value_hour"),
+    )
+
+
+@query(
+    "orders_by_weekday",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%A') AS weekday,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup keyed by weekday *name* (engine-neutral,
+    unlike dayofweek numbering: Spark counts Sunday=1, DuckDB dow
+    Sunday=0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "EEEE").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "part_type_edit_distance",
+    oracle="""
+    SELECT levenshtein(p_type, 'PROMO') AS dist,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_type) AS n_types
+    FROM part
+    GROUP BY 1
+    """,
+)
+def part_type_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance distribution — the JVM built-in (no UDF), the
+    same classic DP kernel DuckDB implements, so counts match exactly."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.levenshtein("p_type", F.lit("PROMO")).alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_distinct("p_type").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "errors_before_purchase",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           COUNT(e.event_id) AS n_errors,
+           {SQL_DSUM('e.value')} AS error_value
+    FROM events p
+    JOIN events e ON e.user_id = p.user_id
+                 AND e.event_type = 'error'
+                 AND e.ts >= p.ts - INTERVAL 1 HOUR
+                 AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: error events in the hour preceding each
+    purchase by the same user.
+
+    Physically an equi-join on the user key with the time-range predicate
+    evaluated post-probe — at 100 TB both sides hash-partition on the user
+    key (no O(n·m) theta join), and the event-type filters prune both
+    sides before the shuffle. If one user is hot, the salted-join helper
+    (functions/skew.py) applies unchanged since the range predicate is
+    residual; for bounded ranges like this 1-hour window, bucketing both
+    sides by (user, date_trunc(hour)) and joining adjacent buckets is the
+    further scale-out documented in SCALING.md.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+    )
+    cond = (
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return (
+        p.join(e, cond)
+        .groupBy("purchase_id")
+        .agg(
+            F.count("err_id").alias("n_errors"),
+            dsum(F.col("e_value")).alias("error_value"),
+        )
+    )
+
+
+@query(
+    "segment_acctbal_top_decile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           round(pr, 6) AS pct_rank,
+           round(cd, 6) AS cume_dist
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+    )
+    WHERE pr >= 0.9
+    """,
+)
+def segment_acctbal_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist analytics: top-decile customers by account
+    balance within each market segment.
+
+    The ORDER BY includes c_custkey so ranks are total (no peer groups →
+    deterministic across engines); both rank functions are exact rational
+    arithmetic divided once in double, so rounding to 6dp is stable. One
+    exchange per segment-partitioned sort; the post-window filter is
+    evaluated before any further shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.9)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+        )
+    )
+
+
+@query(
+    "embedding_activation_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           SUM(CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT))
+               AS total_positive,
+           CAST(SUM(CAST(len(list_filter(embedding, x -> abs(x) > 1.0))
+                AS BIGINT)) AS BIGINT) AS total_saturated,
+           MAX(len(embedding)) AS dim
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/size) entirely JVM-side — the
+    component-level profile an embedding-quality monitor computes (dead /
+    saturated activations per class) without exploding rows.
+
+    At 100 TB explode-then-group on components would multiply the shuffle
+    by the vector dimension; F.filter + F.size keep it one scalar per row
+    inside whole-stage codegen.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = F.size(F.filter("embedding", lambda x: x > 0.0))
+    sat = F.size(F.filter("embedding", lambda x: F.abs(x) > 1.0))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(pos.cast("bigint")).alias("total_positive"),
+            F.sum(sat.cast("bigint")).alias("total_saturated"),
+            F.max(F.size("embedding")).alias("dim"),
+        )
+    )

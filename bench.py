@@ -47,6 +47,16 @@ HEADLINE = [
     "promo_revenue_ratio",
     "top_revenue_suppliers",
     "returned_revenue_by_customer",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "disjunctive_brand_revenue",
+    "sole_supplier_returns",
+    "idle_rich_customers",
+    "event_value_hour_stats",
+    "errors_before_purchase",
+    "segment_acctbal_top_decile",
+    "embedding_activation_stats",
     "purchase_last_view_asof",
     "events_trailing_burst",
     "events_hourly",
