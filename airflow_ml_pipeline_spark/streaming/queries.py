@@ -189,3 +189,64 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     event feeds two panes; oracle expands the panes manually."""
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(windows.sliding_totals(stream, watermark=_WM))
+
+
+@query(
+    "stream_errors_before_purchase_pairs",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           round(e.value, 6) AS error_value
+    FROM events p
+    JOIN events e ON e.user_id = p.user_id
+                 AND e.event_type = 'error'
+                 AND e.ts >= p.ts - INTERVAL 1 HOUR
+                 AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_errors_before_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to error events from
+    the same user within the preceding hour — the streaming twin of the
+    batch range join (operators/stats.py::errors_before_purchase), checked
+    against the same batch semantics.
+
+    Both sides carry watermarks so the join state is bounded: Spark keeps
+    error-side state only until watermark - 1h, purchase-side until the
+    watermark — at production rates state size is (input rate × 1h), not
+    unbounded. Inner join → append mode: rows emit as they match.
+    """
+    from pyspark.sql import functions as F
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _WM)
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+        .withWatermark("e_ts", _WM)
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.round("e_value", 6).alias("error_value"),
+    )
+    return run_available_now(joined, output_mode="append")

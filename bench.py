@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "label_centroids",
     "stream_static_enriched_segments",
+    "stream_errors_before_purchase_pairs",
 ]
 
 

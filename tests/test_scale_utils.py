@@ -65,3 +65,50 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "ship_year" in plan.split("PartitionFilters", 1)[1][:200]
     expected = li.filter(F.col("ship_year") == 1997).count()
     assert scan.count() == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with zero
+    Exchange hashpartitioning in the executed plan — the write-time
+    shuffle is paid once, every downstream join is co-located."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.functions.bucketing import (
+        bucketed_table,
+        write_bucketed,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_table(spark, "b_lineitem").join(
+                bucketed_table(spark, "b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            n = joined.count()
+            plan = (
+                joined._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan
+            )
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffles
+            # cross-check the result against a plain join
+            assert n == li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
