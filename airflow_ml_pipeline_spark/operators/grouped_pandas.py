@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, dsum
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -96,3 +97,72 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", entropy(F.col("text")).alias("token_entropy"))
+
+
+@query(
+    "lang_nchars_median_udaf",
+    oracle="""
+    SELECT lang,
+           median(n_chars) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_nchars_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): exact median of an
+    integer column per group, Arrow-batched.
+
+    np.median sorts the group internally, so the result is independent of
+    shuffle arrival order; integer medians are exact halves in both
+    engines (numpy interpolates identically to DuckDB's median). This is
+    the pattern for custom aggregates Spark lacks built-in — at scale each
+    group must fit one executor's memory (documented UDAF constraint;
+    for giant groups use percentile_approx instead).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with built-in aggregates in
+        # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — count stays pandas too
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        median_udaf("n_chars").alias("median_chars"),
+        count_udaf("n_chars").alias("n_docs"),
+    )
+
+
+@query(
+    "events_variant_stats",
+    oracle=f"""
+    SELECT CAST(CAST(props ->> '$.k' AS INTEGER) % 7 AS INTEGER) AS k_mod,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VariantType column, then typed variant_get extraction — the
+    shredded-JSON design that replaces per-field get_json_object string
+    re-parsing (one parse, any number of typed reads)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.groupBy((k % 7).cast("int").alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -62,3 +62,29 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with a declared schema (schema-on-read, no
+    inference pass — at 100 TB an inference pre-scan doubles the read)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (interchange format for downstream non-Spark
+    consumers; Parquet remains the engine-internal checkpoint format)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — columnar alternative with the same pushdown/pruning
+    properties as Parquet (schema optional: ORC stores it)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink."""
+    df.write.mode("overwrite").orc(path)

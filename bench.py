@@ -74,6 +74,8 @@ HEADLINE = [
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "doc_chunks_udtf",
+    "lang_nchars_median_udaf",
+    "events_variant_stats",
     "dedup_exact",
     "dedup_corpus",
     "near_dup_pairs_jaccard",

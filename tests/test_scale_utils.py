@@ -112,3 +112,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_json_and_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Interchange sinks: JSON-lines and ORC round-trip the customer table
+    with identical rows; the ORC scan must push filters like parquet."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.sources import catalog
+
+    cust = catalog.load_table(spark, sf_dir, "customer")
+    jpath, opath = str(tmp_path / "cust_json"), str(tmp_path / "cust_orc")
+    catalog.write_json(cust, jpath)
+    catalog.write_orc(cust, opath)
+
+    back_j = catalog.read_json(spark, jpath, cust.schema)
+    back_o = catalog.read_orc(spark, opath)
+    n = cust.count()
+    assert back_j.count() == n and back_o.count() == n
+    # value fidelity: exact sum of an integer-ish key and a double column
+    for back in (back_j, back_o):
+        a = cust.agg(F.sum("c_custkey"), F.sum(F.round("c_acctbal", 2))).collect()[0]
+        b = back.agg(F.sum("c_custkey"), F.sum(F.round("c_acctbal", 2))).collect()[0]
+        assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
+    # ORC pushdown evidence
+    plan = (
+        back_o.filter(F.col("c_custkey") == 42)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters")[1][:120]
