@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_ml_pipeline_spark.functions.text import ngrams, tokens
+from airflow_ml_pipeline_spark.functions.text import (
+    STOPWORDS_EN,
+    count_in,
+    ngrams,
+    tokens,
+)
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -378,4 +383,123 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SQL_STOP_CP = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+_SQL_QUALITY = f"""
+      len(string_split(text, ' ')) >= 20
+      AND CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ({_SQL_STOP_CP}))) AS DOUBLE)
+          / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+      AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.15
+"""
+
+
+@query(
+    "corpus_prepared",
+    oracle=f"""
+    WITH q AS (
+        SELECT * FROM documents WHERE {_SQL_QUALITY}
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    surv AS (
+        SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM keepers)
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM surv
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_dups AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = doc_a
+        JOIN sizes s2 ON s2.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+              >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    """,
+)
+def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training corpus preparation as ONE lazy plan:
+    quality filter → exact dedup → near-dup removal → surviving docs with
+    token counts.
+
+    Stage shapes (each is the scale path chosen elsewhere in this module):
+    1. quality gate — pure filter, pushed to the scan, no shuffle;
+    2. exact dedup — md5 groupBy (one full shuffle of (fp, doc_id) pairs
+       only, not text) + left-semi join back;
+    3. near-dup removal — greedy drop-the-larger-id of each J>=0.5 pair
+       (deterministic, single-pass; transitive clustering would need
+       connected components, deliberately out of the declared plan);
+       pairs come from the exact shingle kernel here so the whole
+       pipeline stays DuckDB-checkable — at 100 TB swap in the MinHash
+       LSH candidate generator (same shape, banded buckets instead of
+       full posting lists).
+    All stages compose into one DataFrame lineage: Catalyst prunes text
+    out of every post-shingle stage automatically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
+    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    q = docs.filter(
+        (n_tok >= 20)
+        & (stop_ratio >= 0.01)
+        & (stop_ratio <= 0.6)
+        & (unique_ratio >= 0.15)
+    )
+
+    keepers = (
+        q.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = q.join(keepers, "doc_id", "left_semi")
+
+    sh = _shingles(surv)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = _pair_shared_counts(sh)
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    near_dups = (
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return surv.join(near_dups, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
     )

@@ -78,6 +78,7 @@ HEADLINE = [
     "events_variant_stats",
     "dedup_exact",
     "dedup_corpus",
+    "corpus_prepared",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
     "simhash_fingerprints",
