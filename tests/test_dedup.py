@@ -89,3 +89,30 @@ def test_winnowing_fingerprint_overlap_separates_near_dups(spark, sf_dir, exact_
         for _ in range(100)
     ]
     assert sum(bg) / len(bg) < 0.4
+
+
+def test_corpus_prepared_invariants(spark, sf_dir):
+    """Pipeline invariants: survivors pass the quality gate, contain no
+    exact duplicates, and no surviving pair is a near-dup (J >= 0.5)."""
+    from airflow_ml_pipeline_spark.operators import dedup, textstats
+
+    prepared = dedup.corpus_prepared(spark, sf_dir)
+    surv_ids = {r.doc_id for r in prepared.select("doc_id").collect()}
+    assert surv_ids, "pipeline must keep some documents"
+
+    quality_ids = {
+        r.doc_id
+        for r in textstats.corpus_quality_filtered(spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    assert surv_ids <= quality_ids
+
+    # no near-dup pair with both endpoints surviving
+    pairs = dedup.near_dup_pairs_jaccard(spark, sf_dir).collect()
+    both = [
+        (p.doc_a, p.doc_b)
+        for p in pairs
+        if p.doc_a in surv_ids and p.doc_b in surv_ids
+    ]
+    assert both == []
