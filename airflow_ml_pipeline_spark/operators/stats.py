@@ -267,3 +267,49 @@ def embedding_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.size("embedding")).alias("dim"),
         )
     )
+
+
+@query(
+    "nation_balance_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT n_name,
+               round(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(c_acctbal), 6) AS customer_avg_bal,
+               round(MAX(c_acctbal), 2) AS customer_max_bal
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, metric, bal
+    FROM wide
+    UNPIVOT (bal FOR metric IN (customer_avg_bal, customer_max_bal))
+    """,
+)
+def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): per-nation balance metrics re-shaped to
+    (nation, metric, value) rows — the inverse of pivot, Spark's native
+    ``unpivot`` (zero-shuffle: an Expand node over the aggregated frame).
+    The average uses the exact-decimal sum / count so both engines divide
+    identical doubles (functions/compare.py rationale)."""
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    wide = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+                / F.count("c_acctbal"),
+                6,
+            ).alias("customer_avg_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("customer_max_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["customer_avg_bal", "customer_max_bal"],
+        variableColumnName="metric",
+        valueColumnName="bal",
+    )

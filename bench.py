@@ -39,6 +39,7 @@ HEADLINE = [
     "segment_top_orders",
     "cube_revenue",
     "segment_status_pivot",
+    "nation_balance_unpivot",
     "nation_order_coverage",
     "customer_moving_spend",
     "segment_price_quantiles",
