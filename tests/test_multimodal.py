@@ -57,3 +57,31 @@ def test_frame_sampling_fanout(spark, sf_dir):
         expected = (r.meta.duration_ms - 1) // 500 + 1
         assert r.n_frames == expected
         assert r.last < r.meta.duration_ms
+
+
+def test_python_datasource_binary_ingestion(spark):
+    """Spark 4 Python DataSource API: declared schema, planned partitions,
+    deterministic binary payloads — the multimodal ingestion seam."""
+    from airflow_ml_pipeline_spark.sources import binary_source
+
+    binary_source.register(spark)
+    df = (
+        spark.read.format("fake_media")
+        .option("n_rows", 48)
+        .option("n_partitions", 6)
+        .option("payload_bytes", 128)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,width:int,height:int,payload:binary>"
+    )
+    assert df.rdd.getNumPartitions() == 6
+    rows = df.collect()
+    assert len(rows) == 48
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
+    assert all(len(r.payload) == 128 for r in rows)
+    # deterministic: re-read yields identical payloads
+    again = {r.media_id: r.payload for r in df.collect()}
+    assert all(again[r.media_id] == r.payload for r in rows)
+    # payloads differ across rows (not a constant stub)
+    assert len({bytes(r.payload) for r in rows}) == 48
