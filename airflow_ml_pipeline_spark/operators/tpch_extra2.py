@@ -318,3 +318,98 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "nation_pair_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {SQL_DSUM(SQL_REVENUE)} AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_nationkey < 5 AND sn.n_nationkey < 5
+      AND cn.n_nationkey <> sn.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between (customer-nation,
+    supplier-nation) pairs by year — the same dimension table joined twice
+    under different aliases, both broadcast; the nation filters cut the
+    probe before the fact-side shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cn_key") != F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(_revenue()).alias("volume"))
+    )
+
+
+@query(
+    "nation_profit_by_year",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity")}
+               AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus part-cost proxy) per supplier
+    nation and year, with a part-name LIKE filter evaluated on the
+    broadcast build side before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )

@@ -54,6 +54,8 @@ HEADLINE = [
     "disjunctive_brand_revenue",
     "sole_supplier_returns",
     "idle_rich_customers",
+    "nation_pair_volume",
+    "nation_profit_by_year",
     "event_value_hour_stats",
     "errors_before_purchase",
     "segment_acctbal_top_decile",
