@@ -88,3 +88,30 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink."""
     df.write.mode("overwrite").orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_mb: int = 256
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each, returning the output file count.
+
+    The small-files problem dominates long-lived 100 TB tables (every file
+    costs a task + a footer read + namenode metadata); compaction jobs run
+    on a schedule against cold partitions. Sizing by actual on-disk bytes
+    (not row counts) keeps output stable across schema/compression
+    changes. One wide repartition — at scale, run per partition-directory
+    instead of whole-table.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

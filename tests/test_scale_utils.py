@@ -143,3 +143,25 @@ def test_json_and_orc_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """64 tiny files -> sized-by-bytes compaction; row multiset preserved."""
+    import glob
+
+    from airflow_ml_pipeline_spark.sources import catalog
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    fragmented = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(fragmented)
+    assert len(glob.glob(f"{fragmented}/*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = catalog.compact_parquet(spark, fragmented, compacted, target_mb=256)
+    files = glob.glob(f"{compacted}/*.parquet")
+    assert len(files) == n < 64
+    back = spark.read.parquet(compacted)
+    assert back.count() == li.count()
+    a = li.agg(F.sum("l_orderkey"), F.sum("l_linenumber")).collect()[0]
+    b = back.agg(F.sum("l_orderkey"), F.sum("l_linenumber")).collect()[0]
+    assert tuple(a) == tuple(b)
