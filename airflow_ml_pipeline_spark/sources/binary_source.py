@@ -16,7 +16,12 @@ operator module, operators/multimodal.py).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _Range(InputPartition):
@@ -58,6 +63,9 @@ class FakeMediaDataSource(DataSource):
     def reader(self, schema) -> "FakeMediaReader":
         return FakeMediaReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "FakeMediaStreamReader":
+        return FakeMediaStreamReader(self.options)
+
 
 class FakeMediaReader(DataSourceReader):
     def __init__(self, options):
@@ -85,3 +93,39 @@ class FakeMediaReader(DataSourceReader):
 def register(spark) -> None:
     """Register the source on a session: ``spark.read.format('fake_media')``."""
     spark.dataSource.register(FakeMediaDataSource)
+
+
+class FakeMediaStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of media rows: offset = next media_id. Each
+    ``read`` emits up to ``rows_per_batch`` rows and advances the offset —
+    the replay/commit contract a Kafka-like source implements. Bounded by
+    ``n_rows`` so AvailableNow terminates."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 64))
+        self.batch = int(options.get("rows_per_batch", 16))
+        self.payload_bytes = int(options.get("payload_bytes", 256))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.n_rows)
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["next"], end["next"]))
+
+    def _rows(self, lo: int, hi: int):
+        kinds = ("image", "audio", "video")
+        return [
+            (
+                i,
+                kinds[i % 3],
+                64 + (i % 8) * 32,
+                64 + (i % 5) * 32,
+                _payload(i, self.payload_bytes),
+            )
+            for i in range(lo, hi)
+        ]

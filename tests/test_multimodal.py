@@ -85,3 +85,48 @@ def test_python_datasource_binary_ingestion(spark):
     assert all(again[r.media_id] == r.payload for r in rows)
     # payloads differ across rows (not a constant stub)
     assert len({bytes(r.payload) for r in rows}) == 48
+
+
+def test_python_datasource_streaming_reader(spark, tmp_path):
+    """The same custom source consumed as a micro-batched stream
+    (readStream + AvailableNow): offsets advance per batch, total rows and
+    payloads match the batch read exactly."""
+    from airflow_ml_pipeline_spark.sources import binary_source
+
+    binary_source.register(spark)
+    stream = (
+        spark.readStream.format("fake_media")
+        .option("n_rows", 40)
+        .option("rows_per_batch", 16)
+        .option("payload_bytes", 64)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fake_media_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # drain: the bounded source stops emitting at n_rows; poll until all
+    # 40 rows arrived (multiple micro-batches -> offsets really advance)
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("fake_media_stream").count() >= 40:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("fake_media_stream").collect()
+    assert len(got) == 40
+    batch = {
+        r.media_id: r.payload
+        for r in spark.read.format("fake_media")
+        .option("n_rows", 40)
+        .option("payload_bytes", 64)
+        .load()
+        .collect()
+    }
+    assert all(batch[r.media_id] == r.payload for r in got)
