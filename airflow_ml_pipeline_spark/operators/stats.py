@@ -313,3 +313,93 @@ def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="bal",
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'error' THEN NULL
+                                 ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+               AS last_good_value
+    FROM events
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling / last-observation-carried-forward: error readings are
+    masked to NULL and each row carries the most recent non-null value per
+    user (``last_value IGNORE NULLS`` over an event-time order).
+
+    The time-series idiom for sensor dropout repair; one exchange on
+    user_id, running frame, no self-join.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(good, ignorenulls=True).over(w), 6).alias("last_good_value"),
+    )
+
+
+@query(
+    "nation_eventtype_matrix",
+    oracle="""
+    SELECT n_name, et.event_type AS event_type, COUNT(event_id) AS n_events
+    FROM nation
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+    LEFT JOIN events ON events.event_type = et.event_type
+                    AND events.user_id % 25 = n_nationkey
+    GROUP BY n_name, et.event_type
+    """,
+)
+def nation_eventtype_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join as dense-matrix scaffolding: every (nation,
+    event_type) cell exists even when no event matches (the report/ML
+    feature-grid idiom — a plain groupBy drops empty cells). The cross
+    join is dims-only (25 x 5 rows); the fact table joins onto the
+    scaffold afterward."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    et = ev.select("event_type").distinct().withColumnRenamed("event_type", "et")
+    grid = nation.crossJoin(F.broadcast(et))
+    return (
+        grid.join(
+            ev,
+            (ev.event_type == F.col("et"))
+            & (ev.user_id % 25 == F.col("n_nationkey")),
+            "left",
+        )
+        .groupBy("n_name", F.col("et").alias("event_type"))
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@query(
+    "custkeys_multiset_diff",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def custkeys_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (exceptAll): customer keys with one row per
+    non-finished order — bag semantics preserve multiplicity where the
+    distinct EXCEPT collapses it (the per-occurrence accounting idiom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return all_keys.exceptAll(finished)

@@ -62,6 +62,7 @@ HEADLINE = [
     "embedding_activation_stats",
     "purchase_last_view_asof",
     "events_trailing_burst",
+    "events_gap_fill",
     "events_hourly",
     "events_sliding_daily",
     "events_json_stats",
