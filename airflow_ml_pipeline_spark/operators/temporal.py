@@ -125,3 +125,59 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def materialize_hourly_rollup(
+    spark: SparkSession, sf_dir: str, out_path: str, cutoff: str
+) -> None:
+    """Continuous-aggregate (hypertable-rollup) pattern, build step:
+    pre-aggregate events strictly before ``cutoff`` into hourly buckets
+    and persist them partitioned by day.
+
+    At 100 TB the rollup job runs incrementally (per closed day); queries
+    then touch O(hours) pre-aggregated rows plus only the raw tail. The
+    aggregate kernel is decimal-exact so merged partials equal the
+    full-batch result bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < F.lit(cutoff))
+    rollup = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
+        )
+        .withColumn("day", F.to_date("bucket"))
+    )
+    rollup.write.mode("overwrite").partitionBy("day").parquet(out_path)
+
+
+def hourly_with_tail(
+    spark: SparkSession, sf_dir: str, rollup_path: str, cutoff: str
+) -> DataFrame:
+    """Continuous-aggregate query step: merge the materialized rollup with
+    a live aggregate over the raw tail (ts >= cutoff). Result is
+    bucket/event_type totals identical to aggregating all raw events —
+    the equivalence a test asserts (tests/test_streaming.py)."""
+    mat = spark.read.parquet(rollup_path).select(
+        "bucket", "event_type", "n_events", "sum_value_dec"
+    )
+    tail = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit(cutoff))
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
+        )
+    )
+    return (
+        mat.unionByName(tail)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("total_value"),
+        )
+    )

@@ -134,3 +134,38 @@ def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_events
     run_once()  # second run: no new input -> no new rows
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_hourly_rollup_with_tail_equals_full_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate pattern: materialized pre-cutoff rollup merged
+    with the live tail must equal the full-batch hourly aggregate exactly
+    (decimal partials make the merge bit-exact)."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.operators import temporal
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    cutoff = "2024-01-20 00:00:00"
+    path = str(tmp_path / "rollup")
+    temporal.materialize_hourly_rollup(spark, sf_dir, path, cutoff)
+    merged = {
+        (r.bucket, r.event_type): (r.n_events, r.total_value)
+        for r in temporal.hourly_with_tail(spark, sf_dir, path, cutoff).collect()
+    }
+    full = {
+        (r.bucket, r.event_type): (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == full
+    # the materialized side must partition-prune on day
+    pruned = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
