@@ -403,3 +403,42 @@ def custkeys_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return all_keys.exceptAll(finished)
+
+
+@query(
+    "user_eventtype_map_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchase_cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_eventtype_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation state: per-user event-type counts built as a
+    real MapType column (map_from_entries over collected pairs), then read
+    back via size + element_at. The oracle checks the same facts through
+    flat conditional aggregates — map construction, lookup, and
+    missing-key→0 semantics are what the Spark plan exercises.
+
+    (Maps never appear in the output schema: map key order is
+    engine-defined, so hashable outputs stay scalar.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return with_map.select(
+        "user_id",
+        F.size("type_counts").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("type_counts", F.lit("purchase")), F.lit(0))
+        .cast("bigint")
+        .alias("purchase_cnt"),
+    )
