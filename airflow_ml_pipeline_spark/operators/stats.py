@@ -442,3 +442,42 @@ def user_eventtype_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("purchase_cnt"),
     )
+
+
+@query(
+    "ship_delay_profile",
+    oracle=f"""
+    SELECT datediff('day', o_orderdate, l_shipdate) // 30 AS delay_month_bucket,
+           COUNT(*) AS n_items,
+           SUM(CASE WHEN l_shipdate = last_day(l_shipdate)
+                    THEN 1 ELSE 0 END) AS month_end_ships,
+           round(AVG(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)), 6)
+               AS avg_delay_days
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    """,
+)
+def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: datediff bucketing, last_day month-end
+    detection, integer-average delay — all JVM built-ins.
+
+    datediff(end, start) argument order differs between engines (Spark is
+    (end, start), DuckDB ('day', start, end)); the AVG is over exact day
+    integers so double division is identical, rounded at 6dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.floor(delay / 30).alias("delay_month_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.to_date("l_shipdate") == F.last_day("l_shipdate")).cast("int")
+            ).cast("bigint").alias("month_end_ships"),
+            F.round(F.avg(delay.cast("double")), 6).alias("avg_delay_days"),
+        )
+    )

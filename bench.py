@@ -44,6 +44,7 @@ HEADLINE = [
     "customer_moving_spend",
     "segment_price_quantiles",
     "monthly_order_stats",
+    "ship_delay_profile",
     "large_quantity_orders",
     "promo_revenue_ratio",
     "top_revenue_suppliers",
