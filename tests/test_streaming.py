@@ -169,3 +169,24 @@ def test_hourly_rollup_with_tail_equals_full_batch(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas parity with the legacy stateful
+    operator (skips where protobuf — required by the TWS driver worker —
+    is unavailable, as in this container)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from airflow_ml_pipeline_spark.streaming.sources import (
+        read_events_stream,
+        run_available_now,
+    )
+    from airflow_ml_pipeline_spark.streaming.stateful import (
+        user_running_totals_tws,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        user_running_totals_tws(stream), output_mode="update"
+    )
+    rows = {r.user_id: (r.n_events, r.total_value) for r in result.collect()}
+    assert rows
