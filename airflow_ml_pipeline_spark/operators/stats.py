@@ -481,3 +481,58 @@ def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(delay.cast("double")), 6).alias("avg_delay_days"),
         )
     )
+
+
+@query(
+    "returnflag_median_price_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS median_price_disc,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_median_price_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) median: percentile_disc returns an actual data
+    value — no interpolation, so the result is engine-exact by
+    construction (unlike continuous percentiles, which interpolate in
+    double). The family segment_price_quantiles doesn't cover."""
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("__pdisc_lineitem")
+    return ev.sparkSession.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS median_price_disc,
+               COUNT(*) AS n_items
+        FROM __pdisc_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "segment_balance_flags",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -1000.0) AS all_above_floor,
+           bool_or(c_acctbal < 0.0) AS any_negative,
+           count_if(c_acctbal < 0.0) AS n_negative,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_balance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / conditional aggregates: bool_and (every), bool_or (some),
+    count_if — the data-quality assertion kernels (validate.py's checks
+    are exactly these shapes, folded into one pass)."""
+    cust = load_table(spark, sf_dir, "customer")
+    neg = F.col("c_acctbal") < 0.0
+    return cust.groupBy("c_mktsegment").agg(
+        F.every(F.col("c_acctbal") > -1000.0).alias("all_above_floor"),
+        F.some(neg).alias("any_negative"),
+        F.count_if(neg).alias("n_negative"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

@@ -43,6 +43,7 @@ HEADLINE = [
     "nation_order_coverage",
     "customer_moving_spend",
     "segment_price_quantiles",
+    "returnflag_median_price_disc",
     "monthly_order_stats",
     "ship_delay_profile",
     "large_quantity_orders",
