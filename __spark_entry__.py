@@ -6,8 +6,14 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 The real implementation lives in ``airflow_ml_pipeline_spark``; this module
-just exposes the engine's declared-query registry
-(airflow_ml_pipeline_spark/plans/registry.py).
+exposes the engine's declared-query registry
+(airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
+priority order: the driver's correctness budget is a prefix of this dict, so
+the prefix is arranged to cover every SURVEY.md §2 operator family —
+dedup/similarity/text-analysis/streaming/ML-pipeline/multimodal first (zero
+CORRECTNESS rows in round 1), then representative relational anchors, then
+the remaining TPC-H-shape variants whose operator families are already
+covered by an earlier entry.
 """
 
 from __future__ import annotations
@@ -23,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from airflow_ml_pipeline_spark.session import tune  # noqa: E402
 from airflow_ml_pipeline_spark.plans import registry  # noqa: E402
 
-# importing the operator modules populates the registry
+# importing the operator modules populates the registry; a failed import is
+# a build bug that must surface, not silently shrink the declared surface
 import airflow_ml_pipeline_spark.operators.relational  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.relational_ext  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.events  # noqa: F401,E402
@@ -31,19 +38,88 @@ import airflow_ml_pipeline_spark.operators.temporal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.tpch_extra  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.tpch_extra2  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.stats  # noqa: F401,E402
-
-try:  # widened over time; keep entry importable even mid-build
-    import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.operators.dedup  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.operators.similarity  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
-    import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
-except ImportError:
-    pass
+import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.dedup  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.similarity  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
+import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+#: Verification priority: the first ~50 names cover every operator family.
+#: Anything not listed follows in registry (module/line) order.
+CHECK_PRIORITY = [
+    # relational anchors (scan+join+agg, top-k)
+    "pricing_summary",
+    "revenue_by_segment",
+    "sole_supplier_returns",
+    # declared-but-never-checked relational/semi-structured surfaces
+    "custkeys_multiset_diff",
+    "events_variant_stats",
+    "user_eventtype_map_stats",
+    "nation_balance_unpivot",
+    # round-1 hash fix + self-verifying sketches
+    "returnflag_priority_counts",
+    "corpus_sketch_stats",
+    # pandas UDF / UDTF / UDAF surface
+    "doc_chunks_udtf",
+    "doc_length_zscore_by_lang",
+    "doc_token_entropy",
+    "lang_nchars_median_udaf",
+    # text analysis
+    "doc_stats",
+    "lang_distribution",
+    "token_frequencies",
+    "token_counts_bpeish",
+    "doc_quality",
+    "langid_heuristic",
+    "corpus_quality_filtered",
+    "doc_top_tfidf_term",
+    # dedup family
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_corpus",
+    "near_dup_pairs_jaccard",
+    "near_dup_pairs_minhash",
+    "simhash_fingerprints",
+    "doc_winnowing_md5",
+    "doc_winnowing_fingerprints",
+    "corpus_prepared",
+    # similarity / ANN family
+    "knn_cosine_bruteforce",
+    "embedding_norms",
+    "label_centroids",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    # ML pipeline visible queries
+    "synthetic_customers",
+    "engineered_customer_features",
+    "customer_drift_profile",
+    "churn_train_eval",
+    # multimodal plumbing
+    "multimodal_decode_stats",
+    "multimodal_features",
+    # structured streaming (AvailableNow) family
+    "stream_events_hourly",
+    "stream_events_sessionized",
+    "stream_dedup_user_event_keys",
+    "stream_stateful_running_totals",
+    "stream_user_value_totals",
+    "stream_static_enriched_segments",
+    "stream_events_sliding",
+    "stream_errors_before_purchase_pairs",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in CHECK_PRIORITY if n not in registry.QUERIES]
+    if missing:  # a renamed/removed query must fail loudly, not skew the order
+        raise KeyError(f"CHECK_PRIORITY names not in registry: {missing}")
+    rest = [n for n in registry.QUERIES if n not in set(CHECK_PRIORITY)]
+    return CHECK_PRIORITY + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,9 +138,13 @@ def _tuned(fn: registry.QueryFn) -> registry.QueryFn:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _tuned(fn) for name, fn in registry.QUERIES.items()}
+    return {name: _tuned(registry.QUERIES[name]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return dict(registry.ORACLES)
+    return {
+        name: registry.ORACLES[name]
+        for name in _ordered_names()
+        if name in registry.ORACLES
+    }

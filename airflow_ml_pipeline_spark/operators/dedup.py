@@ -35,6 +35,11 @@ LSH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.8) = 1-(1-0.8^2)^16 ~ 0.9
 # false candidates from low-J pairs are cheap because the exact-Jaccard
 # verification step filters them
 MERSENNE_P = (1 << 61) - 1
+# corpus_prepared's discovery banding: dense enough that missing a true
+# J>=0.5 pair is a ~1e-4 event per pair, so the LSH-composed pipeline
+# reproduces the exact-kernel oracle on the test corpora (asserted in tests)
+PIPELINE_MINHASH = 64
+PIPELINE_BANDS = 32
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -177,41 +182,45 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_coefficients(seed: int = 42) -> tuple[list[int], list[int]]:
+def _minhash_coefficients(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
     """Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod p."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=N_MINHASH).tolist()
-    b = rng.randint(0, 1 << 31, size=N_MINHASH).tolist()
+    a = rng.randint(1, 1 << 31, size=n_hashes).tolist()
+    b = rng.randint(0, 1 << 31, size=n_hashes).tolist()
     return a, b
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id -> array<long> MinHash signature (length N_MINHASH).
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """doc_id -> array<long> MinHash signature (length ``n_hashes``).
 
     Shingle hash = xxhash64 & 0x7FFFFFFF (31-bit) so a*x stays inside int64
     against the Mersenne prime 2^61-1. One explode + one groupBy; signature
-    aggregation is N_MINHASH independent mins → perfect map-side partials.
+    aggregation is ``n_hashes`` independent mins → perfect map-side partials.
     """
-    a, b = _minhash_coefficients()
+    a, b = _minhash_coefficients(n_hashes)
     sh = _shingles(docs, n)
     h = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
     mins = [
         F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(N_MINHASH)]).alias("signature")
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature")
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Banded LSH: split each signature into LSH_BANDS bands, hash each band,
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, hash each band,
     self-join docs sharing any (band, band_hash) bucket → distinct candidate
     pairs. The only shuffle is on the band hash; bucket fan-out is O(dups)."""
-    rows_per_band = N_MINHASH // LSH_BANDS
+    rows_per_band = n_hashes // bands
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -226,7 +235,7 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
                             ]
                         ).alias("bucket"),
                     )
-                    for band in range(LSH_BANDS)
+                    for band in range(bands)
                 ]
             )
         ).alias("bb"),
@@ -245,17 +254,17 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-@query("near_dup_pairs_minhash")  # rows-only: LSH candidate set is algorithm-specific
-def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
     """MinHash+LSH near-dup discovery, then exact-Jaccard verification of the
     candidates only — the composition that scales: discovery is linear-ish in
-    corpus size, exact verification touches O(candidates) docs.
-
-    Probabilistic recall (P(candidate | J) = 1-(1-J^2)^16) → rows-only driver
-    check; tests/test_dedup.py asserts it recovers the exact-kernel pairs at
-    J >= 0.8."""
-    docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    corpus size, exact verification touches O(candidates) docs. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs, n_hashes=n_hashes), n_hashes, bands)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -274,9 +283,20 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared.join(s1, "doc_a")
         .join(s2, "doc_b")
-        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("near_dup_pairs_minhash")  # rows-only: LSH candidate set is algorithm-specific
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH discovery + exact verify over the raw corpus.
+
+    Probabilistic recall (P(candidate | J) = 1-(1-J^2)^16) → rows-only driver
+    check; tests/test_dedup.py asserts it recovers the exact-kernel pairs at
+    J >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return verified_near_dup_pairs(docs)
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
@@ -451,13 +471,16 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. quality gate — pure filter, pushed to the scan, no shuffle;
     2. exact dedup — md5 groupBy (one full shuffle of (fp, doc_id) pairs
        only, not text) + left-semi join back;
-    3. near-dup removal — greedy drop-the-larger-id of each J>=0.5 pair
-       (deterministic, single-pass; transitive clustering would need
-       connected components, deliberately out of the declared plan);
-       pairs come from the exact shingle kernel here so the whole
-       pipeline stays DuckDB-checkable — at 100 TB swap in the MinHash
-       LSH candidate generator (same shape, banded buckets instead of
-       full posting lists).
+    3. near-dup removal — MinHash-LSH candidate discovery (dense banding:
+       64 hashes in 32 bands of 2 rows, P(miss | J=0.5) = 0.75^32 ≈ 1e-4)
+       + exact-Jaccard verification of candidates only, then greedy
+       drop-the-larger-id of each verified J>=0.5 pair (deterministic,
+       single-pass; transitive clustering would need connected components,
+       deliberately out of the declared plan). The DuckDB oracle states the
+       same semantics with the exact all-pairs kernel — the checkable twin —
+       and tests/test_dedup.py asserts the LSH composition reproduces it;
+       at 100 TB only the LSH path's banded buckets shuffle, never the
+       full posting-list pair explosion.
     All stages compose into one DataFrame lineage: Catalyst prunes text
     out of every post-shingle stage automatically.
     """
@@ -481,18 +504,8 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = q.join(keepers, "doc_id", "left_semi")
 
-    sh = _shingles(surv)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = _pair_shared_counts(sh)
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("shared").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("shared")
-    )
     near_dups = (
-        pairs.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .filter(jac >= NEAR_DUP_THRESHOLD)
+        verified_near_dup_pairs(surv, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

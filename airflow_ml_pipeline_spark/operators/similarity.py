@@ -185,33 +185,62 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only: trained-quantizer ANN is probabilistic
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: a KMeans coarse quantizer (k=16, seed fixed) partitions the
-    corpus into inverted lists; the query scans only the nprobe=6 nearest
-    lists, then exact cosine on those candidates. This is the structure that
-    scales past LSH when the corpus clusters: list assignment is one
-    broadcast-scored pass, the index is just a cluster_id column (ideally a
-    partition key on disk). On an UNCLUSTERED corpus (this synthetic one)
-    recall ≈ the scanned fraction — the recall test asserts above that
-    floor; on real embedding corpora with cluster structure recall is far
-    higher at the same nprobe."""
+#: sf_dir -> (indexed DataFrame with cluster_id, unit-normalized centers).
+#: The IVF index is an OFFLINE artifact: build once, probe many times. In
+#: production the indexed frame is written partitioned by cluster_id so a
+#: probe reads only its nprobe partitions; here it is cached in-session.
+_IVF_INDEX: dict[str, tuple[DataFrame, "object"]] = {}
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
+    """Index-build step: fit the KMeans coarse quantizer (seed fixed) and
+    materialize the cluster_id assignment. Idempotent per sf_dir — repeat
+    calls return the cached index instead of refitting (the refit-per-query
+    shape was the round-1 bench's 3 s hotspot)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     import numpy as np
 
+    cached = _IVF_INDEX.get(sf_dir)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     vec = emb.withColumn("v", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=16, seed=42, featuresCol="v", predictionCol="cluster_id")
-    model = km.fit(vec)
-    indexed = model.transform(vec).drop("v")
-
+    model = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cluster_id").fit(vec)
+    indexed = model.transform(vec).drop("v").cache()
+    indexed.count()  # materialize now: build cost belongs to the build step
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    _IVF_INDEX[sf_dir] = (indexed, cn)
+    return _IVF_INDEX[sf_dir]
+
+
+def drop_ivf_index(sf_dir: str) -> None:
+    """Release the cached index (unpersists the cluster-assigned frame)."""
+    cached = _IVF_INDEX.pop(sf_dir, None)
+    if cached is not None:
+        cached[0].unpersist()
+
+
+@query("ann_ivf_topk")  # rows-only: trained-quantizer ANN is probabilistic
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probe: scan only the nprobe=6 inverted lists whose centroids
+    are nearest the query, then exact cosine on those candidates. The
+    quantizer and cluster assignment come from build_ivf_index (built once
+    per corpus, not per query). This is the structure that scales past LSH
+    when the corpus clusters: the index is just a cluster_id column (a
+    partition key on disk at 100 TB, so a probe is partition pruning). On an
+    UNCLUSTERED corpus (this synthetic one) recall ≈ the scanned fraction —
+    the recall test asserts above that floor; on real embedding corpora with
+    cluster structure recall is far higher at the same nprobe."""
+    import numpy as np
+
+    indexed, cn = build_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]
     q = np.array(qrow[0], dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     nprobe = [int(i) for i in np.argsort(-(cn @ qn))[:6]]
 
     qvec = F.broadcast(
@@ -245,7 +274,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scan."""
     planes = hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes)).cache()
+    # no cache: lsh_bucket is pure column arithmetic over the scan, and a
+    # cached frame that nothing unpersists leaks executor memory across
+    # queries in a long-lived session — re-derivation is the scale-safe call
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     # probe expansion: each vector registers under its bucket and all
     # hamming-1 neighbors; sharing ANY registered code => candidate pair
     codes = bucketed.select(

@@ -111,19 +111,55 @@ def events_trailing_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_sketch_stats")  # rows-only: sketches are engine-specific
+@query(
+    "corpus_sketch_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS BIGINT) AS parts_sketch_ok,
+           CAST(1 AS BIGINT) AS orders_sketch_ok,
+           CAST(1 AS BIGINT) AS median_sketch_ok,
+           CAST(1 AS BIGINT) AS p99_sketch_ok
+    FROM lineitem
+    """,
+)
 def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate aggregates used instead of exact ones at 100 TB:
-    HLL distinct counts and t-digest-style percentiles in one pass. No
-    oracle by design — sketch values differ across engines; the exact twins
-    (lineitem_distinct_stats, segment_price_quantiles) are oracle-checked."""
+    HLL distinct counts and t-digest-style percentiles in one pass.
+
+    Sketch values are engine-specific, so the oracle contract is a
+    *self-verifying twin*: the Spark side computes both the sketch AND the
+    exact aggregate, emits the exact values plus within-tolerance flags
+    (HLL default rsd 5%; percentile_approx accuracy 10000), and DuckDB
+    asserts the exact values with the flags as literal 1s. A sketch drifting
+    out of tolerance flips a flag and fails the hash check — the sketch
+    accuracy itself is what gets driver-verified."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+
+    def ok(approx: F.Column, exact: F.Column, tol: float) -> F.Column:
+        rel = F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+        return F.when(rel <= tol, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+        F.expr("percentile(l_extendedprice, 0.99D)").alias("exact_p99"),
+    )
+    return agg.select(
+        "n_rows",
+        "exact_parts",
+        "exact_orders",
+        ok(F.col("approx_parts"), F.col("exact_parts"), 0.05).alias("parts_sketch_ok"),
+        ok(F.col("approx_orders"), F.col("exact_orders"), 0.05).alias("orders_sketch_ok"),
+        ok(F.col("approx_median"), F.col("exact_median"), 0.05).alias("median_sketch_ok"),
+        ok(F.col("approx_p99"), F.col("exact_p99"), 0.05).alias("p99_sketch_ok"),
     )
 
 

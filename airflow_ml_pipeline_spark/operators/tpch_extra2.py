@@ -60,10 +60,10 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returnflag_priority_counts",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate
     GROUP BY l_returnflag

@@ -91,6 +91,41 @@ def test_winnowing_fingerprint_overlap_separates_near_dups(spark, sf_dir, exact_
     assert sum(bg) / len(bg) < 0.4
 
 
+def test_corpus_prepared_lsh_reproduces_exact_twin(spark, sf_dir, exact_pairs):
+    """corpus_prepared discovers near-dups via MinHash LSH (64 hashes, 32
+    bands); its DuckDB oracle states the exact all-pairs kernel. The dense
+    banding makes P(miss | J>=0.5) ~ 1e-4 per pair, so on the test corpus the
+    two formulations must produce the SAME survivor set — this is the recall
+    test backing the oracle equivalence."""
+    from airflow_ml_pipeline_spark.operators import textstats
+
+    prepared = {
+        r.doc_id for r in dedup.corpus_prepared(spark, sf_dir).select("doc_id").collect()
+    }
+
+    # exact twin, reconstructed from the ground-truth kernel:
+    quality_ids = {
+        r.doc_id
+        for r in textstats.corpus_quality_filtered(spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(list(quality_ids))
+    )
+    keepers = {
+        r.doc_id
+        for r in docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    near_dup_bs = {
+        b for (a, b), j in exact_pairs.items() if a in keepers and b in keepers
+    }
+    assert prepared == keepers - near_dup_bs
+
+
 def test_corpus_prepared_invariants(spark, sf_dir):
     """Pipeline invariants: survivors pass the quality gate, contain no
     exact duplicates, and no surviving pair is a near-dup (J >= 0.5)."""
