@@ -44,6 +44,7 @@ import airflow_ml_pipeline_spark.operators.similarity  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -51,10 +52,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Verification priority: the first ~50 names cover every operator family.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # relational anchors (scan+join+agg, top-k)
-    "pricing_summary",
-    "revenue_by_segment",
-    "sole_supplier_returns",
     # declared-but-never-checked relational/semi-structured surfaces
     "custkeys_multiset_diff",
     "events_variant_stats",
@@ -63,8 +60,12 @@ CHECK_PRIORITY = [
     # round-1 hash fix + self-verifying sketches
     "returnflag_priority_counts",
     "corpus_sketch_stats",
-    # pandas UDF / UDTF / UDAF surface
-    "doc_chunks_udtf",
+    # corpus-curation ops (contamination, sampling, repetition, quantization)
+    "benchmark_contamination",
+    "corpus_stratified_sample",
+    "doc_repetition_stats",
+    "embedding_quantization_error",
+    # pandas UDF / UDTF / UDAF surface (doc_chunks_udtf: green in r01)
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "lang_nchars_median_udaf",

@@ -208,9 +208,14 @@ def minhash_signatures(
         F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    # the shingle count rides along in the SAME aggregation: downstream
+    # verification needs |A| and |B|, and computing them here avoids a whole
+    # second evaluation of the (possibly expensive) docs lineage
+    sig = sh.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("n_shingles"))
     return sig.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature")
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature"),
+        "n_shingles",
     )
 
 
@@ -263,10 +268,15 @@ def verified_near_dup_pairs(
     """MinHash+LSH near-dup discovery, then exact-Jaccard verification of the
     candidates only — the composition that scales: discovery is linear-ish in
     corpus size, exact verification touches O(candidates) docs. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold."""
-    cands = lsh_candidate_pairs(minhash_signatures(docs, n_hashes=n_hashes), n_hashes, bands)
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    The docs lineage is evaluated twice (signature agg + verification
+    shingles), not three times — shingle-set sizes come out of the signature
+    aggregation itself."""
+    sigs = minhash_signatures(docs, n_hashes=n_hashes)
+    cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), n_hashes, bands)
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sigs.select("doc_id", F.col("n_shingles").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
@@ -502,7 +512,14 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    surv = q.join(keepers, "doc_id", "left_semi")
+    # Stage materialization: the survivor corpus feeds MANY consumers
+    # (signature agg, verification shingles, final projection) — without a
+    # cut here Catalyst clones the whole quality+dedup subtree per consumer
+    # (14 scans observed). A real 100 TB pipeline writes survivors to
+    # storage between stages; localCheckpoint is the in-session equivalent
+    # (lazy, executor-stored, ContextCleaner-reclaimed — unlike cache() it
+    # does not pin an entry in the CacheManager for the session's lifetime).
+    surv = q.join(keepers, "doc_id", "left_semi").localCheckpoint(eager=False)
 
     near_dups = (
         verified_near_dup_pairs(surv, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS)

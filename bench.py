@@ -66,6 +66,10 @@ HEADLINE = [
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "doc_chunks_udtf",
+    "benchmark_contamination",
+    "corpus_stratified_sample",
+    "doc_repetition_stats",
+    "embedding_quantization_error",
     "dedup_exact",
     "dedup_corpus",
     "corpus_prepared",

@@ -1,0 +1,105 @@
+"""Corpus-curation operator tests (contamination, sampling, repetition,
+quantization). The DuckDB oracle check is the primary gate; these assert the
+operator-level semantics and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import corpus_ops
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def test_contamination_only_reports_train_docs_with_real_overlap(spark, sf_dir):
+    res = corpus_ops.benchmark_contamination(spark, sf_dir).collect()
+    eval_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == corpus_ops.EVAL_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    for r in res:
+        assert r.doc_id not in eval_ids, "eval docs must not self-report"
+        assert r.n_shared_shingles >= 1
+        assert 1 <= r.n_eval_docs_hit <= len(eval_ids)
+
+
+def test_contamination_catches_planted_duplicate(spark, sf_dir):
+    """A training doc that IS an eval doc's near-duplicate must be flagged:
+    plant one by copying an eval doc's text into a fake train row."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(
+        (F.col("source") == corpus_ops.EVAL_SOURCE)
+        & (F.size(F.split(F.col("text"), " ")) >= corpus_ops.CONTAM_SHINGLE_N)
+    ).limit(1)
+    planted = ev.select(
+        F.lit(10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("srcX").alias("source"),
+        "n_chars",
+    )
+    sh = docs.unionByName(planted).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                corpus_ops.ngrams(
+                    corpus_ops.tokens(F.col("text")), corpus_ops.CONTAM_SHINGLE_N
+                )
+            )
+        ).alias("shingle"),
+    )
+    evs = sh.filter(F.col("source") == corpus_ops.EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tr = sh.filter(F.col("source") != corpus_ops.EVAL_SOURCE)
+    hits = {
+        r.doc_id
+        for r in tr.join(evs, "shingle").select("doc_id").distinct().collect()
+    }
+    assert 10_000_000 in hits
+
+
+def test_stratified_sample_exact_quota_and_deterministic(spark, sf_dir):
+    s1 = corpus_ops.corpus_stratified_sample(spark, sf_dir).collect()
+    s2 = corpus_ops.corpus_stratified_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    per_source: dict[str, int] = {}
+    for r in s1:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 1 <= r.sample_rank <= corpus_ops.SAMPLE_PER_SOURCE
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(per_source) == n_sources
+    assert all(v == corpus_ops.SAMPLE_PER_SOURCE for v in per_source.values())
+
+
+def test_repetition_ratio_bounds_and_duplicated_text(spark, sf_dir):
+    res = corpus_ops.doc_repetition_stats(spark, sf_dir)
+    bad = res.filter(
+        (F.col("dup_gram_ratio") < 0) | (F.col("dup_gram_ratio") > 1)
+    ).count()
+    assert bad == 0
+    # a text that is one phrase repeated has a high dup ratio by construction
+    rep = spark.createDataFrame(
+        [(1, "spark scales out spark scales out spark scales out")],
+        "doc_id long, text string",
+    )
+    g = corpus_ops.ngrams(corpus_ops.tokens(F.col("text")), corpus_ops.REPETITION_N)
+    row = rep.select(
+        (F.lit(1) - F.size(F.array_distinct(g)).cast("double") / F.size(g)).alias("r")
+    ).collect()[0]
+    assert row.r > 0.5
+
+
+def test_quantization_error_small_relative_to_scale(spark, sf_dir):
+    res = corpus_ops.embedding_quantization_error(spark, sf_dir)
+    rows = res.collect()
+    assert all(r.q_scale > 0 for r in rows)
+    # int8 rounding error per element is <= scale/2 -> mse <= scale^2/4;
+    # ppm bound with headroom for the round-trip arithmetic
+    for r in rows:
+        assert 0 <= r.mse_ppm <= (r.q_scale**2 / 4) * 1_000_000 * 1.001 + 0.001
