@@ -60,11 +60,14 @@ CHECK_PRIORITY = [
     # round-1 hash fix + self-verifying sketches
     "returnflag_priority_counts",
     "corpus_sketch_stats",
-    # corpus-curation ops (contamination, sampling, repetition, quantization)
+    # corpus-curation ops (contamination, sampling, repetition, quantization,
+    # budget fill, cluster dedup)
     "benchmark_contamination",
     "corpus_stratified_sample",
     "doc_repetition_stats",
     "embedding_quantization_error",
+    "corpus_token_budget_fill",
+    "near_dup_clusters",
     # pandas UDF / UDTF / UDAF surface (doc_chunks_udtf: green in r01)
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
@@ -78,9 +81,9 @@ CHECK_PRIORITY = [
     "langid_heuristic",
     "corpus_quality_filtered",
     "doc_top_tfidf_term",
-    # dedup family
+    # dedup family (dedup_exact_normalized: same plan shape as dedup_exact,
+    # follows right after the prefix)
     "dedup_exact",
-    "dedup_exact_normalized",
     "dedup_corpus",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
@@ -88,9 +91,9 @@ CHECK_PRIORITY = [
     "doc_winnowing_md5",
     "doc_winnowing_fingerprints",
     "corpus_prepared",
-    # similarity / ANN family
+    # similarity / ANN family (embedding_norms: trivial projection twin of
+    # knn_cosine_bruteforce, follows right after the prefix)
     "knn_cosine_bruteforce",
-    "embedding_norms",
     "label_centroids",
     "ann_lsh_topk",
     "ann_ivf_topk",

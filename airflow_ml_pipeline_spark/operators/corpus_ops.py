@@ -166,6 +166,191 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 10_000
+
+
+@query(
+    "corpus_token_budget_fill",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS score
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, score,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed token budget with the highest-quality documents: rank by
+    a quality score (token diversity), take docs while the running token
+    total stays within budget.
+
+    Scale shape: a naive ORDER BY cumsum is a single-partition window — the
+    classic driver-shaped bottleneck. This runs the distributed two-phase
+    prefix sum instead: (1) bucket docs on a monotone score grid and
+    aggregate per-bucket token totals (tiny frame), (2) window over the
+    bucket totals for each bucket's global offset, (3) per-bucket cumsum
+    partitioned BY BUCKET (parallel) plus the broadcast offset. Identical
+    result to the global window, no single-partition stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("score"),
+    ).withColumn("bucket", F.floor(F.col("score") * 100))
+
+    bucket_tot = scored.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_off = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (F.col("offset") + F.sum("n_tokens").over(w_in)).alias("cum_tokens"),
+    )
+    return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+
+
+MAX_CC_ITERATIONS = 15
+
+
+def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over near-dup pair edges by iterative min-label
+    propagation: every node starts as its own label; each round takes the
+    min of its label and its neighbors' labels; fixpoint after O(diameter)
+    rounds (near-dup clusters are small and dense, so a handful).
+
+    The driver loop is CONTROL FLOW only — each iteration is one distributed
+    join + aggregate over edge-sized data (bounded by verified candidate
+    pairs, not the corpus); convergence is checked with a count, never by
+    collecting labels. This is the simplified large-star/small-star CC that
+    cluster-dedup (keep one doc per duplicate cluster) runs at scale."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = doc_a
+        JOIN sizes s2 ON s2.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.doc_id
+    ),
+    cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup labels: connected components over verified
+    near-dup pairs (J >= 0.5), cluster id = min doc_id in the component.
+    Discovery runs the dense LSH banding (recall ≈ 1 at the threshold on
+    real data — same argument as corpus_prepared), verification is exact,
+    and the DuckDB oracle recomputes components from the exact kernel with
+    a recursive CTE — so the whole iterative algorithm is driver-checked."""
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        PIPELINE_BANDS,
+        PIPELINE_MINHASH,
+        verified_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dup_pairs(
+        docs, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS
+    ).localCheckpoint(eager=False)
+    labels = near_dup_cluster_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
 @query(
     "embedding_quantization_error",
     oracle="""

@@ -70,6 +70,8 @@ HEADLINE = [
     "corpus_stratified_sample",
     "doc_repetition_stats",
     "embedding_quantization_error",
+    "corpus_token_budget_fill",
+    "near_dup_clusters",
     "dedup_exact",
     "dedup_corpus",
     "corpus_prepared",

@@ -95,6 +95,66 @@ def test_repetition_ratio_bounds_and_duplicated_text(spark, sf_dir):
     assert row.r > 0.5
 
 
+def test_token_budget_fill_matches_global_window_and_respects_budget(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal the naive global
+    cumulative sum, and the kept set must respect the budget greedily."""
+    res = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in corpus_ops.corpus_token_budget_fill(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("score"),
+    ).collect()
+    running = 0
+    expected: dict[int, tuple[int, int]] = {}
+    for r in sorted(scored, key=lambda r: (-r.score, r.doc_id)):
+        running += r.n_tokens
+        if running <= corpus_ops.TOKEN_BUDGET:
+            expected[r.doc_id] = (r.n_tokens, running)
+    assert res == expected
+
+
+def test_near_dup_clusters_match_union_find_over_exact_pairs(spark, sf_dir, request):
+    """The distributed min-label propagation must agree with a driver-side
+    union-find over the exact-Jaccard pair set."""
+    from airflow_ml_pipeline_spark.operators import dedup
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dup_pairs_jaccard(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_clusters: dict[int, int] = {x: find(x) for x in parent}
+    # min-label convention: representative is the min doc_id in the component
+    comp_min: dict[int, int] = {}
+    for x, root in expected_clusters.items():
+        comp_min[root] = min(comp_min.get(root, x), x)
+    expected = {x: comp_min[root] for x, root in expected_clusters.items()}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in corpus_ops.near_dup_clusters(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_quantization_error_small_relative_to_scale(spark, sf_dir):
     res = corpus_ops.embedding_quantization_error(spark, sf_dir)
     rows = res.collect()
