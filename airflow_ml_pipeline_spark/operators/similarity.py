@@ -274,10 +274,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scan."""
     planes = hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings")
-    # no cache: lsh_bucket is pure column arithmetic over the scan, and a
-    # cached frame that nothing unpersists leaks executor memory across
-    # queries in a long-lived session — re-derivation is the scale-safe call
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    # Stage materialization via lazy localCheckpoint, NOT cache(): the
+    # bucketed frame feeds four consumers (probe codes + join side + both
+    # cosine sides), and a CacheManager entry that nothing unpersists leaks
+    # across queries in a long-lived session — checkpointed RDD blocks are
+    # ContextCleaner-reclaimed once the query's frame is unreachable
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    ).localCheckpoint(eager=False)
     # probe expansion: each vector registers under its bucket and all
     # hamming-1 neighbors; sharing ANY registered code => candidate pair
     codes = bucketed.select(
