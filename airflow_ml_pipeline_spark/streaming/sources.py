@@ -50,20 +50,36 @@ _COUNTER = {"n": 0}
 
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow) into a memory sink and return the result table.
     This is a genuine incremental execution — micro-batches, state store,
-    watermarks — not a batch rewrite."""
+    watermarks — not a batch rewrite.
+
+    A stateful streaming query instantiates one state store per shuffle
+    partition, and that count is locked in at query start — it is a
+    throughput-sizing knob, not a data-layout one. The batch default (32)
+    means 32 store instances per stateful operator per micro-batch, pure
+    overhead on replay-sized input, so the conf is scoped down for the
+    stream's duration and restored after (results are partitioning-
+    independent; at production throughput this is set to cluster width)."""
+    spark = stream_df.sparkSession
     _COUNTER["n"] += 1
     name = f"stream_result_{_COUNTER['n']}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
