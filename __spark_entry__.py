@@ -45,6 +45,7 @@ import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -115,6 +116,24 @@ CHECK_PRIORITY = [
     "stream_static_enriched_segments",
     "stream_events_sliding",
     "stream_errors_before_purchase_pairs",
+    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
+    # (never-driver-checked variants first, then the round-1-green rest in
+    # registry order)
+    "events_funnel",
+    "orders_retention_cohort",
+    "dedup_exact_normalized",
+    "embedding_norms",
+    "doc_chunks_udtf",
+    "orders_by_weekday",
+    "part_type_edit_distance",
+    "errors_before_purchase",
+    "segment_acctbal_top_decile",
+    "embedding_activation_stats",
+    "events_gap_fill",
+    "nation_eventtype_matrix",
+    "ship_delay_profile",
+    "returnflag_median_price_disc",
+    "segment_balance_flags",
 ]
 
 

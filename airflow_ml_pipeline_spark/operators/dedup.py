@@ -325,16 +325,20 @@ def simhash64(docs: DataFrame) -> DataFrame:
         ).alias("tok"),
     )
     h = F.xxhash64(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v_{b}")
+    # vote_b = sum(+1 if bit set else -1) = 2*popcount_b - n, so aggregate
+    # the cheap arithmetic bit extraction (shift+mask, no branch) plus one
+    # count, and compare 2*bitsum > n afterwards — measurably faster through
+    # codegen than 63 conditional sums
+    bitsums = [
+        F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
         for b in range(63)
     ]
-    voted = tok.groupBy("doc_id").agg(*votes)
+    voted = tok.groupBy("doc_id").agg(*bitsums, F.count(F.lit(1)).alias("n"))
     fp = F.lit(0)
     for b in range(63):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(
+            F.col(f"s_{b}") * 2 > F.col("n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         fp = fp.bitwiseOR(bit)
     return voted.select("doc_id", fp.alias("simhash"))
 
