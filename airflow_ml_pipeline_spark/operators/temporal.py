@@ -131,7 +131,8 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch values are engine-specific, so the oracle contract is a
     *self-verifying twin*: the Spark side computes both the sketch AND the
     exact aggregate, emits the exact values plus within-tolerance flags
-    (HLL default rsd 5%; percentile_approx accuracy 10000), and DuckDB
+    (HLL rsd 1% → the 5% tolerance is a 5-sigma bound at every scale
+    factor; percentile_approx accuracy 10000), and DuckDB
     asserts the exact values with the flags as literal 1s. A sketch drifting
     out of tolerance flips a flag and fails the hash check — the sketch
     accuracy itself is what gets driver-verified."""
@@ -145,8 +146,8 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
         F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),

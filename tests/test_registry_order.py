@@ -1,0 +1,56 @@
+"""Verification-ordering contract: the driver checks a prefix of
+``__spark_entry__.queries()``, so the prefix must stay family-complete."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from airflow_ml_pipeline_spark.plans import registry
+
+PREFIX = 50
+
+#: every operator family must land at least one query in the checked prefix
+FAMILY_REPRESENTATIVES = {
+    "relational": {"custkeys_multiset_diff", "nation_balance_unpivot"},
+    "semi_structured": {"events_variant_stats", "user_eventtype_map_stats"},
+    "sketches": {"corpus_sketch_stats"},
+    "pandas_udf": {"doc_length_zscore_by_lang", "doc_token_entropy",
+                   "lang_nchars_median_udaf"},
+    "textstats": {"doc_stats", "doc_quality", "token_frequencies",
+                  "doc_top_tfidf_term"},
+    "dedup": {"dedup_exact", "dedup_corpus", "near_dup_pairs_jaccard",
+              "near_dup_pairs_minhash", "corpus_prepared"},
+    "curation": {"benchmark_contamination", "corpus_stratified_sample",
+                 "near_dup_clusters", "corpus_token_budget_fill"},
+    "similarity": {"knn_cosine_bruteforce", "label_centroids", "ann_lsh_topk",
+                   "ann_ivf_topk", "embedding_near_dup_pairs"},
+    "ml_pipeline": {"synthetic_customers", "engineered_customer_features",
+                    "customer_drift_profile", "churn_train_eval"},
+    "multimodal": {"multimodal_decode_stats", "multimodal_features"},
+    "streaming": {f"stream_{s}" for s in (
+        "events_hourly", "events_sessionized", "dedup_user_event_keys",
+        "stateful_running_totals", "user_value_totals",
+        "static_enriched_segments", "events_sliding",
+        "errors_before_purchase_pairs")},
+}
+
+
+def test_priority_names_exist_and_are_unique():
+    names = entry.CHECK_PRIORITY
+    assert len(names) == len(set(names))
+    missing = [n for n in names if n not in registry.QUERIES]
+    assert missing == []
+
+
+def test_prefix_covers_every_family():
+    prefix = set(list(entry.queries())[:PREFIX])
+    for family, reps in FAMILY_REPRESENTATIVES.items():
+        assert reps <= prefix, f"family {family} missing from checked prefix"
+
+
+def test_ordering_preserves_full_registry():
+    ordered = list(entry.queries())
+    assert sorted(ordered) == sorted(registry.QUERIES)
+    oracles = entry.oracle_sql()
+    assert sorted(oracles) == sorted(registry.ORACLES)
+    # every oracled name is a declared query
+    assert set(oracles) <= set(ordered)
