@@ -58,17 +58,20 @@ CHECK_PRIORITY = [
     "events_variant_stats",
     "user_eventtype_map_stats",
     "nation_balance_unpivot",
-    # round-1 hash fix + self-verifying sketches
+    # round-1 hash fix + self-verifying sketches (incl. two-level mergeable
+    # rollup: decimal sum-of-sums + lossless HLL union)
     "returnflag_priority_counts",
     "corpus_sketch_stats",
+    "events_daily_rollup_merge",
     # corpus-curation ops (contamination, sampling, repetition, quantization,
-    # budget fill, cluster dedup)
+    # budget fill, cluster dedup, mixture weights)
     "benchmark_contamination",
     "corpus_stratified_sample",
     "doc_repetition_stats",
     "embedding_quantization_error",
     "corpus_token_budget_fill",
     "near_dup_clusters",
+    "corpus_mixture_weights",
     # pandas UDF / UDTF / UDAF surface (doc_chunks_udtf: green in r01)
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
@@ -88,9 +91,7 @@ CHECK_PRIORITY = [
     "dedup_corpus",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
-    "simhash_fingerprints",
     "doc_winnowing_md5",
-    "doc_winnowing_fingerprints",
     "corpus_prepared",
     # similarity / ANN family (embedding_norms: trivial projection twin of
     # knn_cosine_bruteforce, follows right after the prefix)
@@ -117,8 +118,13 @@ CHECK_PRIORITY = [
     "stream_events_sliding",
     "stream_errors_before_purchase_pairs",
     # --- tier 2: checked only if the driver's budget exceeds the prefix ---
-    # (never-driver-checked variants first, then the round-1-green rest in
-    # registry order)
+    # (never-driver-checked variants first — incl. the rows-only fingerprint
+    # twins whose oracle siblings sit in tier 1 — then the round-1-green rest
+    # in registry order)
+    "events_latest_by_key",
+    "doc_length_histogram",
+    "simhash_fingerprints",
+    "doc_winnowing_fingerprints",
     "events_funnel",
     "orders_retention_cohort",
     "dedup_exact_normalized",

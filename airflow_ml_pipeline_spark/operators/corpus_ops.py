@@ -390,3 +390,66 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale"), 6).alias("q_scale"),
         F.round(mse * 1_000_000, 3).alias("mse_ppm"),
     )
+
+
+#: Character budget for the mixture plan and the sampling temperature.
+#: alpha=0.5 is the multilingual-sampling exponent family (alpha<1 upweights
+#: low-resource languages relative to proportional sampling).
+MIXTURE_BUDGET_CHARS = 1_000_000
+MIXTURE_ALPHA = 0.5
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents
+        GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(CAST(POWER(lang_chars, {MIXTURE_ALPHA}) AS DECIMAL(25,6)))
+                   AS w_total
+        FROM per_lang
+    )
+    SELECT lang, n_docs, lang_chars,
+           ROUND(POWER(lang_chars, {MIXTURE_ALPHA}) / CAST(w_total AS DOUBLE),
+                 6) AS mix_weight,
+           ROUND({MIXTURE_BUDGET_CHARS} * (POWER(lang_chars, {MIXTURE_ALPHA})
+                 / CAST(w_total AS DOUBLE)) / lang_chars, 6) AS expected_epochs
+    FROM per_lang, tot
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing plan: per-language sampling weight
+    proportional to chars^alpha (alpha=0.5), normalized, plus the expected
+    epoch count each language sustains under a fixed training-token budget
+    (epochs > 1 means the budget re-reads that language — the
+    data-constrained-scaling signal).
+
+    Shape at 100 TB: one hash aggregation to O(languages) rows; the
+    normalization runs on that tiny aggregate (broadcast cross join of a
+    1-row total), never on the corpus. The weight sum uses the decimal
+    detour (functions/compare.py) so normalization is order-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("lang_chars"),
+    )
+    w_raw = F.pow(F.col("lang_chars"), F.lit(MIXTURE_ALPHA))
+    tot = per_lang.agg(
+        F.sum(w_raw.cast("decimal(25,6)")).alias("w_total")
+    )
+    mix_weight = w_raw / F.col("w_total").cast("double")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_chars",
+        F.round(mix_weight, 6).alias("mix_weight"),
+        F.round(
+            F.lit(MIXTURE_BUDGET_CHARS) * mix_weight / F.col("lang_chars"), 6
+        ).alias("expected_epochs"),
+    )

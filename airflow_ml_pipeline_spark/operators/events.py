@@ -205,3 +205,46 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@query(
+    "events_latest_by_key",
+    oracle=f"""
+    SELECT user_id, event_type,
+           {SQL_TS('ts')} AS last_ts,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def events_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (last-write-wins upsert materialization): the
+    latest row per (user_id, event_type) key, event_id as the deterministic
+    tiebreaker. This is the batch form of CDC MERGE — reading a log of
+    updates back into current state — and the operator every table-format
+    maintenance job (compaction, snapshot rebuild) reduces to.
+
+    Scale shape: one shuffle on the key; rank-1 windows pushdown to a
+    per-partition top-1 (no full sort materialization of each group). On a
+    bucketed/partitioned changelog the shuffle disappears entirely
+    (functions/bucketing.py); the same plan then runs incrementally per
+    ingestion batch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            fmt_ts(F.col("ts")).alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -218,3 +218,64 @@ def hourly_with_tail(
             F.sum("sum_value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_daily_rollup_merge",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS merge_lossless,
+           CAST(1 AS BIGINT) AS users_sketch_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable rollup (the hypertable-rollup contract): daily
+    totals are computed by MERGING hourly partials, never by rescanning raw
+    events. Additive metrics merge as sum-of-sums (decimal-exact, so the
+    merged value is bit-identical to a direct daily aggregate); distinct
+    users merge as an HLL sketch union — ``hll_union_agg`` over hourly
+    ``hll_sketch_agg`` partials is LOSSLESS w.r.t. sketching the union
+    directly (same lgConfigK registers), which is what makes the rollup
+    re-aggregable at any granularity without a raw rescan at 100 TB.
+
+    Oracle contract is the self-verifying-twin pattern (see
+    corpus_sketch_stats): exact values are DuckDB-checked; the two sketch
+    claims — merged estimate == direct daily estimate (losslessness) and
+    estimate within 5% of exact — are emitted as flags the oracle pins to 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
+        F.hll_sketch_agg("user_id").alias("users_sk"),
+    )
+    daily = hourly.groupBy(F.to_date("bucket").alias("day")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast("double").alias("total_value"),
+        F.hll_sketch_estimate(F.hll_union_agg("users_sk")).alias("merged_users"),
+    )
+    direct = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users"),
+    )
+    rel_err = (
+        F.abs(F.col("merged_users").cast("double") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return daily.join(direct, "day").select(
+        "day",
+        "n_events",
+        "total_value",
+        "exact_users",
+        (F.col("merged_users") == F.col("direct_users"))
+        .cast("bigint")
+        .alias("merge_lossless"),
+        F.when(rel_err <= 0.05, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("users_sketch_ok"),
+    )

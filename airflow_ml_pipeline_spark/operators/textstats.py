@@ -317,3 +317,31 @@ def doc_top_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
     )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100) * 100 AS BIGINT)
+               AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bucket_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram (100-char bins): the length
+    profile a curation run reports before/after filtering. Binning is a
+    scalar projection, so the whole histogram is one hash aggregation with
+    map-side partials — O(bins) output rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.floor(F.col("n_chars").cast("double") / 100) * 100)
+        .cast("bigint")
+        .alias("bucket_lo")
+    )
+    return docs.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bucket_chars"),
+    )
