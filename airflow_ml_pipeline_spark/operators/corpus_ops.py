@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from airflow_ml_pipeline_spark.functions.text import ngrams, tokens
 from airflow_ml_pipeline_spark.plans.registry import query
-from airflow_ml_pipeline_spark.sources.catalog import load_table
+from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
 #: The held-out "benchmark" slice: one source plays the eval set. In a real
 #: pipeline this is the benchmark suite (MB-scale), which is why the eval
@@ -68,7 +68,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one hash join + one doc_id aggregation — no corpus self-join,
     no shuffle of the eval side. Shingles are distinct per doc before the
     join so the join fan-out is bounded by true overlap."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "source",
@@ -151,7 +151,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats (1 - distinct/total). The quality-filter signal for
     boilerplate/looping text; zero shuffles — pure per-row array math that
     whole-stage codegen fuses with the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     g = ngrams(tokens(F.col("text")), REPETITION_N)
     n = F.size(g)
     d = F.size(F.array_distinct(g))
@@ -261,24 +261,26 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # one join per iteration: the convergence signal rides along as a
+        # `changed` column instead of re-joining new labels against old.
+        # EAGER checkpoint, measured against lazy: the lazy variant re-enters
+        # the un-materialized lineage from two consumers (the agg and the
+        # next iteration's join) and benched ~2x slower here
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).cast("int").alias("changed"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(F.sum("changed")).first()[0]
+        labels = stepped.drop("changed")
+        if not changed:
             break
     return labels
 
@@ -340,10 +342,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified_near_dup_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
+    # eager: the edge build consumes pairs twice in one job (both pair
+    # orientations), so a lazy checkpoint would run LSH discovery twice
     pairs = verified_near_dup_pairs(
         docs, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     labels = near_dup_cluster_labels(pairs)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(

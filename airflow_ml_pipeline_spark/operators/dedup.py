@@ -27,7 +27,7 @@ from airflow_ml_pipeline_spark.functions.text import (
     tokens,
 )
 from airflow_ml_pipeline_spark.plans.registry import query
-from airflow_ml_pipeline_spark.sources.catalog import load_table
+from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
 NEAR_DUP_THRESHOLD = 0.5
 N_MINHASH = 32  # minhash signature length
@@ -162,7 +162,7 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|A|+|B|-|A∩B|). Integer-ratio doubles are engine-exact. This is the
     *verification* kernel; discovery at scale goes through MinHash LSH
     below."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     # no cache: the shingle explode is a cheap zero-shuffle projection, and
     # holding a shuffle-sized intermediate in memory is exactly what not to
     # do at scale — each consumer re-derives it from the (OS-cached) scan
@@ -305,7 +305,7 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilistic recall (P(candidate | J) = 1-(1-J^2)^16) → rows-only driver
     check; tests/test_dedup.py asserts it recovers the exact-kernel pairs at
     J >= 0.8."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return verified_near_dup_pairs(docs)
 
 
@@ -347,7 +347,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints for the corpus (near-dup = small hamming
     distance; tests assert planted near-dups land within distance 8)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return simhash64(docs)
 
 
@@ -384,7 +384,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     min hash as a spot-checkable digest). Near-dup pairs share a high
     fraction of fingerprints — tests/test_dedup.py checks overlap against
     the exact-Jaccard kernel."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     fp = winnowing_fingerprints(docs)
     return fp.select(
         "doc_id",
@@ -498,7 +498,7 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     All stages compose into one DataFrame lineage: Catalyst prunes text
     out of every post-shingle stage automatically.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
@@ -521,9 +521,12 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut here Catalyst clones the whole quality+dedup subtree per consumer
     # (14 scans observed). A real 100 TB pipeline writes survivors to
     # storage between stages; localCheckpoint is the in-session equivalent
-    # (lazy, executor-stored, ContextCleaner-reclaimed — unlike cache() it
-    # does not pin an entry in the CacheManager for the session's lifetime).
-    surv = q.join(keepers, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # (executor-stored, ContextCleaner-reclaimed — unlike cache() it does
+    # not pin an entry in the CacheManager for the session's lifetime).
+    # EAGER: the discovery job consumes surv from several operators at
+    # once (signature agg + verification shingles); lazily-checkpointed
+    # lineage would be re-executed per consumer within that first job.
+    surv = q.join(keepers, "doc_id", "left_semi").localCheckpoint(eager=True)
 
     near_dups = (
         verified_near_dup_pairs(surv, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS)
@@ -585,7 +588,7 @@ def doc_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     k, w = WINNOW_K, WINNOW_W
     n_hashes = F.greatest(F.length("text") - k + 1, F.lit(1))
     grams = docs.select(

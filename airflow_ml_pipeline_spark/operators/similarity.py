@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, davg
 from airflow_ml_pipeline_spark.functions.vectors import cosine, dot, l2_norm
 from airflow_ml_pipeline_spark.plans.registry import query
-from airflow_ml_pipeline_spark.sources.catalog import load_table
+from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
 QUERY_VEC_ID = 0  # the corpus vector used as the standing query
 TOP_K = 10
@@ -273,15 +273,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py checks the survivors against a brute-force
     pair scan."""
     planes = hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Stage materialization via lazy localCheckpoint, NOT cache(): the
-    # bucketed frame feeds four consumers (probe codes + join side + both
-    # cosine sides), and a CacheManager entry that nothing unpersists leaks
+    emb = load_spread(spark, sf_dir, "embeddings")
+    # Stage materialization via localCheckpoint, NOT cache(): the bucketed
+    # frame feeds four consumers (probe codes + join side + both cosine
+    # sides), and a CacheManager entry that nothing unpersists leaks
     # across queries in a long-lived session — checkpointed RDD blocks are
-    # ContextCleaner-reclaimed once the query's frame is unreachable
+    # ContextCleaner-reclaimed once the query's frame is unreachable.
+    # EAGER so all four consumers read stored blocks; a lazy checkpoint
+    # re-evaluates the bucket computation per consumer inside one job.
     bucketed = emb.withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # probe expansion: each vector registers under its bucket and all
     # hamming-1 neighbors; sharing ANY registered code => candidate pair
     codes = bucketed.select(

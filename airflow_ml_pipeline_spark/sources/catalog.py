@@ -38,6 +38,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + round-robin repartition to the session's default
+    parallelism — for COMPUTE-bound lineages over byte-small tables.
+
+    A small parquet table arrives as one scan partition (one file, one row
+    group), so expensive per-row work that precedes the first shuffle —
+    shingling, MinHash, fingerprint hashing, LSH bucket codes — would run
+    on a single core no matter how wide the session is. Sizing rule:
+    compute-bound stages are partitioned by CORES, byte-bound stages by
+    input bytes. The repartition is a tiny exchange here; on a real cluster
+    where the table already arrives in many splits it degenerates to a
+    rebalance and the downstream plan is unchanged.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (for spark.sql paths)."""
     for name in schemas.TABLE_NAMES:
