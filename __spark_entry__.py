@@ -37,6 +37,7 @@ import airflow_ml_pipeline_spark.operators.events  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.temporal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.tpch_extra  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.tpch_extra2  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.tpch_extra3  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.stats  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.dedup  # noqa: F401,E402
@@ -123,6 +124,9 @@ CHECK_PRIORITY = [
     # in registry order)
     "events_latest_by_key",
     "doc_length_histogram",
+    "nation_market_share",
+    "part_best_supplier",
+    "nation_value_concentration",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
     "events_funnel",

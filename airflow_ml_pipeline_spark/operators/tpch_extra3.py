@@ -1,0 +1,201 @@
+"""TPC-H query shapes round 3: market share (Q8), min-cost-supplier ranking
+(Q2), and value-concentration thresholds (Q11) — adapted to this corpus's
+schema (no partsupp table; lineitem serves as the part×supplier relation).
+
+Reference parity note: the reference (twteed/airflow-ml-pipeline) has no
+relational surface (SURVEY.md §2.12); these extend the driver's
+DuckDB-oracle coverage with three planner shapes the earlier rounds lacked:
+a two-dimension-nation join tree feeding a conditional share, a per-group
+argmin over a derived ratio, and a decorrelated fraction-of-group-total
+filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import DEC, SQL_DSUM, dsum
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+SHARE_NATION = "NATION_7"
+SHARE_REGION = "ASIA"
+BEST_SUPPLIER_PTYPE = "LARGE"
+CONCENTRATION_FRAC = 0.002
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           ROUND({SQL_DSUM(f"CASE WHEN n2.n_name = '{SHARE_NATION}' "
+                           "THEN l_extendedprice * (1 - l_discount) "
+                           "ELSE 0 END")}
+                 / {SQL_DSUM("l_extendedprice * (1 - l_discount)")},
+                 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = '{SHARE_REGION}'
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of supplier revenue into one region's
+    customers, per order year. The fact table joins four dimensions — all
+    broadcast (region/nation/supplier/customer are each orders of magnitude
+    below the fact side at every scale), so the plan is a single fact scan
+    with map-side lookups and one final year aggregation. The share is a
+    conditional decimal sum over the same aggregation pass — no second scan,
+    no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_region = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == SHARE_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    rev = _revenue()
+    national = F.when(F.col("supp_nation") == SHARE_NATION, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(dsum(national) / dsum(rev), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "part_best_supplier",
+    oracle=f"""
+    WITH unit AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name,
+               CAST(SUM(CAST(l_extendedprice AS {DEC.upper()})) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS {DEC.upper()})) AS DOUBLE)
+                 AS unit_price
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_type = '{BEST_SUPPLIER_PTYPE}'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           ROUND(unit_price, 6) AS unit_price
+    FROM unit
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p_partkey ORDER BY unit_price, s_suppkey) = 1
+    """,
+)
+def part_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per part (one type), the supplier with the lowest observed
+    average unit price, suppkey as the deterministic tiebreaker. The
+    correlated min-subquery of textbook Q2 is decorrelated into one
+    aggregation to (part, supplier) grain plus a rank-1 window — one shuffle
+    for the agg, one for the window, both on keys that scale with the
+    dimension (part count), not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == BEST_SUPPLIER_PTYPE
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    unit_price = F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.sum(
+        F.col("l_quantity").cast(DEC)
+    ).cast("double")
+    unit = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name")
+        .agg(unit_price.alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("unit_price"), 6).alias("unit_price"),
+        )
+    )
+
+
+@query(
+    "nation_value_concentration",
+    oracle=f"""
+    WITH part_value AS (
+        SELECT n_name, l_partkey,
+               {SQL_DSUM("l_extendedprice * (1 - l_discount)")} AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT n_name,
+               CAST(SUM(CAST(part_value AS {DEC.upper()})) AS DOUBLE)
+                   AS nation_total
+        FROM part_value GROUP BY 1
+    )
+    SELECT p.n_name, l_partkey,
+           ROUND(part_value, 6) AS part_value
+    FROM part_value p JOIN totals t ON p.n_name = t.n_name
+    WHERE part_value > {CONCENTRATION_FRAC} * nation_total
+    """,
+)
+def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value exceeds a fixed fraction of
+    their supplier nation's total — the fraction-of-group-total filter whose
+    textbook form is a correlated scalar subquery. Decorrelated: aggregate
+    once to (nation, part) grain, re-aggregate that small frame to nation
+    totals, broadcast-join the totals back and filter. The fact table is
+    scanned exactly once; the threshold comparison runs on engine-identical
+    decimal-exact doubles so the oracle filter agrees bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    part_value = (
+        li.join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(dsum(_revenue()).alias("part_value"))
+    )
+    totals = part_value.groupBy("n_name").agg(
+        F.sum(F.col("part_value").cast(DEC)).cast("double").alias("nation_total")
+    )
+    return (
+        part_value.join(F.broadcast(totals), "n_name")
+        .filter(F.col("part_value") > CONCENTRATION_FRAC * F.col("nation_total"))
+        .select("n_name", "l_partkey", F.round("part_value", 6).alias("part_value"))
+    )

@@ -52,6 +52,9 @@ HEADLINE = [
     "monthly_order_stats",
     "customer_order_distribution",
     "sole_supplier_returns",
+    "nation_market_share",
+    "part_best_supplier",
+    "nation_value_concentration",
     "purchase_last_view_asof",
     "events_trailing_burst",
     "events_gap_fill",
@@ -115,6 +118,33 @@ def main() -> None:
     from airflow_ml_pipeline_spark.operators.similarity import build_ivf_index
 
     build_ivf_index(spark, SF_DIR)
+
+    # spin up the Python worker pool + Arrow path (first pandas_udf call
+    # otherwise pays worker-fork + serializer init inside a timed query)
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm_noop(s):
+        return s
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference rejects — pass the type explicitly
+    warm_udf = pandas_udf(_warm_noop, "double")
+    spark.range(1024).select(warm_udf(F.col("id").cast("double"))).count()
+
+    # initialize the streaming engine (state-store providers, streaming
+    # query threads, staged source dir) on a tiny bounded stream so the
+    # first timed stream_* query measures the operator, not engine startup
+    from airflow_ml_pipeline_spark.streaming.sources import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    run_available_now(
+        read_events_stream(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+    ).count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

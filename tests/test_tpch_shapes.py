@@ -121,3 +121,51 @@ def test_errors_before_purchase_window_is_strict(spark, sf_dir):
 def test_disjunctive_brand_revenue_broadcasts_part(spark, sf_dir):
     plan = tpch_extra2.disjunctive_brand_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_nation_market_share_is_a_valid_share(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import tpch_extra3
+
+    rows = tpch_extra3.nation_market_share(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_part_best_supplier_is_unique_and_minimal(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import tpch_extra3
+
+    df = tpch_extra3.part_best_supplier(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # one winner per part
+    assert len({r.p_partkey for r in rows}) == len(rows)
+    assert all(r.unit_price > 0 for r in rows)
+
+
+def test_nation_value_concentration_rows_exceed_threshold(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import tpch_extra3
+    from airflow_ml_pipeline_spark.functions.compare import DEC
+
+    res = tpch_extra3.nation_value_concentration(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = supp.join(
+        nation.select("n_nationkey", "n_name"),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    totals = (
+        li.join(sn, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            )
+            .cast("double")
+            .alias("nation_total")
+        )
+    )
+    checked = res.join(totals, "n_name").filter(
+        F.col("part_value") <= tpch_extra3.CONCENTRATION_FRAC * F.col("nation_total")
+    )
+    assert checked.count() == 0
