@@ -124,6 +124,7 @@ CHECK_PRIORITY = [
     # in registry order)
     "events_latest_by_key",
     "doc_length_histogram",
+    "corpus_decontaminated",
     "nation_market_share",
     "part_best_supplier",
     "nation_value_concentration",

@@ -457,3 +457,62 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(MIXTURE_BUDGET_CHARS) * mix_weight / F.col("lang_chars"), 6
         ).alias("expected_epochs"),
     )
+
+
+@query(
+    "corpus_decontaminated",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, s FROM (
+            SELECT doc_id, source,
+                   unnest(CASE WHEN len(t) >= {CONTAM_SHINGLE_N}
+                          THEN list_transform(range(1, len(t) - {CONTAM_SHINGLE_N - 2}),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source = '{EVAL_SOURCE}'),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE source <> '{EVAL_SOURCE}' AND s IN (SELECT s FROM ev)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.source <> '{EVAL_SOURCE}'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED form of benchmark_contamination: the training corpus with
+    every eval-overlapping document removed (anti join on the contaminated
+    id set). This is the step that actually runs before a benchmark claim;
+    the report query is its audit twin.
+
+    Scale shape: identical to the report — eval shingles broadcast, the
+    corpus streams past them once; the contaminated-id set (bounded by true
+    overlap, not corpus size) broadcasts into the final anti join, so the
+    full documents table is never shuffled."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(ngrams(tokens(F.col("text")), CONTAM_SHINGLE_N))
+        ).alias("shingle"),
+    )
+    ev = sh.filter(F.col("source") == EVAL_SOURCE).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

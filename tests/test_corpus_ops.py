@@ -163,3 +163,17 @@ def test_quantization_error_small_relative_to_scale(spark, sf_dir):
     # ppm bound with headroom for the round-trip arithmetic
     for r in rows:
         assert 0 <= r.mse_ppm <= (r.q_scale**2 / 4) * 1_000_000 * 1.001 + 0.001
+
+
+def test_decontaminated_corpus_excludes_exactly_the_flagged_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = {
+        r.doc_id for r in corpus_ops.benchmark_contamination(spark, sf_dir).collect()
+    }
+    clean = {r.doc_id for r in corpus_ops.corpus_decontaminated(spark, sf_dir).collect()}
+    train = {
+        r.doc_id
+        for r in docs.filter(F.col("source") != corpus_ops.EVAL_SOURCE).collect()
+    }
+    assert clean == train - flagged
+    assert flagged and clean
