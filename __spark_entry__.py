@@ -128,6 +128,8 @@ CHECK_PRIORITY = [
     "nation_market_share",
     "part_best_supplier",
     "nation_value_concentration",
+    "brand_supplier_counts",
+    "dominant_part_suppliers",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
     "events_funnel",

@@ -199,3 +199,119 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > CONCENTRATION_FRAC * F.col("nation_total"))
         .select("n_name", "l_partkey", F.round("part_value", 6).alias("part_value"))
     )
+
+
+#: scale-free thresholds: a fixed absolute count would sweep in every
+#: supplier (or none) as the fact table grows; ratios keep the predicate
+#: meaningful at every sf
+RETURN_HEAVY_RATIO = 0.35
+DOMINANT_FAIR_SHARE_MULT = 2.5
+
+
+@query(
+    "brand_supplier_counts",
+    oracle=f"""
+    WITH excluded AS (
+        SELECT l_suppkey AS bad_suppkey
+        FROM lineitem
+        GROUP BY 1
+        HAVING CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+               / COUNT(*) > {RETURN_HEAVY_RATIO}
+    )
+    SELECT p_brand, p_type,
+           CAST(CASE WHEN p_size < 25 THEN 'small' ELSE 'large' END
+                AS VARCHAR) AS size_class,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT bad_suppkey FROM excluded)
+    GROUP BY 1, 2, 3
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per part attribute group, with a
+    NOT-IN exclusion subquery (return-heavy suppliers). The exclusion set is
+    an aggregate over the fact table itself — tiny output (supplier-keyed),
+    so it broadcasts into an anti join; the NOT IN never becomes a
+    nested-loop because the subquery is provably non-null (grouped keys).
+    One fact scan feeds both the exclusion aggregate and the main count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    excluded = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returns"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(
+            F.col("n_returns").cast("double") / F.col("n_items")
+            > RETURN_HEAVY_RATIO
+        )
+        .select("l_suppkey")
+    )
+    size_class = F.when(F.col("p_size") < 25, "small").otherwise("large")
+    return (
+        li.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", size_class.alias("size_class"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(qty AS DECIMAL(25,6))) AS DOUBLE) AS total_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM per GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM per
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE qty * n_suppliers > {DOMINANT_FAIR_SHARE_MULT} * total_qty
+    GROUP BY 1, 2
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped well above their fair share
+    (2.5x 1/n_suppliers) of some part's total volume, with how many parts
+    they dominate — the scale-free form of the threshold, since absolute
+    shares shrink as the supplier count per part grows with the corpus.
+    The correlated availability
+    subquery of textbook Q20 decorrelates into a two-level aggregation —
+    (part, supplier) grain, re-aggregated to part totals — joined back on
+    the part key and filtered on the share threshold. Same single-fact-scan
+    property as the Q11 shape; the final supplier aggregation keys on the
+    (tiny) supplier domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.sum(F.col("qty").cast(DEC)).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        per.join(tot, "l_partkey")
+        .filter(
+            F.col("qty") * F.col("n_suppliers")
+            > DOMINANT_FAIR_SHARE_MULT * F.col("total_qty")
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), per.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )

@@ -169,3 +169,21 @@ def test_nation_value_concentration_rows_exceed_threshold(spark, sf_dir):
         F.col("part_value") <= tpch_extra3.CONCENTRATION_FRAC * F.col("nation_total")
     )
     assert checked.count() == 0
+
+
+def test_brand_supplier_counts_bounds_and_exclusion(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import tpch_extra3
+
+    rows = tpch_extra3.brand_supplier_counts(spark, sf_dir).collect()
+    assert rows
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert all(0 < r.supplier_cnt <= n_supp for r in rows)
+    assert all(r.size_class in ("small", "large") for r in rows)
+
+
+def test_dominant_part_suppliers_exceed_fair_share(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import tpch_extra3
+
+    rows = tpch_extra3.dominant_part_suppliers(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_dominated_parts >= 1 for r in rows)
