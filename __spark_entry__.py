@@ -46,6 +46,7 @@ import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.packing  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 

@@ -1,0 +1,293 @@
+"""Training-data *serving* operators: the last mile between a curated
+corpus and the trainer's input pipeline.
+
+- **deterministic global shuffle + sharding**: reproducible pseudo-random
+  order and shard assignment (the step that turns a corpus into training
+  shards without a single-machine shuffle);
+- **sequence packing** (concat-and-chunk): assign every document its token
+  offset in the concatenated stream and the fixed-length training
+  sequence(s) it lands in — the GPT-style packing bookkeeping;
+- **BPE merge candidates**: corpus-wide adjacent-token-pair frequencies,
+  the inner statistic of a tokenizer-training merge step;
+- **pseudonymization / k-anonymity generalization**: stable hashed
+  pseudonyms, banded numeric attributes, and small-group suppression —
+  the privacy pass a customer-derived training table runs before use;
+- **per-dimension embedding profile**: mean/std/min/max by vector
+  dimension — the normalization/whitening decision input.
+
+All pure column expressions (no Python UDFs); every operator carries a
+DuckDB oracle twin. No reference counterpart: the reference pipeline
+(src/ml_pipeline/) stops at model training; these extend the engine's
+LLM-data surface per SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, dsum
+from airflow_ml_pipeline_spark.functions.text import ngrams, tokens
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
+
+#: Hex-prefix shard count. 16 = one shard per first md5 hex digit; at real
+#: scale this is 2-3 hex chars (256/4096 shards) — same expression, wider
+#: substring. Shard order == lexicographic md5 order (hex digits sort
+#: '0'<'9'<'a'<'f' in ASCII), which is what makes the two-phase prefix sum
+#: below equal the global ordering.
+N_SHARDS = 16
+
+#: Training sequence length for packing (tokens per context window).
+SEQ_LEN = 256
+
+#: Adjacent-pair candidates reported by the tokenizer-merge statistic.
+TOP_PAIRS = 20
+
+#: Minimum group size before a quasi-identifier group is released.
+K_ANON = 5
+
+
+def _shard(doc_id_col: str) -> F.Column:
+    """0-based shard = first hex digit of md5(doc_id) — engine-neutral,
+    uniform, and consistent with lexicographic md5 ordering."""
+    return F.expr(
+        f"CAST(instr('0123456789abcdef', "
+        f"substring(md5(CAST({doc_id_col} AS STRING)), 1, 1)) - 1 AS INT)"
+    )
+
+
+@query(
+    "corpus_shuffled_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS INTEGER) AS pos_in_shard
+    FROM documents
+    """,
+)
+def corpus_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: every doc gets a shard (md5 hex prefix)
+    and a position within its shard (rank by full md5) — together a total
+    pseudo-random order any engine can reproduce, with no RNG state.
+
+    Scale shape: the only shuffle is the hash partition on `shard`; each
+    shard ranks independently (parallel window, no global sort). Writing
+    `partitionBy(shard)` + intra-shard sort gives the trainer stable,
+    evenly-sized input files; re-sharding is a pure recompute, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), _shard("doc_id").alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_token
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, start_token,
+           CAST(FLOOR(start_token / {SEQ_LEN}.0) AS BIGINT) AS first_seq,
+           CAST(FLOOR((start_token + n_tokens - 1) / {SEQ_LEN}.0)
+                - FLOOR(start_token / {SEQ_LEN}.0) + 1 AS BIGINT) AS n_seqs,
+           CAST(CASE WHEN FLOOR((start_token + n_tokens - 1) / {SEQ_LEN}.0)
+                          > FLOOR(start_token / {SEQ_LEN}.0)
+                THEN 1 ELSE 0 END AS INTEGER) AS crosses_boundary
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing bookkeeping: documents are concatenated in
+    the deterministic shuffle order (md5 rank) and cut into fixed
+    SEQ_LEN-token training sequences; each doc reports its global token
+    offset, its first sequence id, how many sequences it spans, and whether
+    it crosses a boundary (the attention-masking / doc-boundary signal).
+
+    The oracle states the semantics as ONE global running sum. Running that
+    literally is a single-partition window — the classic scale bottleneck —
+    so the plan computes the identical result as a distributed two-phase
+    prefix sum: per-shard token subtotals (16 rows) get window offsets, and
+    each shard cumsums in parallel with its offset added. Same trick as
+    corpus_token_budget_fill; shard-prefix order == global md5 order."""
+    docs = load_spread(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        _shard("doc_id").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    shard_tot = scored.groupBy("shard").agg(F.sum("n_tokens").alias("stok"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard", F.coalesce(F.sum("stok").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    packed = scored.join(F.broadcast(offsets), "shard").select(
+        "doc_id", "n_tokens", start.alias("start_token")
+    )
+    first_seq = F.floor(F.col("start_token") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_token") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        first_seq.cast("bigint").alias("first_seq"),
+        (last_seq - first_seq + 1).cast("bigint").alias("n_seqs"),
+        (last_seq > first_seq).cast("int").alias("crosses_boundary"),
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    SELECT pair, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair)
+                           AS INTEGER) AS merge_rank
+    FROM (
+        SELECT s AS pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END) AS s
+            FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        GROUP BY 1
+        ORDER BY cnt DESC, pair
+        LIMIT {TOP_PAIRS}
+    )
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training inner statistic: corpus-wide adjacent
+    token-pair frequencies, top candidates in deterministic merge order
+    (count desc, pair asc — unique tiebreak so the top-k set is stable
+    across engines).
+
+    Scale shape: pair counting is one partial+final hash aggregation over
+    exploded bigrams (map-side combine collapses repeats before the
+    shuffle); the global top-k is TakeOrderedAndProject — no full sort. The
+    rank window runs on the {TOP_PAIRS}-row result, not the corpus."""
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(ngrams(tokens(F.col("text")), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(TOP_PAIRS)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return pairs.withColumn("merge_rank", F.row_number().over(w))
+
+
+@query(
+    "customer_pseudonymized",
+    oracle=f"""
+    SELECT c_custkey,
+           md5(c_name) AS pseudonym,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment,
+           CAST(group_k AS BIGINT) AS group_k,
+           CASE WHEN group_k >= {K_ANON} THEN c_nationkey
+                ELSE NULL END AS nation_key
+    FROM (
+        SELECT *, COUNT(*) OVER (
+            PARTITION BY c_nationkey, FLOOR(c_acctbal / 1000), c_mktsegment
+        ) AS group_k
+        FROM customer)
+    """,
+)
+def customer_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass over a customer-derived table before it enters a
+    training corpus: direct identifier (name) replaced by a stable hash
+    pseudonym, the numeric quasi-identifier banded to width-1000, and
+    k-anonymity suppression — rows whose (nation, band, segment) group has
+    fewer than K_ANON members get their nation withheld.
+
+    Scale shape: one window keyed on the quasi-identifier triple (a hash
+    shuffle on low-cardinality keys); everything else is per-row codegen.
+    The pseudonym is deterministic so joins across pseudonymized tables
+    still line up without a lookup table."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000)
+    w = Window.partitionBy("c_nationkey", band, "c_mktsegment")
+    return cust.withColumn("group_k", F.count(F.lit(1)).over(w)).select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("pseudonym"),
+        (band * 1000).cast("bigint").alias("acctbal_band"),
+        "c_mktsegment",
+        F.col("group_k").cast("bigint").alias("group_k"),
+        F.when(F.col("group_k") >= K_ANON, F.col("c_nationkey"))
+        .otherwise(F.lit(None))
+        .alias("nation_key"),
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH flat AS (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+    SELECT CAST(i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({SQL_DSUM("x")} / COUNT(*), 6) AS mean,
+           ROUND(SQRT(({SQL_DSUM("x * x")} - POW({SQL_DSUM("x")}, 2)
+                       / COUNT(*)) / COUNT(*)), 6) AS std,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM flat
+    GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/population-std/min/max): the
+    input to normalization, whitening, and dead-dimension pruning
+    decisions before similarity search or quantization.
+
+    Scale shape: posexplode multiplies rows by the vector dim, but the
+    partial hash aggregation collapses each partition to `dim` rows before
+    the shuffle — the exchange carries O(dims × partitions), never the
+    corpus. Moments use the decimal detour (functions/compare.py) so the
+    mean/std are bit-identical to the oracle regardless of row order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    n = F.count(F.lit(1))
+    s1 = dsum(F.col("x"))
+    s2 = dsum(F.col("x") * F.col("x"))
+    return flat.groupBy("dim").agg(
+        n.cast("bigint").alias("n"),
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - F.pow(s1, 2) / n) / n), 6).alias("std"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -1,0 +1,103 @@
+"""Training-data serving operator tests (shuffle/shard, sequence packing,
+BPE pair stats, pseudonymization, embedding dim profile). The DuckDB oracle
+check is the primary gate; these assert operator-level invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import packing
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def test_shards_partition_the_corpus_with_contiguous_positions(spark, sf_dir):
+    rows = packing.corpus_shuffled_shards(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < packing.N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    # every shard's positions are exactly 1..k (dense rank, no gaps/dups)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_sequence_packing_offsets_are_contiguous_and_boundary_flagged(
+    spark, sf_dir
+):
+    rows = packing.sequence_packing(spark, sf_dir).collect()
+    ordered = sorted(rows, key=lambda r: r.start_token)
+    # concatenation invariant: next doc starts where the previous ended
+    assert ordered[0].start_token == 0
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.start_token == prev.start_token + prev.n_tokens
+    for r in rows:
+        spans = (
+            (r.start_token + r.n_tokens - 1) // packing.SEQ_LEN
+            - r.start_token // packing.SEQ_LEN
+            + 1
+        )
+        assert r.n_seqs == spans
+        assert r.crosses_boundary == (1 if spans > 1 else 0)
+
+
+def test_packing_matches_single_partition_reference(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal the naive global
+    cumsum in the same md5 order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    expected = {}
+    offset = 0
+    for r in sorted(docs.collect(), key=lambda r: (r.h, r.doc_id)):
+        expected[r.doc_id] = offset
+        offset += r.n
+    got = {
+        r.doc_id: r.start_token
+        for r in packing.sequence_packing(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_merge_candidates_ranked_and_consistent(spark, sf_dir):
+    rows = packing.bpe_merge_candidates(spark, sf_dir).collect()
+    assert len(rows) == packing.TOP_PAIRS
+    ordered = sorted(rows, key=lambda r: r.merge_rank)
+    assert [r.merge_rank for r in ordered] == list(
+        range(1, packing.TOP_PAIRS + 1)
+    )
+    counts = [r.cnt for r in ordered]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:  # every candidate is a real adjacent pair
+        assert len(r.pair.split(" ")) == 2
+
+
+def test_pseudonymization_suppresses_small_groups_and_is_stable(spark, sf_dir):
+    res = packing.customer_pseudonymized(spark, sf_dir)
+    rows = res.collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_cust
+    for r in rows:
+        assert r.acctbal_band % 1000 == 0
+        if r.group_k < packing.K_ANON:
+            assert r.nation_key is None, "small group must be suppressed"
+        else:
+            assert r.nation_key is not None
+        assert len(r.pseudonym) == 32  # md5 hex
+    # deterministic: re-run produces identical pseudonyms
+    again = {r.c_custkey: r.pseudonym for r in res.collect()}
+    assert {r.c_custkey: r.pseudonym for r in rows} == again
+
+
+def test_embedding_dim_stats_profile_shape(spark, sf_dir):
+    rows = packing.embedding_dim_stats(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(len(dims)))  # dense 0..d-1
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_x <= r.mean <= r.max_x
+        assert r.std >= 0
