@@ -315,3 +315,107 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )
+
+
+LOCAL_REVENUE_REGION = "ASIA"
+LOCAL_REVENUE_YEAR = 1996
+FORECAST_DISC_LO = 0.05
+FORECAST_DISC_HI = 0.07
+FORECAST_QTY_LT = 24
+
+
+@query(
+    "local_supplier_revenue",
+    oracle=f"""
+    SELECT n_name,
+           ROUND({SQL_DSUM("l_extendedprice * (1 - l_discount)")}, 6)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{LOCAL_REVENUE_REGION}'
+      AND o_orderdate >= DATE '{LOCAL_REVENUE_YEAR}-01-01'
+      AND o_orderdate <  DATE '{LOCAL_REVENUE_YEAR + 1}-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation where the supplier is LOCAL to the
+    customer (s_nationkey = c_nationkey) — the co-location join predicate
+    that distinguishes Q5 from a plain star join, restricted to one region
+    and one order year.
+
+    Plan shape: the year filter pushes into the orders scan and the region
+    filter prunes nation keys before anything touches lineitem; nation and
+    region broadcast (fixed-size dims), while the scale-growing
+    orders/customer/supplier joins stay hash joins for AQE to re-plan at
+    runtime. The local-supplier condition rides the supplier join as an
+    extra equi-clause — no post-join filter, so the join output never
+    carries non-local pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{LOCAL_REVENUE_YEAR}-01-01")
+        & (F.col("o_orderdate") < f"{LOCAL_REVENUE_YEAR + 1}-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == LOCAL_REVENUE_REGION
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(dsum(_revenue()), 6).alias("revenue"))
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT ROUND({SQL_DSUM("l_extendedprice * l_discount")}, 6)
+               AS revenue_increase,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{LOCAL_REVENUE_YEAR}-01-01'
+      AND l_shipdate <  DATE '{LOCAL_REVENUE_YEAR + 1}-01-01'
+      AND l_discount BETWEEN {FORECAST_DISC_LO} AND {FORECAST_DISC_HI}
+      AND l_quantity < {FORECAST_QTY_LT}
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the what-if revenue from eliminating mid-range discounts
+    on small orders — a pure scan-filter-aggregate with zero joins.
+
+    The planner-relevant property: ALL three predicates (date range,
+    discount band, quantity cap) push down into the parquet scan as
+    min/max row-group filters, and the aggregation is a single partial+
+    final pair over a 2-column projection — at 100 TB this query's cost is
+    I/O on exactly the pruned row groups, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= f"{LOCAL_REVENUE_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{LOCAL_REVENUE_YEAR + 1}-01-01")
+            & (F.col("l_discount") >= FORECAST_DISC_LO)
+            & (F.col("l_discount") <= FORECAST_DISC_HI)
+            & (F.col("l_quantity") < FORECAST_QTY_LT)
+        )
+        .agg(
+            F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+            .alias("revenue_increase"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
