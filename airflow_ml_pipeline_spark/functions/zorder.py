@@ -1,0 +1,117 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+Parquet prunes row groups with min/max statistics, but sorting a table by
+one column destroys locality on every other: a filter on the second column
+reads every row group. Interleaving the bits of several columns' grid
+coordinates yields a space-filling-curve key; sorting by it gives every
+participating column *partial* locality, so min/max pruning works for
+filters on ANY of them — the standard layout play (Delta/Iceberg
+``OPTIMIZE ZORDER BY``) for multi-dimension lookups over 100 TB of parquet.
+
+Everything is pure column expressions (no UDFs). Two grid strategies:
+
+- ``"width"`` (default, the 100 TB path): equi-width cells via
+  ``width_bucket`` between each column's global min/max — one tiny
+  aggregate broadcast to the scan, ZERO window stages. Heavy skew can
+  crowd cells (pruning degrades toward a plain sort on the skewed column
+  but never below it).
+- ``"rank"``: exact equi-depth cells via ``ntile`` — skew-immune, but each
+  column costs a global-order window (single-partition at the extreme), so
+  reserve it for bounded relayouts or pre-sampled cut points.
+
+The layout cost is paid once per OPTIMIZE pass and amortized over every
+later pruned read — the same economics as bucketing (functions/bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: grid resolution per dimension; 12 bits x up to 5 cols stays inside int64
+DEFAULT_BITS = 12
+
+
+def interleave_bits(cells: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Morton-interleave ``len(cells)`` grid coordinates of ``bits`` bits
+    each: output bit ``i*n_cols + c`` = bit ``i`` of ``cells[c]``. Unrolled
+    shift/or folds that whole-stage codegen fuses into straight-line JVM
+    bit math."""
+    n = len(cells)
+    assert n * bits <= 63, "interleaved key must fit a signed int64"
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for c, cell in enumerate(cells):
+            bit = F.shiftright(cell.cast("long"), i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * n + c))
+    return out
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    strategy: str = "width",
+) -> DataFrame:
+    """Append a ``zorder`` column interleaving the grid coordinates of
+    ``cols`` (see module doc for the width-vs-rank tradeoff)."""
+    cells: list[Column] = []
+    helper_cols: list[str] = []
+    out = df
+    top = 2**bits
+    if strategy == "width":
+        # one O(cols) aggregate row, broadcast into the scan projection
+        aggs = []
+        for name in cols:
+            aggs += [
+                F.min(name).alias(f"__zmin_{name}"),
+                F.max(name).alias(f"__zmax_{name}"),
+            ]
+            helper_cols += [f"__zmin_{name}", f"__zmax_{name}"]
+        out = out.crossJoin(F.broadcast(df.agg(*aggs)))
+        for name in cols:
+            lo = F.col(f"__zmin_{name}").cast("double")
+            hi = F.col(f"__zmax_{name}").cast("double")
+            cell = (
+                F.width_bucket(F.col(name).cast("double"), lo, hi, F.lit(top))
+                - 1
+            )
+            # width_bucket returns 1..top for in-range, top+1 at x == hi
+            cells.append(F.least(cell, F.lit(top - 1)))
+    elif strategy == "rank":
+        for name in cols:
+            cell_name = f"__zcell_{name}"
+            out = out.withColumn(
+                cell_name, F.ntile(top).over(Window.orderBy(F.col(name))) - 1
+            )
+            cells.append(F.col(cell_name))
+            helper_cols.append(cell_name)
+    else:
+        raise ValueError(f"unknown zorder strategy: {strategy}")
+    out = out.withColumn("zorder", interleave_bits(cells, bits))
+    return out.drop(*helper_cols)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    files: int,
+    bits: int = DEFAULT_BITS,
+    strategy: str = "width",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve over ``cols``:
+    range-partition by the zorder key into ``files`` tasks, sort within
+    each, drop the key. Each output file then covers a compact curve
+    segment, so its per-column min/max spans shrink toward
+    ``files^(-1/len(cols))`` of the domain — the pruning win measured in
+    tests/test_zorder.py against a single-column sort layout."""
+    (
+        zorder_key(df, cols, bits, strategy)
+        .repartitionByRange(files, "zorder")
+        .sortWithinPartitions("zorder")
+        .drop("zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -75,6 +75,11 @@ HEADLINE = [
     "embedding_quantization_error",
     "corpus_token_budget_fill",
     "near_dup_clusters",
+    "corpus_shuffled_shards",
+    "sequence_packing",
+    "bpe_merge_candidates",
+    "embedding_dim_stats",
+    "local_supplier_revenue",
     "dedup_exact",
     "dedup_corpus",
     "corpus_prepared",

@@ -1,0 +1,98 @@
+"""Z-order layout: bit-interleave correctness and a pyarrow-footer-verified
+data-skipping win — the min/max pruning a parquet reader would actually do,
+measured from the written files' statistics, not simulated."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.zorder import (
+    interleave_bits,
+    write_zordered,
+    zorder_key,
+)
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+COLS = ["o_custkey", "o_totalprice"]
+N_FILES = 8
+
+
+def _candidate_files(path: str, column: str, lo: float, hi: float) -> tuple[int, int]:
+    """(files whose [min,max] intersects [lo,hi], total files) — exactly the
+    row-group skipping decision a scan makes from footer stats."""
+    ds = pq.ParquetDataset(path)
+    total, candidates = 0, 0
+    for fragment in ds.fragments:
+        meta = fragment.metadata
+        idx = {c: i for i, c in enumerate(meta.schema.names)}[column]
+        f_min = min(
+            meta.row_group(g).column(idx).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        f_max = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        total += 1
+        if not (f_max < lo or f_min > hi):
+            candidates += 1
+    return candidates, total
+
+
+def test_interleave_bits_known_pattern(spark):
+    # cells x=0b0011, y=0b0101; bit i of cell c lands at i*2+c, so the
+    # morton word reads (y3x3 y2x2 y1x1 y0x0) = 0b00100111
+    df = spark.range(1).select(
+        interleave_bits([F.lit(0b0011), F.lit(0b0101)], bits=4).alias("z")
+    )
+    assert df.first().z == 0b00100111
+
+
+def test_zorder_key_preserves_rows_and_schema(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    for strategy in ("width", "rank"):
+        z = zorder_key(orders, COLS, bits=8, strategy=strategy)
+        assert z.count() == orders.count()
+        assert set(z.columns) == set(orders.columns) | {"zorder"}
+        # every key is a valid 16-bit interleave of two 8-bit cells
+        mx = z.agg(F.max("zorder"), F.min("zorder")).first()
+        assert 0 <= mx[1] and mx[0] < 2**16
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Against the single-column-sort layout: z-order must cut candidate
+    files for filters on the SECOND column (where a sort reads everything)
+    while keeping pruning on the first."""
+    orders = load_table(spark, sf_dir, "orders")
+    a, b = COLS
+
+    sorted_path = str(tmp_path / "sorted_by_a")
+    (
+        orders.repartitionByRange(N_FILES, a)
+        .sortWithinPartitions(a)
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "zordered")
+    write_zordered(orders, z_path, COLS, files=N_FILES, bits=8)
+
+    # point lookups away from the curve's top split boundaries (a band
+    # straddling the domain midpoint legitimately touches both halves)
+    pa = orders.approxQuantile(a, [0.6], 0.001)[0]
+    pb = orders.approxQuantile(b, [0.6], 0.001)[0]
+
+    sorted_a, total = _candidate_files(sorted_path, a, pa, pa)
+    sorted_b, _ = _candidate_files(sorted_path, b, pb, pb)
+    z_a, z_total = _candidate_files(z_path, a, pa, pa)
+    z_b, _ = _candidate_files(z_path, b, pb, pb)
+
+    assert total == N_FILES and z_total == N_FILES
+    # the sort layout is blind on column b: every file is a candidate
+    assert sorted_b == N_FILES
+    # z-order restores locality on b ...
+    assert z_b < sorted_b
+    # ... while staying far better than a full scan on a
+    assert z_a < N_FILES
+    # and the sort layout's own strength still holds there
+    assert sorted_a <= z_a
