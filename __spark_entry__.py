@@ -78,15 +78,19 @@ CHECK_PRIORITY = [
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "lang_nchars_median_udaf",
-    # text analysis
+    # text analysis (lang_distribution/token_counts_bpeish/langid_heuristic
+    # are tier 2: per-lang grouping and token counting are exercised by the
+    # UDAF/zscore queries above and the serving block below)
     "doc_stats",
-    "lang_distribution",
     "token_frequencies",
-    "token_counts_bpeish",
     "doc_quality",
-    "langid_heuristic",
     "corpus_quality_filtered",
     "doc_top_tfidf_term",
+    # training-data serving (deterministic shuffle/shard, concat-and-chunk
+    # packing via distributed prefix sum, tokenizer merge statistics)
+    "corpus_shuffled_shards",
+    "sequence_packing",
+    "bpe_merge_candidates",
     # dedup family (dedup_exact_normalized: same plan shape as dedup_exact,
     # follows right after the prefix)
     "dedup_exact",
@@ -124,6 +128,13 @@ CHECK_PRIORITY = [
     # twins whose oracle siblings sit in tier 1 — then the round-1-green rest
     # in registry order)
     "events_latest_by_key",
+    "lang_distribution",
+    "token_counts_bpeish",
+    "langid_heuristic",
+    "customer_pseudonymized",
+    "embedding_dim_stats",
+    "local_supplier_revenue",
+    "forecast_revenue_change",
     "doc_length_histogram",
     "corpus_decontaminated",
     "nation_market_share",

@@ -17,6 +17,8 @@ FAMILY_REPRESENTATIVES = {
                    "lang_nchars_median_udaf"},
     "textstats": {"doc_stats", "doc_quality", "token_frequencies",
                   "doc_top_tfidf_term"},
+    "serving": {"corpus_shuffled_shards", "sequence_packing",
+                "bpe_merge_candidates"},
     "dedup": {"dedup_exact", "dedup_corpus", "near_dup_pairs_jaccard",
               "near_dup_pairs_minhash", "corpus_prepared"},
     "curation": {"benchmark_contamination", "corpus_stratified_sample",
