@@ -237,9 +237,10 @@ MAX_CC_ITERATIONS = 15
 
 def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
     """Connected components over near-dup pair edges by iterative min-label
-    propagation: every node starts as its own label; each round takes the
-    min of its label and its neighbors' labels; fixpoint after O(diameter)
-    rounds (near-dup clusters are small and dense, so a handful).
+    propagation: every node starts at min(self, neighbors) — the seed
+    aggregation doubles as round one — then each round takes the min of its
+    label and its neighbors' labels; fixpoint after O(diameter) rounds
+    (near-dup clusters are small and dense, so a handful).
 
     The driver loop is CONTROL FLOW only — each iteration is one distributed
     join + aggregate over edge-sized data (bounded by verified candidate
@@ -252,8 +253,11 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # reused every iteration
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
+    # seed label = min(self, neighbors) — one aggregation that IS the first
+    # propagation round, so pair clusters (the overwhelming majority) arrive
+    # converged and the loop's first pass is already round two
+    labels = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.min("dst"), F.min("src")).alias("label")
     )
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (

@@ -432,10 +432,12 @@ _SQL_QUALITY = f"""
 """
 
 
-@query(
-    "corpus_prepared",
-    oracle=f"""
-    WITH q AS (
+#: The exact-kernel oracle twin of the prepared-corpus composition, as a
+#: reusable CTE chain ending in `prepared(doc_id, lang, source, n_chars,
+#: n_tokens)` — shared by corpus_prepared and training_data_manifest
+#: (operators/manifest.py), so both driver checks state identical semantics.
+_SQL_PREPARED_CTES = f"""
+    q AS (
         SELECT * FROM documents WHERE {_SQL_QUALITY}
     ),
     keepers AS (
@@ -469,17 +471,32 @@ _SQL_QUALITY = f"""
         JOIN sizes s2 ON s2.doc_id = doc_b
         WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
               >= {NEAR_DUP_THRESHOLD}
+    ),
+    prepared AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
     )
-    SELECT doc_id, lang, source, n_chars,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
-    FROM surv
-    WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+"""
+
+
+@query(
+    "corpus_prepared",
+    oracle=f"""
+    WITH {_SQL_PREPARED_CTES}
+    SELECT doc_id, lang, source, n_chars, n_tokens FROM prepared
     """,
 )
 def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prepared_corpus(spark, sf_dir)
+
+
+def prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pre-training corpus preparation as ONE lazy plan:
     quality filter → exact dedup → near-dup removal → surviving docs with
-    token counts.
+    token counts. (Also the first stages of operators/manifest.py's
+    training_data_manifest.)
 
     Stage shapes (each is the scale path chosen elsewhere in this module):
     1. quality gate — pure filter, pushed to the scan, no shuffle;

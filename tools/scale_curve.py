@@ -45,6 +45,12 @@ QUERIES = [
     ("nation_market_share", "lineitem"),
     ("part_best_supplier", "lineitem"),
     ("nation_value_concentration", "lineitem"),
+    ("local_supplier_revenue", "lineitem"),
+    ("forecast_revenue_change", "lineitem"),
+    ("corpus_shuffled_shards", "documents"),
+    ("sequence_packing", "documents"),
+    ("bpe_merge_candidates", "documents"),
+    ("embedding_dim_stats", "embeddings"),
 ]
 
 FOOTER = """
