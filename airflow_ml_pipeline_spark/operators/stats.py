@@ -237,8 +237,8 @@ def segment_acctbal_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           SUM(CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT))
-               AS total_positive,
+           CAST(SUM(CAST(len(list_filter(embedding, x -> x > 0.0))
+                AS BIGINT)) AS BIGINT) AS total_positive,
            CAST(SUM(CAST(len(list_filter(embedding, x -> abs(x) > 1.0))
                 AS BIGINT)) AS BIGINT) AS total_saturated,
            MAX(len(embedding)) AS dim
@@ -410,8 +410,8 @@ def custkeys_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_types,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS purchase_cnt
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_cnt
     FROM events
     GROUP BY user_id
     """,
@@ -449,8 +449,8 @@ def user_eventtype_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT datediff('day', o_orderdate, l_shipdate) // 30 AS delay_month_bucket,
            COUNT(*) AS n_items,
-           SUM(CASE WHEN l_shipdate = last_day(l_shipdate)
-                    THEN 1 ELSE 0 END) AS month_end_ships,
+           CAST(SUM(CASE WHEN l_shipdate = last_day(l_shipdate)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS month_end_ships,
            round(AVG(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)), 6)
                AS avg_delay_days
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
@@ -518,7 +518,7 @@ def returnflag_median_price_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            bool_and(c_acctbal > -1000.0) AS all_above_floor,
            bool_or(c_acctbal < 0.0) AS any_negative,
-           count_if(c_acctbal < 0.0) AS n_negative,
+           CAST(count_if(c_acctbal < 0.0) AS BIGINT) AS n_negative,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_mktsegment

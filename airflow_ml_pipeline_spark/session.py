@@ -30,8 +30,10 @@ RUNTIME_CONF = {
     # 200 shuffle partitions (AQE coalesces batch queries, but stateful
     # streaming pins its state partition count at query start)
     "spark.sql.shuffle.partitions": "32",
-    # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-    # read as long and convert in the catalog (sources/catalog.py).
+    # corpus versions that store events.ts as TIMESTAMP(NANOS) — which
+    # vanilla Spark rejects — arrive as bigint under this flag; the catalog
+    # normalizes bigint/NTZ/LTZ alike (sources/catalog.py
+    # normalize_event_time). Harmless for µs-encoded corpora.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

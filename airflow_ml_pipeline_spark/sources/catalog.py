@@ -19,22 +19,48 @@ from airflow_ml_pipeline_spark import schemas
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time zone),
+    whatever parquet encoding the corpus used.
+
+    The corpus has shipped ``events.ts`` under three encodings across driver
+    versions, and the engine must read all of them identically:
+
+    - ``TIMESTAMP(NANOS)``: Spark's vectorized reader rejects nanos, so the
+      session sets ``spark.sql.legacy.parquet.nanosAsLong`` and the column
+      arrives as BIGINT nanoseconds → truncate to µs and convert
+      (``timestamp_micros``), the same ns→µs truncation DuckDB applies.
+    - naive ``timestamp[us]`` → Spark 4.x reads TIMESTAMP_NTZ. Watermarks
+      and ts arithmetic (``unix_micros``) require TIMESTAMP, so cast. The
+      session is pinned to UTC (session.py), so the cast reinterprets the
+      same wall-clock as a UTC instant — identical to DuckDB's treatment of
+      the naive value, no shift.
+    - ``timestamp[us, tz=UTC]`` → already TIMESTAMP; pass through.
+
+    The cast happens at the scan boundary so every downstream operator
+    (batch and streaming) sees one canonical type.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver-corpus table (schemas.TESTDATA).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    we read it as nanosecond longs and truncate to a microsecond timestamp —
-    the same ns→µs truncation DuckDB applies, so both engines see identical
-    instants.
+    ``events.ts`` is normalized to TIMESTAMP at the scan boundary — see
+    ``normalize_event_time`` for the three corpus encodings handled.
     """
     if name not in schemas.TESTDATA:
         raise ValueError(f"Unknown table: {name}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_time(df)
     return df
 
 

@@ -6,9 +6,11 @@ since the corpus dir is read-only and a file source needs a listable
 directory it owns). In production this source is swapped for Kafka/Kinesis
 — every downstream operator is source-agnostic.
 
-``events.ts`` arrives as TIMESTAMP(NANOS) → read as long (nanosAsLong, same
-as the batch catalog) and truncated to a microsecond timestamp so batch and
-stream see identical event times.
+``events.ts`` is normalized to TIMESTAMP at the scan boundary via the same
+``normalize_event_time`` the batch catalog uses, so batch and stream see
+identical event times under every corpus encoding (nanos-as-bigint, naive
+µs → TIMESTAMP_NTZ, or tz-aware µs). Watermarks require TIMESTAMP, so the
+normalization is load-bearing here, not cosmetic.
 """
 
 from __future__ import annotations
@@ -17,7 +19,8 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.sources.catalog import normalize_event_time
 
 STAGE_ROOT = "/tmp/spark_graft_stream"
 
@@ -36,14 +39,13 @@ def stage_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a streaming DataFrame with microsecond event-time ts."""
+    """events as a streaming DataFrame with microsecond event-time ts
+    (TIMESTAMP type — watermark-ready under every corpus encoding)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = stage_events_dir(sf_dir)
     raw_schema = spark.read.parquet(os.path.join(stage, "events.parquet")).schema
     stream = spark.readStream.schema(raw_schema).format("parquet").load(stage)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_time(stream)
 
 
 _COUNTER = {"n": 0}
