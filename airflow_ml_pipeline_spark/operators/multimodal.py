@@ -152,9 +152,29 @@ def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")  # rows-only: stubbed encoder kernel
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (binary -> embedding array)."""
+    """Arrow-batched feature extraction (binary -> embedding array), surfaced
+    as scalar per-item facts for the harness.
+
+    ``extract_features`` keeps returning the raw ``array<float>`` column for
+    library use; the *registered* query projects it to hashable scalars
+    (dim, L2 norm, first two components) because the driver canonicalizer
+    sorts result columns through pandas, which cannot factorize ndarray
+    cells — the same scalars-only output contract map-typed queries follow
+    (see ``user_eventtype_map_stats``).
+    """
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("c0"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6).alias("c1"),
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -275,17 +275,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = hyperplanes()
     emb = load_spread(spark, sf_dir, "embeddings")
     # Stage materialization via localCheckpoint, NOT cache(): the bucketed
-    # frame feeds four consumers (probe codes + join side + both cosine
-    # sides), and a CacheManager entry that nothing unpersists leaks
+    # frame feeds three consumers (probe codes + bucket join side + the
+    # emb_a fetch), and a CacheManager entry that nothing unpersists leaks
     # across queries in a long-lived session — checkpointed RDD blocks are
     # ContextCleaner-reclaimed once the query's frame is unreachable.
-    # EAGER so all four consumers read stored blocks; a lazy checkpoint
+    # EAGER so every consumer reads stored blocks; a lazy checkpoint
     # re-evaluates the bucket computation per consumer inside one job.
     bucketed = emb.withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
     ).localCheckpoint(eager=True)
-    # probe expansion: each vector registers under its bucket and all
-    # hamming-1 neighbors; sharing ANY registered code => candidate pair
+    # Probe expansion: each vector registers under its bucket and all
+    # hamming-1 neighbors; sharing ANY registered code => candidate pair.
+    # A pair can match on at most ONE code (a's probe codes are distinct
+    # and b contributes a single bucket value), so the join output is
+    # already duplicate-free — no distinct, which at scale would be a
+    # second full shuffle of the candidate set.
     codes = bucketed.select(
         "vec_id",
         F.explode(
@@ -295,23 +299,23 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("code"),
     )
+    # b-side carries its embedding through the bucket join (1x embedding
+    # traffic: probe rows are 2 longs each); emb_a arrives via one id join
+    # against the checkpointed frame. Two joins total — the previous shape
+    # (id-only candidates + distinct + two fetch joins) spent two extra
+    # shuffles moving ids it would immediately re-join.
     a = codes.alias("a")
-    b = bucketed.select("vec_id", "bucket").alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.code") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("embedding").alias("emb_b")
     )
+    cands = a.join(
+        b,
+        (F.col("a.code") == F.col("bucket")) & (F.col("a.vec_id") < F.col("id_b")),
+    ).select(F.col("a.vec_id").alias("id_a"), "id_b", "emb_b")
     ea = bucketed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = bucketed.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     sim = cosine(F.col("emb_a"), F.col("emb_b"))
     return (
         cands.join(ea, "id_a")
-        .join(eb, "id_b")
         .filter(sim >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
     )

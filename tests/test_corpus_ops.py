@@ -155,6 +155,34 @@ def test_near_dup_clusters_match_union_find_over_exact_pairs(spark, sf_dir, requ
     assert got == expected
 
 
+def test_cluster_labels_converge_on_adversarial_chain(spark):
+    """Worst case for label propagation: a 200-node path graph (diameter
+    199). Plain min-propagation needs ~200 rounds — far beyond
+    MAX_CC_ITERATIONS — so this passes only because pointer doubling makes
+    convergence O(log diameter). Every node must label to the chain head."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = corpus_ops.near_dup_cluster_labels(pairs).collect()
+    assert len(labels) == n
+    assert {r.label for r in labels} == {0}
+
+
+def test_cluster_labels_raise_rather_than_return_partial(spark, monkeypatch):
+    """If the round cap is artificially too small, the loop must fail loudly
+    instead of returning partially-propagated labels."""
+    import pytest
+
+    monkeypatch.setattr(corpus_ops, "MAX_CC_ITERATIONS", 2)
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        corpus_ops.near_dup_cluster_labels(pairs)
+
+
 def test_quantization_error_small_relative_to_scale(spark, sf_dir):
     res = corpus_ops.embedding_quantization_error(spark, sf_dir)
     rows = res.collect()
