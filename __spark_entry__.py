@@ -8,12 +8,14 @@ value-hash → CORRECTNESS_r{N}.json).
 The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
-priority order: the driver's correctness budget is a prefix of this dict, so
-the prefix is arranged to cover every SURVEY.md §2 operator family —
-dedup/similarity/text-analysis/streaming/ML-pipeline/multimodal first (zero
-CORRECTNESS rows in round 1), then representative relational anchors, then
-the remaining TPC-H-shape variants whose operator families are already
-covered by an earlier entry.
+priority order: the driver's correctness budget is a prefix of this dict.
+Round-3 rotation: entries FIXED or RESTRUCTURED this round lead (the five
+watermark streaming queries un-broken by the TIMESTAMP_NTZ normalization,
+the oracle-dtype and canonicalizer fixes, the reshaped embedding near-dup
+and pointer-doubled cluster CC), then the ts-arithmetic batch paths the
+same NTZ fix restored, then the ~29 tier-2 queries that have never had a
+driver row in rounds 1-2, then one green anchor per operator family so a
+regression in an already-verified family is still witnessed.
 """
 
 from __future__ import annotations
@@ -52,113 +54,109 @@ import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification priority: the first ~50 names cover every operator family.
+#: Verification priority: the first ~50 names are the round-3 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # declared-but-never-checked relational/semi-structured surfaces
-    "custkeys_multiset_diff",
-    "events_variant_stats",
-    "user_eventtype_map_stats",
-    "nation_balance_unpivot",
-    # round-1 hash fix + self-verifying sketches (incl. two-level mergeable
-    # rollup: decimal sum-of-sums + lossless HLL union)
-    "returnflag_priority_counts",
-    "corpus_sketch_stats",
-    "events_daily_rollup_merge",
-    # corpus-curation ops (contamination, sampling, repetition, quantization,
-    # budget fill, cluster dedup, mixture weights)
-    "benchmark_contamination",
-    "corpus_stratified_sample",
-    "doc_repetition_stats",
-    "embedding_quantization_error",
-    "corpus_token_budget_fill",
-    "near_dup_clusters",
-    "corpus_mixture_weights",
-    # pandas UDF / UDTF / UDAF surface (doc_chunks_udtf: green in r01)
-    "doc_length_zscore_by_lang",
-    "doc_token_entropy",
-    "lang_nchars_median_udaf",
-    # text analysis (lang_distribution/token_counts_bpeish/langid_heuristic
-    # are tier 2: per-lang grouping and token counting are exercised by the
-    # UDAF/zscore queries above and the serving block below)
-    "doc_stats",
-    "token_frequencies",
-    "doc_quality",
-    "corpus_quality_filtered",
-    "doc_top_tfidf_term",
-    # training-data serving (deterministic shuffle/shard, concat-and-chunk
-    # packing via distributed prefix sum, tokenizer merge statistics)
-    "corpus_shuffled_shards",
-    "sequence_packing",
-    "bpe_merge_candidates",
-    # dedup family (dedup_exact_normalized: same plan shape as dedup_exact,
-    # follows right after the prefix)
-    "dedup_exact",
-    "dedup_corpus",
-    "near_dup_pairs_jaccard",
-    "near_dup_pairs_minhash",
-    "doc_winnowing_md5",
-    "corpus_prepared",
-    # similarity / ANN family (embedding_norms: trivial projection twin of
-    # knn_cosine_bruteforce, follows right after the prefix)
-    "knn_cosine_bruteforce",
-    "label_centroids",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    # ML pipeline visible queries
-    "synthetic_customers",
-    "engineered_customer_features",
-    "customer_drift_profile",
-    "churn_train_eval",
-    # multimodal plumbing
-    "multimodal_decode_stats",
-    "multimodal_features",
-    # structured streaming (AvailableNow) family
+    # fixed this round — witness the fixes (r02: all five erred on
+    # TIMESTAMP_NTZ watermarks; map-stats hash-failed on a HUGEINT oracle;
+    # multimodal_features crashed the driver canonicalizer on array cells)
     "stream_events_hourly",
     "stream_events_sessionized",
     "stream_dedup_user_event_keys",
-    "stream_stateful_running_totals",
-    "stream_user_value_totals",
-    "stream_static_enriched_segments",
     "stream_events_sliding",
     "stream_errors_before_purchase_pairs",
-    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
-    # (never-driver-checked variants first — incl. the rows-only fingerprint
-    # twins whose oracle siblings sit in tier 1 — then the round-1-green rest
-    # in registry order)
-    "events_latest_by_key",
-    "lang_distribution",
-    "token_counts_bpeish",
-    "langid_heuristic",
-    "customer_pseudonymized",
-    "embedding_dim_stats",
+    "user_eventtype_map_stats",
+    "multimodal_features",
+    # ts-arithmetic batch paths restored by the same NTZ normalization
+    # (r02 bench crashed at purchase_last_view_asof)
+    "purchase_last_view_asof",
+    "events_trailing_burst",
+    "events_sessionized",
+    "events_gap_fill",
+    # restructured this round (plan/algorithm changed) — re-witness green
+    "near_dup_clusters",
+    "embedding_near_dup_pairs",
+    "stream_stateful_running_totals",
+    # never-driver-checked TPC-H shapes (Q5/Q6/Q8/Q2/Q11/Q16/Q20)
     "local_supplier_revenue",
     "forecast_revenue_change",
-    "doc_length_histogram",
-    "corpus_decontaminated",
     "nation_market_share",
     "part_best_supplier",
     "nation_value_concentration",
     "brand_supplier_counts",
     "dominant_part_suppliers",
-    "simhash_fingerprints",
-    "doc_winnowing_fingerprints",
+    # never-checked relational / temporal / semi-structured tier-2
     "events_funnel",
     "orders_retention_cohort",
-    "dedup_exact_normalized",
-    "embedding_norms",
-    "doc_chunks_udtf",
+    "events_latest_by_key",
     "orders_by_weekday",
     "part_type_edit_distance",
     "errors_before_purchase",
     "segment_acctbal_top_decile",
-    "embedding_activation_stats",
-    "events_gap_fill",
     "nation_eventtype_matrix",
     "ship_delay_profile",
     "returnflag_median_price_disc",
     "segment_balance_flags",
+    "embedding_activation_stats",
+    # never-checked LLM-data tier-2
+    "customer_pseudonymized",
+    "embedding_dim_stats",
+    "corpus_decontaminated",
+    "lang_distribution",
+    "token_counts_bpeish",
+    "langid_heuristic",
+    "doc_length_histogram",
+    "simhash_fingerprints",
+    "doc_winnowing_fingerprints",
+    # green anchors — one per already-verified operator family
+    "returnflag_priority_counts",  # conditional hash agg (r1-fix witness)
+    "corpus_sketch_stats",  # sketches / mergeable rollup
+    "corpus_prepared",  # composed LSH dedup pipeline
+    "doc_stats",  # text analysis
+    "lang_nchars_median_udaf",  # UDAF surface
+    "knn_cosine_bruteforce",  # similarity
+    "customer_drift_profile",  # ML-pipeline oracle anchor
+    "churn_train_eval",  # ML train/eval (rows-only)
+    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
+    # (never-checked plan twins of prefix entries first, then the
+    # r01/r02-green remainder, family-grouped)
+    "dedup_exact_normalized",
+    "embedding_norms",
+    "custkeys_multiset_diff",
+    "events_variant_stats",
+    "nation_balance_unpivot",
+    "events_daily_rollup_merge",
+    "benchmark_contamination",
+    "corpus_stratified_sample",
+    "doc_repetition_stats",
+    "embedding_quantization_error",
+    "corpus_token_budget_fill",
+    "corpus_mixture_weights",
+    "doc_length_zscore_by_lang",
+    "doc_token_entropy",
+    "token_frequencies",
+    "doc_quality",
+    "corpus_quality_filtered",
+    "doc_top_tfidf_term",
+    "corpus_shuffled_shards",
+    "sequence_packing",
+    "bpe_merge_candidates",
+    "dedup_exact",
+    "dedup_corpus",
+    "near_dup_pairs_jaccard",
+    "near_dup_pairs_minhash",
+    "doc_winnowing_md5",
+    "label_centroids",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "synthetic_customers",
+    "engineered_customer_features",
+    "multimodal_decode_stats",
+    "stream_user_value_totals",
+    "stream_static_enriched_segments",
+    "doc_chunks_udtf",
+    "events_hourly",
+    "events_sliding_daily",
 ]
 
 

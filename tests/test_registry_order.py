@@ -8,26 +8,34 @@ from airflow_ml_pipeline_spark.plans import registry
 
 PREFIX = 50
 
-#: every operator family must land at least one query in the checked prefix
+#: every operator family must land AT LEAST ONE of its representatives in
+#: the checked prefix (rounds rotate which one: families go green via a
+#: full-representative sweep, then keep a single anchor so regressions in
+#: verified families are still witnessed while never-checked queries get
+#: driver rows)
 FAMILY_REPRESENTATIVES = {
-    "relational": {"custkeys_multiset_diff", "nation_balance_unpivot"},
+    "relational": {"custkeys_multiset_diff", "nation_balance_unpivot",
+                   "returnflag_priority_counts", "local_supplier_revenue"},
     "semi_structured": {"events_variant_stats", "user_eventtype_map_stats"},
-    "sketches": {"corpus_sketch_stats"},
+    "sketches": {"corpus_sketch_stats", "events_daily_rollup_merge"},
     "pandas_udf": {"doc_length_zscore_by_lang", "doc_token_entropy",
                    "lang_nchars_median_udaf"},
     "textstats": {"doc_stats", "doc_quality", "token_frequencies",
                   "doc_top_tfidf_term"},
     "serving": {"corpus_shuffled_shards", "sequence_packing",
-                "bpe_merge_candidates"},
+                "bpe_merge_candidates", "customer_pseudonymized"},
     "dedup": {"dedup_exact", "dedup_corpus", "near_dup_pairs_jaccard",
               "near_dup_pairs_minhash", "corpus_prepared"},
     "curation": {"benchmark_contamination", "corpus_stratified_sample",
-                 "near_dup_clusters", "corpus_token_budget_fill"},
+                 "near_dup_clusters", "corpus_token_budget_fill",
+                 "corpus_decontaminated"},
     "similarity": {"knn_cosine_bruteforce", "label_centroids", "ann_lsh_topk",
                    "ann_ivf_topk", "embedding_near_dup_pairs"},
     "ml_pipeline": {"synthetic_customers", "engineered_customer_features",
                     "customer_drift_profile", "churn_train_eval"},
     "multimodal": {"multimodal_decode_stats", "multimodal_features"},
+    "temporal": {"purchase_last_view_asof", "events_trailing_burst",
+                 "events_sessionized", "events_gap_fill"},
     "streaming": {f"stream_{s}" for s in (
         "events_hourly", "events_sessionized", "dedup_user_event_keys",
         "stateful_running_totals", "user_value_totals",
@@ -46,7 +54,7 @@ def test_priority_names_exist_and_are_unique():
 def test_prefix_covers_every_family():
     prefix = set(list(entry.queries())[:PREFIX])
     for family, reps in FAMILY_REPRESENTATIVES.items():
-        assert reps <= prefix, f"family {family} missing from checked prefix"
+        assert reps & prefix, f"family {family} missing from checked prefix"
 
 
 def test_ordering_preserves_full_registry():
