@@ -51,6 +51,12 @@ QUERIES = [
     ("sequence_packing", "documents"),
     ("bpe_merge_candidates", "documents"),
     ("embedding_dim_stats", "embeddings"),
+    ("simhash_fingerprints", "documents"),
+    ("doc_winnowing_fingerprints", "documents"),
+    ("doc_pii_scrub", "documents"),
+    ("embedding_near_dup_pairs", "embeddings"),
+    ("purchase_last_view_asof", "events"),
+    ("events_trailing_burst", "events"),
 ]
 
 FOOTER = """
@@ -114,14 +120,16 @@ def main() -> None:
         results[name] = []
         for sf in SFS:
             t0 = time.time()
-            qs[name](spark, sf).count()
+            # noop sink (not count): count() prunes projected columns, so a
+            # projection-only query would measure a bare scan (see bench.py)
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
             results[name].append((sizes[sf][table], time.time() - t0))
             print(f"# {name} @ {sf}: {results[name][-1][1]:.2f}s", file=sys.stderr)
 
     lines = [
         "# SCALING — wall time vs input size (generated by tools/scale_curve.py)",
         "",
-        "local[32], one query at a time, driver-side count() as the action.",
+        "local[32], one query at a time, noop-sink write as the action.",
         "`x100 ratio` = t(sf0.1)/t(sf0.001) against a 100x input increase —",
         "values well under 100 mean fixed costs dominate at these sizes;",
         "values near or above 100 would flag a super-linear operator.",
