@@ -103,12 +103,12 @@ CHECK_PRIORITY = [
     "embedding_dim_stats",
     "corpus_decontaminated",
     "lang_distribution",
-    "token_counts_bpeish",
     "langid_heuristic",
     "doc_length_histogram",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
     "doc_pii_scrub",
+    "dedup_incremental",
     # green anchors — one per already-verified operator family
     "returnflag_priority_counts",  # conditional hash agg (r1-fix witness)
     "corpus_sketch_stats",  # sketches / mergeable rollup
@@ -117,10 +117,11 @@ CHECK_PRIORITY = [
     "lang_nchars_median_udaf",  # UDAF surface
     "knn_cosine_bruteforce",  # similarity
     "customer_drift_profile",  # ML-pipeline oracle anchor
-    "churn_train_eval",  # ML train/eval (rows-only)
     # --- tier 2: checked only if the driver's budget exceeds the prefix ---
-    # (never-checked plan twins of prefix entries first, then the
-    # r01/r02-green remainder, family-grouped)
+    # (never-checked plan twins of prefix entries + the rows-only ML
+    # train/eval first, then the r01/r02-green remainder, family-grouped)
+    "churn_train_eval",
+    "token_counts_bpeish",
     "dedup_exact_normalized",
     "embedding_norms",
     "custkeys_multiset_diff",
