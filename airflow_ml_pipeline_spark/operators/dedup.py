@@ -198,24 +198,48 @@ def minhash_signatures(
     """doc_id -> array<long> MinHash signature (length ``n_hashes``).
 
     Shingle hash = xxhash64 & 0x7FFFFFFF (31-bit) so a*x stays inside int64
-    against the Mersenne prime 2^61-1. One explode + one groupBy; signature
-    aggregation is ``n_hashes`` independent mins → perfect map-side partials.
-    """
+    against the Mersenne prime 2^61-1.
+
+    ZERO-shuffle formulation: the signature is a per-document array
+    aggregate — hash the distinct-shingle array once, then each of the
+    ``n_hashes`` slots is ``array_min`` of the permuted hashes. The
+    earlier explode + groupBy(doc_id) shuffled every (doc_id, shingle)
+    row — 10-30x the corpus's token volume — just to take per-doc mins of
+    values that never leave their row; at 100 TB that shuffle is the
+    dominant cost of the whole discovery pipeline. The shingle-hash array
+    is materialized as a column before the per-slot lambdas reference it
+    (HOF lambdas are excluded from subexpression elimination — inlining
+    would re-hash all shingles per slot). ``n_shingles`` rides along for
+    downstream verification (|A|, |B|)."""
     a, b = _minhash_coefficients(n_hashes)
-    sh = _shingles(docs, n)
-    h = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
-    mins = [
-        F.min((h * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams(tokens(F.col("text")), n)).alias("grams"),
+    )
+    # shingle-less docs (shorter than n tokens) are dropped, matching the
+    # explode-based formulation where they produced no rows
+    hashed = grams.filter(F.size("grams") > 0).select(
+        "doc_id",
+        F.size("grams").alias("n_shingles"),
+        F.transform(
+            "grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit((1 << 31) - 1))
+        ).alias("h"),
+    )
+    # each slot is a scalar fold (no per-slot temp arrays — array_min over
+    # a transform would allocate n_hashes arrays per row, which benched
+    # slower than the old shuffle at local scale)
+    slots = [
+        F.aggregate(
+            "h",
+            F.lit(MERSENNE_P).cast("long"),
+            lambda acc, x: F.least(
+                acc, (x * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)
+            ),
+        )
         for i in range(n_hashes)
     ]
-    # the shingle count rides along in the SAME aggregation: downstream
-    # verification needs |A| and |B|, and computing them here avoids a whole
-    # second evaluation of the (possibly expensive) docs lineage
-    sig = sh.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("n_shingles"))
-    return sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature"),
-        "n_shingles",
+    return hashed.select(
+        "doc_id", F.array(*slots).alias("signature"), "n_shingles"
     )
 
 
