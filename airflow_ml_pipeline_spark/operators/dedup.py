@@ -225,22 +225,27 @@ def minhash_signatures(
             "grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit((1 << 31) - 1))
         ).alias("h"),
     )
-    # each slot is a scalar fold (no per-slot temp arrays — array_min over
-    # a transform would allocate n_hashes arrays per row, which benched
-    # slower than the old shuffle at local scale)
-    slots = [
-        F.aggregate(
-            "h",
-            F.lit(MERSENNE_P).cast("long"),
-            lambda acc, x: F.least(
-                acc, (x * F.lit(a[i]) + F.lit(b[i])) % F.lit(MERSENNE_P)
+    # ONE fold with an n_hashes-long array accumulator: per shingle hash x,
+    # permute x under all (a_i, b_i) at once (zip_with over the coefficient
+    # literals) and take the elementwise min against the accumulator. The
+    # expression tree is O(1) in n_hashes — n_hashes separate scalar folds
+    # (or array_min-over-transform slots) blow codegen up linearly and
+    # their compile time dominated the stage at 64 hashes
+    a_arr = F.array(*[F.lit(int(x)).cast("long") for x in a])
+    b_arr = F.array(*[F.lit(int(x)).cast("long") for x in b])
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), n_hashes)
+    sig = F.aggregate(
+        "h",
+        init,
+        lambda acc, x: F.zip_with(
+            F.zip_with(
+                a_arr, b_arr, lambda ai, bi: (x * ai + bi) % F.lit(MERSENNE_P)
             ),
-        )
-        for i in range(n_hashes)
-    ]
-    return hashed.select(
-        "doc_id", F.array(*slots).alias("signature"), "n_shingles"
+            acc,
+            lambda u, v: F.least(u, v),
+        ),
     )
+    return hashed.select("doc_id", sig.alias("signature"), "n_shingles")
 
 
 def lsh_candidate_pairs(
