@@ -83,6 +83,7 @@ HEADLINE = [
     "local_supplier_revenue",
     "dedup_exact",
     "dedup_corpus",
+    "dedup_incremental",
     "corpus_prepared",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
