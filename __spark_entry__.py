@@ -102,9 +102,9 @@ CHECK_PRIORITY = [
     "customer_pseudonymized",
     "embedding_dim_stats",
     "corpus_decontaminated",
-    "lang_distribution",
     "langid_heuristic",
-    "doc_length_histogram",
+    "doc_unigram_logprob",
+    "embedding_decontamination",
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
     "doc_pii_scrub",
@@ -122,6 +122,8 @@ CHECK_PRIORITY = [
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
     "token_counts_bpeish",
+    "lang_distribution",
+    "doc_length_histogram",
     "dedup_exact_normalized",
     "embedding_norms",
     "custkeys_multiset_diff",

@@ -343,3 +343,71 @@ def knn_join_bruteforce(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+EVAL_SPLIT_MOD = 25  # vec_id % 25 == 0 stands in for the eval/benchmark set
+LEAK_COS_THRESHOLD = 0.4  # tuned to the synthetic corpus's cosine range
+
+
+@query(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    ev AS (SELECT * FROM e WHERE vec_id % {EVAL_SPLIT_MOD} = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % {EVAL_SPLIT_MOD} != 0),
+    scored AS (
+        SELECT tr.vec_id, tr.label,
+               round(
+                 list_sum(list_transform(range(1, 65), i -> tr.v[i] * ev.v[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> tr.v[i] * tr.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> ev.v[i] * ev.v[i])))), 6) AS c
+        FROM tr CROSS JOIN ev
+    )
+    SELECT vec_id, label,
+           MAX(c) AS max_eval_cos,
+           CAST(COUNT(*) FILTER (c >= {LEAK_COS_THRESHOLD}) AS BIGINT)
+               AS n_eval_hits,
+           MAX(c) >= {LEAK_COS_THRESHOLD} AS is_leaked
+    FROM scored
+    GROUP BY vec_id, label
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: for every training vector, its
+    maximum cosine similarity against the eval/benchmark split, the number
+    of eval vectors above the leak threshold, and the resulting leak flag
+    — the semantic twin of n-gram benchmark decontamination
+    (``benchmark_contamination``) for corpora matched by meaning rather
+    than surface text.
+
+    Scale shape: the eval set is broadcast (eval/benchmark sets are small
+    by construction — thousands, not billions) and the training corpus
+    streams past it in one scan; the per-row work is |eval| fused dot
+    products inside codegen, and the only aggregation is per-train-vector
+    max/count. No LSH needed: exactness is affordable precisely because
+    one side is benchmark-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.broadcast(
+        emb.filter(F.col("vec_id") % EVAL_SPLIT_MOD == 0).select(
+            F.col("embedding").alias("evec")
+        )
+    )
+    tr = emb.filter(F.col("vec_id") % EVAL_SPLIT_MOD != 0)
+    c = F.round(cosine(F.col("embedding"), F.col("evec")), 6)
+    return (
+        tr.crossJoin(ev)
+        .select("vec_id", "label", c.alias("c"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("c").alias("max_eval_cos"),
+            F.count_if(F.col("c") >= LEAK_COS_THRESHOLD)
+            .cast("bigint")
+            .alias("n_eval_hits"),
+            (F.max("c") >= LEAK_COS_THRESHOLD).alias("is_leaked"),
+        )
+    )

@@ -345,3 +345,63 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("bucket_chars"),
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_corpus FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round((CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(25,6)))
+                       AS DOUBLE)
+                  - COUNT(*) * CAST(CAST(ln(n_corpus) AS DECIMAL(25,6))
+                       AS DOUBLE))
+                 / COUNT(*), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (t) CROSS JOIN total
+    GROUP BY doc_id, n_corpus
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-document mean log
+    probability of its tokens under the corpus's own unigram distribution
+    — the cheap stand-in for the KenLM-perplexity filter every pretraining
+    pipeline runs (low mean logprob = rare-token noise, boilerplate, or
+    wrong-language text).
+
+    Two aggregations: (1) the corpus vocabulary with counts — at 100 TB
+    this is the only full shuffle, and its output is vocabulary-sized, so
+    it broadcasts into (2) a per-document sum of per-token log counts.
+    avg_logprob = (Σ ln cnt(t) - n·ln N) / n, so the corpus total N never
+    needs to join per-token — it enters once per document. Each ln value
+    is rounded to 6dp before the sum (decimal-exact accumulation,
+    order-independent) so Spark and the oracle agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_corpus"))
+    ln6 = lambda c: F.log(c).cast("decimal(25,6)")  # noqa: E731
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(ln6(F.col("cnt").cast("double"))).cast("double").alias("s_ln"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (
+                F.col("s_ln")
+                - F.col("n_tokens") * ln6(F.col("n_corpus")).cast("double")
+            )
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_logprob"),
+    )
