@@ -169,6 +169,46 @@ def test_cluster_labels_converge_on_adversarial_chain(spark):
     assert {r.label for r in labels} == {0}
 
 
+def test_cluster_labels_match_union_find_on_random_graphs(spark):
+    """Property check: on arbitrary random edge sets the distributed CC
+    labels must equal a driver-side union-find (min-id representative).
+    Catches propagation bugs that hand-picked fixtures miss (multi-chain
+    merges, stars colliding with paths, duplicate edges)."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 90)
+        edges = [
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for x in parent:
+            comp_min.setdefault(find(x), x)
+            comp_min[find(x)] = min(comp_min[find(x)], x)
+        expected = {x: comp_min[find(x)] for x in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.label
+            for r in corpus_ops.near_dup_cluster_labels(pairs).collect()
+        }
+        assert got == expected, f"seed={seed} n={n} m={m}"
+
+
 def test_cluster_labels_raise_rather_than_return_partial(spark, monkeypatch):
     """If the round cap is artificially too small, the loop must fail loudly
     instead of returning partially-propagated labels."""
