@@ -106,9 +106,9 @@ CHECK_PRIORITY = [
     "doc_unigram_logprob",
     "embedding_decontamination",
     "simhash_fingerprints",
-    "doc_winnowing_fingerprints",
     "doc_pii_scrub",
     "dedup_incremental",
+    "multimodal_frame_samples",
     # green anchors — one per already-verified operator family
     "returnflag_priority_counts",  # conditional hash agg (r1-fix witness)
     "corpus_sketch_stats",  # sketches / mergeable rollup
@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (never-checked plan twins of prefix entries + the rows-only ML
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
+    "doc_winnowing_fingerprints",
     "token_counts_bpeish",
     "lang_distribution",
     "doc_length_histogram",

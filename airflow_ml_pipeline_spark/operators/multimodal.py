@@ -192,3 +192,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(offsets).alias("frame_ms"),
     )
+
+
+@query(
+    "multimodal_frame_samples",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0,
+                greatest(length(text) * 10 - 1, 0), 1000)) AS BIGINT)
+               AS frame_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_samples(spark, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out for the video modality, declared and
+    oracle-checked: one row per sampled timestamp, derived purely from the
+    duration metadata — the payload column never fans out (only offsets
+    do), which is what keeps frame sampling viable at 100 TB. The decode
+    of each sampled frame is the stub boundary; the row fan-out, modality
+    filter, and offset arithmetic are exact and engine-checked.
+
+    (``synthesize_media`` assigns modality round-robin: doc_id % 3 == 2 →
+    'video', duration_ms = 10 ms/char — the oracle restates both.)"""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media).select(
+        "media_id", F.col("frame_ms").cast("bigint").alias("frame_ms")
+    )
