@@ -72,7 +72,7 @@ CHECK_PRIORITY = [
     "purchase_last_view_asof",
     "events_trailing_burst",
     "events_sessionized",
-    "events_gap_fill",
+    "events_hourly_continuous",
     # restructured this round (plan/algorithm changed) — re-witness green
     "near_dup_clusters",
     "embedding_near_dup_pairs",
@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (never-checked plan twins of prefix entries + the rows-only ML
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
+    "events_gap_fill",
     "doc_winnowing_fingerprints",
     "token_counts_bpeish",
     "lang_distribution",
