@@ -89,7 +89,7 @@ CHECK_PRIORITY = [
     "events_funnel",
     "orders_retention_cohort",
     "events_latest_by_key",
-    "orders_by_weekday",
+    "corpus_weighted_sample",
     "part_type_edit_distance",
     "errors_before_purchase",
     "segment_acctbal_top_decile",
@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (never-checked plan twins of prefix entries + the rows-only ML
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
+    "orders_by_weekday",
     "events_gap_fill",
     "doc_winnowing_fingerprints",
     "token_counts_bpeish",

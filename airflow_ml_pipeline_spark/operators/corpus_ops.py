@@ -543,3 +543,60 @@ def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)
+                    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM documents
+    ),
+    mx AS (SELECT CAST(MAX(n_tokens) AS DOUBLE) AS max_tokens FROM scored)
+    SELECT doc_id, lang, n_tokens,
+           round(sqrt(n_tokens / max_tokens), 6) AS weight
+    FROM scored CROSS JOIN mx
+    WHERE u < sqrt(n_tokens / max_tokens)
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: each document is kept with
+    probability proportional to its weight (here sqrt of its relative
+    token count — the up-weight-longer-docs mixing heuristic), decided by
+    comparing a hash-derived uniform against the weight. No RNG state: the
+    uniform is md5(doc_id:text) → first 32 bits / 2^32, so the sample is
+    reproducible across engines, runs, and cluster sizes — and the DuckDB
+    oracle replays the identical draw.
+
+    Scale shape: one O(1)-row aggregate (corpus max) broadcast into a
+    per-row filter; no shuffle of the corpus itself. The same skeleton
+    serves any weight function (quality scores, language temperature,
+    domain mixing) — swap the weight expression, keep the draw."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), "text")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    mx = scored.agg(F.max("n_tokens").cast("double").alias("max_tokens"))
+    w = F.sqrt(F.col("n_tokens") / F.col("max_tokens"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("u") < w)
+        .select("doc_id", "lang", "n_tokens", F.round(w, 6).alias("weight"))
+    )
