@@ -59,6 +59,7 @@ HEADLINE = [
     "events_trailing_burst",
     "events_gap_fill",
     "events_hourly",
+    "events_hourly_continuous",
     "events_sliding_daily",
     "events_json_stats",
     "events_sessionized",
@@ -66,6 +67,7 @@ HEADLINE = [
     "doc_quality",
     "corpus_quality_filtered",
     "doc_top_tfidf_term",
+    "doc_unigram_logprob",
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "doc_chunks_udtf",
@@ -94,6 +96,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup_pairs",
+    "embedding_decontamination",
     "label_centroids",
     "stream_events_hourly",
     "stream_stateful_running_totals",

@@ -57,6 +57,12 @@ QUERIES = [
     ("embedding_near_dup_pairs", "embeddings"),
     ("purchase_last_view_asof", "events"),
     ("events_trailing_burst", "events"),
+    ("doc_unigram_logprob", "documents"),
+    ("embedding_decontamination", "embeddings"),
+    ("corpus_weighted_sample", "documents"),
+    ("dedup_incremental", "documents"),
+    ("doc_pii_scrub", "documents"),
+    ("events_hourly_continuous", "events"),
 ]
 
 FOOTER = """
