@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (never-checked plan twins of prefix entries + the rows-only ML
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
+    "multimodal_decode_stats",
     "orders_by_weekday",
     "events_gap_fill",
     "doc_winnowing_fingerprints",
@@ -158,7 +159,6 @@ CHECK_PRIORITY = [
     "ann_ivf_topk",
     "synthetic_customers",
     "engineered_customer_features",
-    "multimodal_decode_stats",
     "stream_user_value_totals",
     "stream_static_enriched_segments",
     "doc_chunks_udtf",

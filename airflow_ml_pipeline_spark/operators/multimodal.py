@@ -142,10 +142,31 @@ from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
 
-@query("multimodal_decode_stats")  # rows-only: stubbed codec kernel
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (ARRAY['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS modality,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CASE WHEN strlen(text) > 0
+                THEN CAST(list_sum(list_transform(
+                         range(1, strlen(text) + 1), i -> unicode(text[i])))
+                     AS DOUBLE) / strlen(text)
+                ELSE 0.0 END AS mean_intensity,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
 def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
-    """Binary-payload decode pipeline over the synthesized media table:
-    schema/batch plumbing is real, the codec kernel is the documented stub."""
+    """Binary-payload decode pipeline over the synthesized media table.
+    The codec kernel is the documented deterministic stub (byte stats +
+    content hash), which makes the whole path ORACLE-checkable: the DuckDB
+    twin restates the byte arithmetic over the corpus text (pure ASCII, so
+    codepoints == utf-8 bytes), so a green row proves the binary payloads
+    cross the Arrow/mapInPandas boundary byte-exactly — batch splits,
+    ordering, and encoding included. Swap the stub for a real codec and
+    the oracle reverts to rows-only; the plumbing guarantee stays."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
 
