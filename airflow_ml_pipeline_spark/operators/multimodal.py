@@ -171,7 +171,28 @@ def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
-@query("multimodal_features")  # rows-only: stubbed encoder kernel
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH comps AS (
+        SELECT doc_id,
+               list_transform(range(0, {EMBED_DIM}),
+                   i -> CAST(CAST(
+                            CAST(('0x' || substr(sha256(text), 2*i + 1, 2))
+                                 AS INTEGER) / 255.0
+                        AS REAL) AS DOUBLE)) AS v
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           (ARRAY['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS modality,
+           CAST({EMBED_DIM} AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           round(v[1], 6) AS c0,
+           round(v[2], 6) AS c1
+    FROM comps
+    """,
+)
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (binary -> embedding array), surfaced
     as scalar per-item facts for the harness.
@@ -182,6 +203,12 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
     sorts result columns through pandas, which cannot factorize ndarray
     cells — the same scalars-only output contract map-typed queries follow
     (see ``user_eventtype_map_stats``).
+
+    ORACLE-checked: the stub encoder derives components from sha256 digest
+    bytes, which DuckDB restates from the hex digest — including the
+    float32 quantization the Arrow schema applies (REAL round-trip cast).
+    A green row proves the encoder-stage Arrow path end-to-end; swap in a
+    real encoder and the entry reverts to rows-only.
     """
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
