@@ -105,7 +105,7 @@ CHECK_PRIORITY = [
     "langid_heuristic",
     "doc_unigram_logprob",
     "embedding_decontamination",
-    "simhash_fingerprints",
+    "simhash_md5",
     "doc_pii_scrub",
     "dedup_incremental",
     "multimodal_frame_samples",
@@ -122,6 +122,7 @@ CHECK_PRIORITY = [
     # train/eval first, then the r01/r02-green remainder, family-grouped)
     "churn_train_eval",
     "multimodal_decode_stats",
+    "simhash_fingerprints",
     "orders_by_weekday",
     "events_gap_fill",
     "doc_winnowing_fingerprints",

@@ -358,20 +358,30 @@ def simhash64(docs: DataFrame) -> DataFrame:
     lambdas are excluded from subexpression elimination, so inlining would
     re-hash all grams per bit position (same trap as
     ``winnowing_fingerprints``)."""
+    hashed = _simhash_grams(docs, lambda g: F.xxhash64(g))
+    return _simhash_vote(hashed, n_bits=63)
+
+
+def _simhash_grams(docs: DataFrame, hash_fn) -> DataFrame:
+    """(doc_id, n, h): distinct token 2-grams hashed by ``hash_fn``."""
     grams = docs.select(
         "doc_id",
         F.array_distinct(ngrams(tokens(F.col("text")), 2)).alias("grams"),
     )
-    hashed = grams.select(
+    return grams.select(
         "doc_id",
         F.size("grams").alias("n"),
-        F.transform("grams", lambda g: F.xxhash64(g)).alias("h"),
+        F.transform("grams", hash_fn).alias("h"),
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), 63)
+
+
+def _simhash_vote(hashed: DataFrame, n_bits: int) -> DataFrame:
+    """The per-bit majority vote over hashed feature arrays (see simhash64)."""
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
     # per-position bit masks as an array literal: the shift-amount args of
     # shiftleft/shiftrightunsigned must be python ints, so variable shifts
     # inside a lambda are expressed as mask tests instead
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
     bits = lambda x: F.transform(  # noqa: E731
         masks,
         lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
@@ -386,7 +396,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
         ).alias("counts"),
     )
     fp = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(n_bits):
         fp = fp.bitwiseOR(
             F.when(
                 F.element_at("counts", b + 1) * 2 > F.col("n"),
@@ -399,9 +409,57 @@ def simhash64(docs: DataFrame) -> DataFrame:
 @query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints for the corpus (near-dup = small hamming
-    distance; tests assert planted near-dups land within distance 8)."""
+    distance; tests assert planted near-dups land within distance 8).
+    The full vote algebra is oracle-verified by ``simhash_md5`` below —
+    this entry keeps the xxhash64 fast path (8-byte integer hashing vs
+    32-char hex strings)."""
     docs = load_spread(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+SIMHASH_MD5_BITS = 60  # 15 md5 hex chars -> 60 bits, inside signed int64
+
+
+@query(
+    "simhash_md5",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(text, ' ')) >= 2
+                   THEN list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' '
+                             || string_split(text, ' ')[i+1])
+                   ELSE [] END) AS grams
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, len(grams) AS n,
+               list_transform(grams,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+        FROM g WHERE len(grams) > 0
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {SIMHASH_MD5_BITS}),
+               b -> CASE WHEN 2 * len(list_filter(hs,
+                              v -> (v & (CAST(1 AS BIGINT) << b)) != 0)) > n
+                         THEN CAST(1 AS BIGINT) << b
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash twin: identical per-bit majority-vote
+    algebra as ``simhash_fingerprints`` but with md5-derived 60-bit
+    feature hashes (15 hex chars → int64), which DuckDB reproduces
+    exactly — so the vote kernel (distinct 2-grams, bit counting,
+    majority threshold, fingerprint assembly) is value-verified
+    end-to-end, the same twin pattern as ``doc_winnowing_md5``. The
+    xxhash64 variant stays the production fast path."""
+    docs = load_spread(spark, sf_dir, "documents")
+    hashed = _simhash_grams(
+        docs, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    return _simhash_vote(hashed, n_bits=SIMHASH_MD5_BITS)
 
 
 WINNOW_K = 8  # char k-gram length for the rolling hash
