@@ -167,7 +167,12 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holding a shuffle-sized intermediate in memory is exactly what not to
     # do at scale — each consumer re-derives it from the (OS-cached) scan
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc set size is a per-row expression — computing it by exploding
+    # and grouping back would shuffle every shingle row a second time
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("n"),
+    )
     pairs = _pair_shared_counts(sh)
     s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
