@@ -1,0 +1,86 @@
+"""Physical-plan contracts: the scale-critical plan properties the engine
+is designed around, asserted so a refactor cannot silently regress them.
+These are the claims PLANS.md documents as evidence — here they gate CI.
+
+Each assertion names the property it protects; `explain("formatted")`
+output is stable enough for substring checks on operator names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import dedup
+from airflow_ml_pipeline_spark.plans import registry
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+import __spark_entry__  # noqa: F401  (populates the registry)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fingerprint_stages_add_no_shuffle(spark, sf_dir):
+    """MinHash signatures and SimHash fingerprints are per-row projections:
+    over an unrepartitioned scan their plans must contain NO Exchange —
+    the round-3 rewrites exist precisely to keep fingerprinting off the
+    shuffle path at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    for frame in (dedup.minhash_signatures(docs), dedup.simhash64(docs)):
+        plan = _plan(frame)
+        assert "Exchange" not in plan, plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """The revenue rollup joins facts against broadcastable dims: the plan
+    must use broadcast hash joins, never a sort-merge (which would shuffle
+    the fact table on the join key)."""
+    plan = _plan(registry.QUERIES["revenue_by_segment"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scan_filters_push_down(spark, sf_dir):
+    """pricing_summary's shipdate predicate must reach the parquet scan
+    (row-group pruning at scale), and the scan must not read columns the
+    query never touches."""
+    plan = _plan(registry.QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema, plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    """knn's global top-k must execute as TakeOrderedAndProject (per
+    partition top-k + merge), not a full Sort + Limit."""
+    plan = _plan(registry.QUERIES["knn_cosine_bruteforce"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pair_kernels_never_cartesian(spark, sf_dir):
+    """The near-dup pair kernels must join on keys (shingle / bucket) —
+    a CartesianProduct in any of them means the candidate restriction
+    was lost and the query is quadratic in the corpus."""
+    for name in (
+        "near_dup_pairs_jaccard",
+        "near_dup_pairs_minhash",
+        "embedding_near_dup_pairs",
+    ):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_broadcast_eval_decontamination(spark, sf_dir):
+    """Both decontamination ops stream the corpus past a BROADCAST eval
+    side; a shuffle join here would move the 100 TB side."""
+    for name in ("benchmark_contamination", "embedding_decontamination"):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}:\n{plan}"
+        )
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
