@@ -12,12 +12,13 @@ from airflow_ml_pipeline_spark.operators.events import events_latest_by_key
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
 
-def test_daily_rollup_merge_is_lossless_and_within_tolerance(spark, sf_dir):
+def test_daily_rollup_merge_is_consistent_and_within_tolerance(spark, sf_dir):
     rows = temporal.events_daily_rollup_merge(spark, sf_dir).collect()
     assert rows, "rollup produced no days"
-    # HLL union of hourly partials must equal sketching the day directly,
-    # and the estimate must sit within the declared 5% of exact
-    assert all(r.merge_lossless == 1 for r in rows)
+    # HLL union of hourly partials must track sketching the day directly
+    # (within the 2% transition-zone bound; identical in exact mode), and
+    # the estimate must sit within the declared 5% of exact
+    assert all(r.merge_consistent == 1 for r in rows)
     assert all(r.users_sketch_ok == 1 for r in rows)
     # additive metrics must equal a direct daily aggregate exactly
     ev = load_table(spark, sf_dir, "events")
