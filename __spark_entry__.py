@@ -89,9 +89,9 @@ CHECK_PRIORITY = [
     "events_funnel",
     "orders_retention_cohort",
     "events_latest_by_key",
+    "user_value_totals_salted",
     "corpus_weighted_sample",
     "part_type_edit_distance",
-    "errors_before_purchase",
     "segment_acctbal_top_decile",
     "nation_eventtype_matrix",
     "ship_delay_profile",
@@ -123,6 +123,7 @@ CHECK_PRIORITY = [
     "churn_train_eval",
     "multimodal_decode_stats",
     "simhash_fingerprints",
+    "errors_before_purchase",
     "orders_by_weekday",
     "events_gap_fill",
     "doc_winnowing_fingerprints",

@@ -248,3 +248,29 @@ def events_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "user_value_totals_salted",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals through the SALTED two-phase aggregation
+    (functions/skew.py): phase 1 shuffles on (user_id, salt) so a hot
+    user's stream spreads across 16 reducers, phase 2 merges the tiny
+    per-salt partials. The oracle is the plain GROUP BY — salting is
+    result-transparent by construction (count and decimal-sum are
+    commutative monoids), which is exactly why it is safe to deploy
+    against a skewed key at 100 TB. The driver row proves transparency
+    end-to-end; AQE skew handling covers joins, this covers the hot
+    GROUP BY shape AQE cannot split."""
+    from airflow_ml_pipeline_spark.functions.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_sum(ev, ["user_id"], "value")
