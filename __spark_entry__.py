@@ -90,12 +90,12 @@ CHECK_PRIORITY = [
     "orders_retention_cohort",
     "events_latest_by_key",
     "user_value_totals_salted",
+    "segment_value_salted_join",
     "corpus_weighted_sample",
     "part_type_edit_distance",
     "segment_acctbal_top_decile",
     "nation_eventtype_matrix",
     "ship_delay_profile",
-    "returnflag_median_price_disc",
     "segment_balance_flags",
     "embedding_activation_stats",
     # never-checked LLM-data tier-2
@@ -124,6 +124,7 @@ CHECK_PRIORITY = [
     "multimodal_decode_stats",
     "simhash_fingerprints",
     "errors_before_purchase",
+    "returnflag_median_price_disc",
     "orders_by_weekday",
     "events_gap_fill",
     "doc_winnowing_fingerprints",

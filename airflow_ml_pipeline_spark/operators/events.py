@@ -274,3 +274,36 @@ def user_value_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count_sum(ev, ["user_id"], "value")
+
+
+@query(
+    "segment_value_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_value_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-dimension enrichment through the REPLICATED SALTED JOIN
+    (functions/skew.py): the big (event) side gets a random salt, the
+    dimension is replicated across all salts, and the join key becomes
+    (key, salt) — a hot user's events land on 16 tasks instead of one.
+    The oracle is the plain join + GROUP BY: salting is result-transparent
+    (every big row still meets exactly one copy of its dimension row).
+    This is the hand-applied fallback for the skew shapes AQE's runtime
+    splitting cannot reach (e.g. when the skewed side feeds a broadcast
+    that must stay sort-merge for memory reasons)."""
+    from airflow_ml_pipeline_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "user_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
