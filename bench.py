@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_corpus",
     "dedup_incremental",
+    "simhash_md5",
     "corpus_prepared",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
@@ -98,6 +99,8 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",
+    "user_value_totals_salted",
+    "segment_value_salted_join",
     "stream_events_hourly",
     "stream_stateful_running_totals",
     "stream_static_enriched_segments",
