@@ -373,6 +373,10 @@ def _simhash_grams(docs: DataFrame, hash_fn) -> DataFrame:
         "doc_id",
         F.array_distinct(ngrams(tokens(F.col("text")), 2)).alias("grams"),
     )
+    # docs with <2 tokens produce zero 2-grams; emitting them would yield a
+    # degenerate simhash=0 that spuriously clusters all tiny docs at distance
+    # 0 (and the md5 oracle filters them out). Drop, matching the minhash path.
+    grams = grams.filter(F.size("grams") > 0)
     return grams.select(
         "doc_id",
         F.size("grams").alias("n"),

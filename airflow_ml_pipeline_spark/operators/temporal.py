@@ -13,6 +13,8 @@ first, Pandas UDF only when semantics demand it):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -294,6 +296,28 @@ ROLLUP_CUTOFF = "2024-01-16 00:00:00"  # mid-corpus: ~half materialized, half li
 _ROLLUP_STAGE = "/tmp/spark_graft_rollup"
 
 
+def _rollup_stage_dir(sf_dir: str) -> str:
+    """Stage dir keyed on a content fingerprint of the source corpus, not just
+    the sf_dir basename: the fingerprint hashes the absolute sf_dir path plus
+    the (mtime_ns, size) of every file under events.parquet, so a corpus
+    regenerated in place, or two sf_dirs sharing a basename, get distinct
+    stage dirs instead of silently serving a stale rollup. In production this
+    is the refresh-watermark check of the scheduled incremental job."""
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_mtime_ns}:{st.st_size};".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ROLLUP_STAGE, f"{tag}-{h.hexdigest()[:16]}")
+
+
 @query(
     "events_hourly_continuous",
     oracle=f"""
@@ -315,12 +339,18 @@ def events_hourly_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — which is precisely what the oracle states. At 100 TB the
     query reads O(hours) pre-aggregated rows plus one raw partition
     instead of the whole fact table."""
-    import os
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_ROLLUP_STAGE, tag)
+    out = _rollup_stage_dir(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        materialize_hourly_rollup(spark, sf_dir, out, ROLLUP_CUTOFF)
+        # build into a per-process temp dir and publish with an atomic rename
+        # so concurrent sessions never observe (or clobber) a half-built store
+        tmp = f"{out}.build.{os.getpid()}"
+        materialize_hourly_rollup(spark, sf_dir, tmp, ROLLUP_CUTOFF)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # another session published first; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     merged = hourly_with_tail(spark, sf_dir, out, ROLLUP_CUTOFF)
     return merged.select(
         fmt_ts(F.col("bucket")).alias("bucket_ts"),

@@ -31,10 +31,14 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
       arrives as BIGINT nanoseconds → truncate to µs and convert
       (``timestamp_micros``), the same ns→µs truncation DuckDB applies.
     - naive ``timestamp[us]`` → Spark 4.x reads TIMESTAMP_NTZ. Watermarks
-      and ts arithmetic (``unix_micros``) require TIMESTAMP, so cast. The
-      session is pinned to UTC (session.py), so the cast reinterprets the
-      same wall-clock as a UTC instant — identical to DuckDB's treatment of
-      the naive value, no shift.
+      and ts arithmetic (``unix_micros``) require TIMESTAMP, so convert —
+      timezone-INDEPENDENTLY: the naive wall-clock becomes the same UTC
+      instant regardless of ``spark.sql.session.timeZone``. A bare cast
+      would interpret the wall-clock in the session zone (correct only
+      while session.py pins UTC); composing it with ``from_utc_timestamp``
+      over that same session zone cancels the offset, so a library caller
+      on an untuned non-UTC session still gets DuckDB's treatment of the
+      naive value — no shift.
     - ``timestamp[us, tz=UTC]`` → already TIMESTAMP; pass through.
 
     The cast happens at the scan boundary so every downstream operator
@@ -44,7 +48,10 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if dtype == "timestamp_ntz":
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        return df.withColumn(
+            col, F.from_utc_timestamp(F.col(col).cast("timestamp"), tz)
+        )
     return df
 
 

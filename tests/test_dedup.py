@@ -57,6 +57,19 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir, exact_pairs):
         assert bin(fp[a] ^ fp[b]).count("1") <= 12, (a, b)
 
 
+def test_simhash_drops_docs_with_no_2grams(spark):
+    """Docs with <2 tokens have zero 2-gram features; they must be DROPPED
+    (explode semantics, matching the minhash path and the md5 oracle's
+    len(grams)>0 filter) rather than emitted as a degenerate simhash=0 that
+    would cluster every tiny doc at distance 0 (round-3 ADVICE)."""
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words here"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    out = dedup.simhash64(docs)
+    assert {r.doc_id for r in out.collect()} == {3}
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()

@@ -61,3 +61,22 @@ def test_encoding_normalizes_to_same_instants(
         r.us for r in out.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
     ]
     assert micros == sorted(EXPECT_MICROS)
+
+
+def test_ntz_normalization_is_session_timezone_independent(spark, tmp_path):
+    """A library caller on an untuned non-UTC session must get the same
+    instants: the NTZ wall-clock is pinned to UTC regardless of
+    ``spark.sql.session.timeZone`` (round-3 ADVICE, catalog.py)."""
+    path = str(tmp_path / "events_ntz.parquet")
+    _write(path, pa.timestamp("us"), tz_aware=False)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = normalize_event_time(spark.read.parquet(path))
+        micros = [
+            r.us
+            for r in out.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+        ]
+        assert micros == sorted(EXPECT_MICROS)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

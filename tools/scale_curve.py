@@ -61,7 +61,6 @@ QUERIES = [
     ("embedding_decontamination", "embeddings"),
     ("corpus_weighted_sample", "documents"),
     ("dedup_incremental", "documents"),
-    ("doc_pii_scrub", "documents"),
     ("events_hourly_continuous", "events"),
 ]
 
