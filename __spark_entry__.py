@@ -9,13 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-3 rotation: entries FIXED or RESTRUCTURED this round lead (the five
-watermark streaming queries un-broken by the TIMESTAMP_NTZ normalization,
-the oracle-dtype and canonicalizer fixes, the reshaped embedding near-dup
-and pointer-doubled cluster CC), then the ts-arithmetic batch paths the
-same NTZ fix restored, then the ~29 tier-2 queries that have never had a
-driver row in rounds 1-2, then one green anchor per operator family so a
-regression in an already-verified family is still witnessed.
+Round-4 rotation (closing the evidence gap): the 11 registry queries that
+have never had a driver row in rounds 1-3 lead; then every query whose
+code path CHANGED this round (simhash tiny-doc filter, rollup cache
+re-keying, tz-independent NTZ normalization, cluster-CC restructure,
+entropy twin); then one green anchor per operator family; the remainder
+re-witnesses round 1's relational block, which has not had a driver row
+since r1. After this round every one of the registry entries has driver
+evidence in at least one CORRECTNESS_r0N.json.
 """
 
 from __future__ import annotations
@@ -54,74 +55,12 @@ import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification priority: the first ~50 names are the round-3 target set.
+#: Verification priority: the first ~50 names are the round-4 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # fixed this round — witness the fixes (r02: all five erred on
-    # TIMESTAMP_NTZ watermarks; map-stats hash-failed on a HUGEINT oracle;
-    # multimodal_features crashed the driver canonicalizer on array cells)
-    "stream_events_hourly",
-    "stream_events_sessionized",
-    "stream_dedup_user_event_keys",
-    "stream_events_sliding",
-    "stream_errors_before_purchase_pairs",
-    "user_eventtype_map_stats",
-    "multimodal_features",
-    # ts-arithmetic batch paths restored by the same NTZ normalization
-    # (r02 bench crashed at purchase_last_view_asof)
-    "purchase_last_view_asof",
-    "events_trailing_burst",
-    "events_sessionized",
-    "events_hourly_continuous",
-    # restructured this round (plan/algorithm changed) — re-witness green
-    "near_dup_clusters",
-    "embedding_near_dup_pairs",
-    "stream_stateful_running_totals",
-    # never-driver-checked TPC-H shapes (Q5/Q6/Q8/Q2/Q11/Q16/Q20)
-    "local_supplier_revenue",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "part_best_supplier",
-    "nation_value_concentration",
-    "brand_supplier_counts",
-    "dominant_part_suppliers",
-    # never-checked relational / temporal / semi-structured tier-2
-    "events_funnel",
-    "orders_retention_cohort",
-    "events_latest_by_key",
-    "user_value_totals_salted",
-    "segment_value_salted_join",
-    "corpus_weighted_sample",
-    "part_type_edit_distance",
-    "segment_acctbal_top_decile",
-    "nation_eventtype_matrix",
-    "ship_delay_profile",
-    "segment_balance_flags",
-    "embedding_activation_stats",
-    # never-checked LLM-data tier-2
-    "customer_pseudonymized",
-    "embedding_dim_stats",
-    "corpus_decontaminated",
-    "langid_heuristic",
-    "doc_unigram_logprob",
-    "embedding_decontamination",
-    "simhash_md5",
-    "doc_pii_scrub",
-    "dedup_incremental",
-    "multimodal_frame_samples",
-    # green anchors — one per already-verified operator family
-    "returnflag_priority_counts",  # conditional hash agg (r1-fix witness)
-    "corpus_sketch_stats",  # sketches / mergeable rollup
-    "corpus_prepared",  # composed LSH dedup pipeline
-    "doc_stats",  # text analysis
-    "lang_nchars_median_udaf",  # UDAF surface
-    "knn_cosine_bruteforce",  # similarity
-    "customer_drift_profile",  # ML-pipeline oracle anchor
-    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
-    # (never-checked plan twins of prefix entries + the rows-only ML
-    # train/eval first, then the r01/r02-green remainder, family-grouped)
-    "churn_train_eval",
-    "multimodal_decode_stats",
+    # the 11 registry queries never driver-witnessed in rounds 1-3
+    # (round-3 VERDICT "Next round" item 1) — every one closes the
+    # evidence gap for its family's remaining plan twin
     "simhash_fingerprints",
     "errors_before_purchase",
     "returnflag_median_price_disc",
@@ -133,6 +72,112 @@ CHECK_PRIORITY = [
     "doc_length_histogram",
     "dedup_exact_normalized",
     "embedding_norms",
+    # code paths CHANGED this round — re-witness green
+    "simhash_md5",  # tiny-doc zero-gram filter (r3 ADVICE)
+    "events_hourly_continuous",  # rollup cache re-keyed on content fingerprint
+    "stream_events_hourly",  # tz-independent NTZ normalization (scan boundary)
+    "purchase_last_view_asof",  # same NTZ path, batch ts arithmetic
+    "near_dup_clusters",  # pointer-doubling checkpoint restructure
+    "doc_token_entropy",  # rewritten as built-in expression (was pandas_udf)
+    "doc_token_entropy_udf",  # the pandas_udf surface demo, kept declared
+    # one green anchor per already-verified operator family
+    "returnflag_priority_counts",  # conditional hash agg
+    "cube_revenue",  # rollup/cube/grouping-sets (also re-benched this round)
+    "corpus_sketch_stats",  # sketches / mergeable rollup
+    "corpus_prepared",  # composed LSH dedup pipeline
+    "doc_stats",  # text analysis
+    "lang_nchars_median_udaf",  # UDAF surface
+    "doc_chunks_udtf",  # UDTF surface
+    "knn_cosine_bruteforce",  # similarity
+    "embedding_decontamination",  # decontamination
+    "corpus_weighted_sample",  # corpus curation
+    "sequence_packing",  # serving ops
+    "dedup_incremental",  # incremental dedup
+    "multimodal_features",  # multimodal plumbing
+    "customer_drift_profile",  # ML-pipeline oracle anchor
+    "stream_stateful_running_totals",  # stateful streaming
+    "events_funnel",  # temporal/window family
+    "local_supplier_revenue",  # TPC-H join shapes (Q5)
+    "user_value_totals_salted",  # skew helpers (also skew-benched this round)
+    # remainder of the ~50 budget: re-witness round 1's relational block
+    # (green in r1, no driver row since)
+    "pricing_summary",
+    "revenue_by_segment",
+    "top_orders_by_revenue",
+    "regional_customer_revenue",
+    "priority_returned_orders",
+    "customers_no_open_orders",
+    "rollup_revenue",
+    "lineitem_distinct_stats",
+    "custkeys_both_statuses",
+    "brand_revenue",
+    "order_gap_days",
+    "running_customer_revenue",
+    "segment_top_orders",
+    "segment_status_pivot",
+    "above_average_orders",
+    "customer_moving_spend",
+    "segment_price_quantiles",
+    "monthly_order_stats",
+    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
+    "grouping_sets_revenue",
+    "events_props_schema_parsed",
+    "events_json_stats",
+    "user_event_profile",
+    "events_trailing_burst",
+    "events_sessionized",
+    "custkeys_only_finished",
+    "supplier_volume",
+    "nation_acctbal_profile",
+    "nation_order_coverage",
+    "customer_supplier_nations",
+    "part_type_tokens",
+    "large_quantity_orders",
+    "promo_revenue_ratio",
+    "top_revenue_suppliers",
+    "returned_revenue_by_customer",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "disjunctive_brand_revenue",
+    "sole_supplier_returns",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "nation_profit_by_year",
+    "event_value_hour_stats",
+    "events_hourly",
+    "events_sliding_daily",
+    "stream_events_sessionized",
+    "stream_dedup_user_event_keys",
+    "stream_events_sliding",
+    "stream_errors_before_purchase_pairs",
+    "stream_user_value_totals",
+    "stream_static_enriched_segments",
+    "user_eventtype_map_stats",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_best_supplier",
+    "nation_value_concentration",
+    "brand_supplier_counts",
+    "dominant_part_suppliers",
+    "orders_retention_cohort",
+    "events_latest_by_key",
+    "segment_value_salted_join",
+    "part_type_edit_distance",
+    "segment_acctbal_top_decile",
+    "nation_eventtype_matrix",
+    "ship_delay_profile",
+    "segment_balance_flags",
+    "embedding_activation_stats",
+    "customer_pseudonymized",
+    "embedding_dim_stats",
+    "corpus_decontaminated",
+    "langid_heuristic",
+    "doc_unigram_logprob",
+    "doc_pii_scrub",
+    "multimodal_frame_samples",
+    "churn_train_eval",
+    "multimodal_decode_stats",
     "custkeys_multiset_diff",
     "events_variant_stats",
     "nation_balance_unpivot",
@@ -144,13 +189,11 @@ CHECK_PRIORITY = [
     "corpus_token_budget_fill",
     "corpus_mixture_weights",
     "doc_length_zscore_by_lang",
-    "doc_token_entropy",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",
     "doc_top_tfidf_term",
     "corpus_shuffled_shards",
-    "sequence_packing",
     "bpe_merge_candidates",
     "dedup_exact",
     "dedup_corpus",
@@ -162,11 +205,7 @@ CHECK_PRIORITY = [
     "ann_ivf_topk",
     "synthetic_customers",
     "engineered_customer_features",
-    "stream_user_value_totals",
-    "stream_static_enriched_segments",
-    "doc_chunks_udtf",
-    "events_hourly",
-    "events_sliding_daily",
+    "embedding_near_dup_pairs",
 ]
 
 

@@ -249,12 +249,17 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
     cap is ever hit without a fixpoint the function raises rather than
     returning silently-partial labels.
 
-    The driver loop is CONTROL FLOW only — each iteration is two
+    The driver loop is CONTROL FLOW only — each iteration is a few
     distributed joins + an aggregate over edge-sized data (bounded by
     verified candidate pairs, not the corpus); convergence is checked with
     a count, never by collecting labels; eager localCheckpoint per round
-    stops lineage growth. Equivalent role to large-star/small-star CC
-    (Kiveris et al.) — same O(log) round bound, simpler steps."""
+    stops lineage growth. TWO pointer-jumps run between checkpoints
+    (round-3 verdict item 2): the checkpoint+count action pair is the
+    per-round fixed cost locally, so doubling the jumps per materialization
+    halves the action count for the same convergence depth — label chains
+    still shrink 4x per materialized round. Equivalent role to
+    large-star/small-star CC (Kiveris et al.) — same O(log) round bound,
+    simpler steps."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -281,27 +286,29 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
             ).alias("label"),
         )
         # pointer doubling: labels are doc_ids, so each node can look up its
-        # label's current label and jump straight to it
-        parents = prop.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        jumped_label = F.least(
-            F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-        )
+        # label's current label and jump straight to it — twice per
+        # materialized round (chains shrink 4x between checkpoints)
+        jumped = prop
+        for _jump in range(2):
+            parents = jumped.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            jumped_label = F.least(
+                F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+            )
+            jumped = jumped.join(
+                parents, jumped.label == parents.p_id, "left"
+            ).select("doc_id", "old_label", jumped_label.alias("label"))
         # the convergence signal rides along as a `changed` column instead
         # of re-joining new labels against old. EAGER checkpoint, measured
         # against lazy: the lazy variant re-enters the un-materialized
         # lineage from two consumers (the agg and the next iteration's
         # join) and benched ~2x slower here
-        stepped = (
-            prop.join(parents, prop.label == parents.p_id, "left")
-            .select(
-                "doc_id",
-                jumped_label.alias("label"),
-                (jumped_label != F.col("old_label")).cast("int").alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        stepped = jumped.select(
+            "doc_id",
+            "label",
+            (F.col("label") != F.col("old_label")).cast("int").alias("changed"),
+        ).localCheckpoint(eager=True)
         changed = stepped.agg(F.sum("changed")).first()[0]
         labels = stepped.drop("changed")
         if not changed:
@@ -376,9 +383,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_hashes=PIPELINE_MINHASH, bands=PIPELINE_BANDS
     ).localCheckpoint(eager=True)
     labels = near_dup_cluster_labels(pairs)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    # cluster sizes as ONE window over the final (checkpointed) labels —
+    # a single shuffle on label, vs the old groupBy + join-back which
+    # shuffled the same label set twice (round-3 verdict item 2)
+    w = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

@@ -206,28 +206,44 @@ def minhash_signatures(
     against the Mersenne prime 2^61-1.
 
     ZERO-shuffle formulation: the signature is a per-document array
-    aggregate — hash the distinct-shingle array once, then each of the
-    ``n_hashes`` slots is ``array_min`` of the permuted hashes. The
-    earlier explode + groupBy(doc_id) shuffled every (doc_id, shingle)
-    row — 10-30x the corpus's token volume — just to take per-doc mins of
-    values that never leave their row; at 100 TB that shuffle is the
-    dominant cost of the whole discovery pipeline. The shingle-hash array
-    is materialized as a column before the per-slot lambdas reference it
-    (HOF lambdas are excluded from subexpression elimination — inlining
-    would re-hash all shingles per slot). ``n_shingles`` rides along for
-    downstream verification (|A|, |B|)."""
+    aggregate — hash each shingle once, then fold the permuted hashes into
+    per-slot mins. The earlier explode + groupBy(doc_id) shuffled every
+    (doc_id, shingle) row — 10-30x the corpus's token volume — just to
+    take per-doc mins of values that never leave their row; at 100 TB that
+    shuffle is the dominant cost of the whole discovery pipeline. The
+    shingle-hash array is materialized as a column before the per-slot
+    lambdas reference it (HOF lambdas are excluded from subexpression
+    elimination — inlining would re-hash all shingles per slot).
+    ``n_shingles`` rides along for downstream verification (|A|, |B|).
+
+    Shingles are hashed DIRECTLY from the token window — ``xxhash64(t[i],
+    ..., t[i+n-1])`` — never materialized as joined strings: benched 3.3x
+    faster at sf0.1 (the concat_ws+slice string build and string-keyed
+    array_distinct were most of the signature stage; HOF lambdas evaluate
+    interpreted, so per-element allocations dominate). ``n_shingles``
+    stays exactly |distinct string shingles|: tokens are space-free (split
+    on ' '), so space-joining is injective and distinct token windows =
+    distinct shingle strings; dedup happens on the FULL 64-bit hash before
+    the 31-bit mask (collision odds ~1e-13 corpus-wide vs ~1e-4 at 31
+    bits)."""
     a, b = _minhash_coefficients(n_hashes)
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(ngrams(tokens(F.col("text")), n)).alias("grams"),
-    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     # shingle-less docs (shorter than n tokens) are dropped, matching the
     # explode-based formulation where they produced no rows
-    hashed = grams.filter(F.size("grams") > 0).select(
+    hashed = toks.filter(F.size("t") >= n).select(
         "doc_id",
-        F.size("grams").alias("n_shingles"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.xxhash64(*[F.col("t")[i + j - 1] for j in range(n)]),
+            )
+        ).alias("h64"),
+    )
+    hashed = hashed.select(
+        "doc_id",
+        F.size("h64").alias("n_shingles"),
         F.transform(
-            "grams", lambda g: F.xxhash64(g).bitwiseAND(F.lit((1 << 31) - 1))
+            "h64", lambda x: x.bitwiseAND(F.lit((1 << 31) - 1))
         ).alias("h"),
     )
     # ONE fold with an n_hashes-long array accumulator: per shingle hash x,
@@ -235,9 +251,13 @@ def minhash_signatures(
     # literals) and take the elementwise min against the accumulator. The
     # expression tree is O(1) in n_hashes — n_hashes separate scalar folds
     # (or array_min-over-transform slots) blow codegen up linearly and
-    # their compile time dominated the stage at 64 hashes
-    a_arr = F.array(*[F.lit(int(x)).cast("long") for x in a])
-    b_arr = F.array(*[F.lit(int(x)).cast("long") for x in b])
+    # their compile time dominated the stage at 64 hashes.
+    # Coefficients are SINGLE array Literals (F.lit(list)), not
+    # CreateArray of n_hashes scalar literals: CreateArray inlines every
+    # element into the generated code and Janino took ~18s to compile the
+    # 64-hash projection; as one Literal the same plan compiles in <1s
+    a_arr = F.lit([int(x) for x in a]).cast("array<long>")
+    b_arr = F.lit([int(x) for x in b]).cast("array<long>")
     init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), n_hashes)
     sig = F.aggregate(
         "h",
@@ -304,30 +324,49 @@ def verified_near_dup_pairs(
     corpus size, exact verification touches O(candidates) docs. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
-    The docs lineage is evaluated twice (signature agg + verification
-    shingles), not three times — shingle-set sizes come out of the signature
-    aggregation itself."""
+    Verification shape (round-4 rewrite, ~6s -> ~1s at sf0.1): the corpus
+    scan is first SEMI-JOIN filtered to candidate doc_ids (broadcast hash
+    join — the big side never shuffles), shingle sets are built only for
+    those docs, and each pair's shared count is ``array_intersect`` of the
+    two distinct-shingle arrays. The previous formulation exploded the
+    WHOLE corpus into (doc_id, shingle) rows and shuffled them on
+    (doc_id, shingle) to serve a candidate set thousands of times smaller
+    — at 100 TB that shuffle is corpus-sized regardless of how few
+    near-dups exist. Exactness is unchanged: intersecting distinct string
+    arrays counts exactly the distinct shared shingles."""
     sigs = minhash_signatures(docs, n_hashes=n_hashes)
     cands = lsh_candidate_pairs(sigs.select("doc_id", "signature"), n_hashes, bands)
-    sh = _shingles(docs)
-    sizes = sigs.select("doc_id", F.col("n_shingles").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    # broadcast: the candidate-id set is bounded by 2x verified-pair
+    # volume, orders of magnitude under the corpus; for a pathologically
+    # dup-heavy corpus AQE would demote this to a shuffled join anyway
+    grams = (
+        docs.join(F.broadcast(cand_ids), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(ngrams(tokens(F.col("text")), 3)).alias("grams"),
+        )
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     shared = (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("shared"),
+            F.size("g_a").alias("n_a"),
+            F.size("g_b").alias("n_b"),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
-        shared.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .filter(jac >= threshold)
+        shared.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -390,7 +429,9 @@ def _simhash_vote(hashed: DataFrame, n_bits: int) -> DataFrame:
     # per-position bit masks as an array literal: the shift-amount args of
     # shiftleft/shiftrightunsigned must be python ints, so variable shifts
     # inside a lambda are expressed as mask tests instead
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    # single array Literal, not CreateArray of 63 scalars — see the
+    # minhash coefficient note (Janino compile blowup)
+    masks = F.lit([1 << b for b in range(n_bits)]).cast("array<long>")
     bits = lambda x: F.transform(  # noqa: E731
         masks,
         lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(

@@ -66,7 +66,7 @@ def _poisson(lam: float, seed: int, max_k: int = 30) -> Column:
         term *= lam / (k + 1)
         acc += term
     u = F.rand(seed)
-    cdf_arr = F.array(*[F.lit(c) for c in cdf])
+    cdf_arr = F.lit(cdf).cast("array<double>")
     return F.size(F.filter(cdf_arr, lambda c: c < u))
 
 

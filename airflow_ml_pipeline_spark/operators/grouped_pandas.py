@@ -75,12 +75,68 @@ def doc_length_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas_udf (Arrow-batched) computing per-document Shannon
-    entropy of the token distribution — a kernel that is awkward as pure SQL
-    but one vectorized pandas expression. Oracle reproduces it with list
-    lambdas; both sides sum float terms over the same distinct-token order?
-    No — term ORDER differs, so both sides round to 6dp after summing ~30
-    near-unit terms (error ~1e-15, boundary risk negligible)."""
+    """Per-document Shannon entropy of the token distribution as PURE
+    built-in array expressions — a zero-shuffle, whole-stage-codegen
+    projection mirroring the oracle's own list-lambda formulation
+    (round-3 verdict item 3: the scalar pandas_udf version benched 9x
+    slower on Arrow transfer alone; it survives as the declared UDF-surface
+    demo ``doc_token_entropy_udf``).
+
+    Each stage (tokens, distinct, freqs) materializes as a column before
+    the next lambda references it — higher-order lambdas are excluded from
+    common-subexpression elimination, so inlining would re-split the text
+    per distinct token. Term order differs from DuckDB's list_distinct
+    order, so both sides round to 6dp after the sum (error ~1e-15)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    dist = toks.select(
+        "doc_id", "toks", F.array_distinct("toks").alias("dist")
+    )
+    freqs = dist.select(
+        "doc_id",
+        F.transform(
+            "dist",
+            lambda w: F.size(F.filter("toks", lambda t: t == w))
+            / F.size("toks"),
+        ).alias("freqs"),
+    )
+    return freqs.select(
+        "doc_id",
+        F.round(
+            -F.aggregate(
+                "freqs",
+                F.lit(0.0),
+                lambda acc, p: acc + p * F.log(p),
+            ),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
+@query(
+    "doc_token_entropy_udf",
+    oracle="""
+    SELECT doc_id,
+           round(-list_sum(list_transform(freqs,
+                 p -> CASE WHEN p > 0 THEN p * ln(p) ELSE 0.0 END)), 6) AS token_entropy
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       list_distinct(string_split(text, ' ')),
+                       w -> len(list_filter(string_split(text, ' '), t -> t = w))),
+                   c -> CAST(c AS DOUBLE) / len(string_split(text, ' '))) AS freqs
+        FROM documents
+    )
+    """,
+)
+def doc_token_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-batched) twin of ``doc_token_entropy`` —
+    kept as the declared UDF-surface exemplar (same oracle proves the Arrow
+    batch path computes identically to the built-in expression). The
+    built-in version is the production query; this one exists to verify
+    the pandas_udf machinery end-to-end before trusting it with kernels
+    SQL genuinely can't express."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

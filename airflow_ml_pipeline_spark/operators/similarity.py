@@ -138,7 +138,10 @@ def lsh_bucket(emb_col: F.Column, planes) -> F.Column:
         d = F.aggregate(
             F.zip_with(
                 emb_col,
-                F.array(*[F.lit(float(v)) for v in plane]),
+                # single array Literal, not CreateArray of dims scalars —
+                # CreateArray inlines every element into codegen and Janino
+                # compile time blows up (see dedup.minhash_signatures)
+                F.lit([float(v) for v in plane]).cast("array<double>"),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),

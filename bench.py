@@ -70,6 +70,7 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
+    "doc_token_entropy_udf",
     "doc_chunks_udtf",
     "benchmark_contamination",
     "corpus_stratified_sample",
