@@ -12,6 +12,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from airflow_ml_pipeline_spark.functions.compare import (
+    DEC,
     SQL_DAVG,
     SQL_DSUM,
     davg,
@@ -34,11 +35,24 @@ SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
     """,
 )
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations in one Expand + hash agg."""
+    """CUBE over pre-aggregated partials: the finest grouping is computed
+    first (ordinary map-side-combining hash agg), then CUBE expands only
+    the ~|flag x status| partial rows. A bare ``li.cube(...)`` plans
+    Expand x4 over every fact row — 4x the shuffle volume at 100 TB for
+    an answer the partials determine exactly (decimal sums and counts are
+    associative). Benched ~4x faster at sf0.1 (round-3 verdict item 5:
+    the apparent r1->r3 regression was the count-action pruning the sum;
+    this rewrite beats even that under-measured number)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("rev_part").cast("double").alias("revenue"),
+        F.sum("n_part").alias("n_items"),
     )
 
 
@@ -329,7 +343,13 @@ def events_props_schema_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping_id disambiguation (NULL group
-    values vs NULL-from-rollup are distinguishable only via grouping())."""
+    values vs NULL-from-rollup are distinguishable only via grouping()).
+
+    Pre-aggregates to the finest grouping before the GROUPING SETS pass —
+    the Expand then multiplies ~6 partial rows, not the fact table, and
+    ``grouping()`` still reports the outer grouping-set membership
+    (it reflects the set, not the data). Same rewrite + rationale as
+    cube_revenue."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__gs_lineitem")
     return spark.sql(
@@ -337,9 +357,14 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
                    AS grouping_level,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
-        FROM __gs_lineitem
+               CAST(SUM(rev_part) AS DOUBLE) AS revenue
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,6))) AS rev_part
+            FROM __gs_lineitem
+            GROUP BY l_returnflag, l_linestatus
+        )
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
         """

@@ -100,6 +100,16 @@ FOOTER = """
   execute as per-partition top-1 after one key shuffle; on a bucketed
   changelog the shuffle disappears and compaction runs per ingestion
   batch.
+- **Expand pre-aggregation** (`cube_revenue`, `rollup_revenue`,
+  `grouping_sets_revenue`): the round-1 -> round-3 "regression" on
+  these was methodology, not a plan change — r1 timed `count()`, which
+  lets Catalyst prune the decimal SUM out of the plan entirely (cube
+  benched 0.4s under count vs 2.0s under the honest noop sink at
+  sf0.1). The round-4 rewrite pre-aggregates to the finest grouping
+  before CUBE/ROLLUP/GROUPING SETS, so Expand multiplies ~6 partial
+  rows instead of every fact row (4x shuffle volume at 100 TB);
+  noop-sink times dropped cube 2.0->0.9s, grouping_sets 1.8->0.9s,
+  rollup 1.6->0.75s at sf0.1.
 """
 
 
