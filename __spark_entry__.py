@@ -99,6 +99,7 @@ CHECK_PRIORITY = [
     "events_funnel",  # temporal/window family
     "local_supplier_revenue",  # TPC-H join shapes (Q5)
     "user_value_totals_salted",  # skew helpers (also skew-benched this round)
+    "user_distinct_values_salted",  # NEW: value-salted exact distinct count
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

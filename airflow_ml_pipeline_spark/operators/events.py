@@ -268,12 +268,40 @@ def user_value_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-transparent by construction (count and decimal-sum are
     commutative monoids), which is exactly why it is safe to deploy
     against a skewed key at 100 TB. The driver row proves transparency
-    end-to-end; AQE skew handling covers joins, this covers the hot
-    GROUP BY shape AQE cannot split."""
+    end-to-end. Scope note (measured, tools/skew_demo.py): for algebraic
+    aggregates like these, Spark's map-side combine already neutralizes
+    hot keys, so this helper is the fallback for buffer-heavy aggregates
+    and engines without partial aggregation; the Spark-native skew wins
+    are ``user_distinct_values_salted`` (distinct-count) and
+    ``segment_value_salted_join`` (join)."""
     from airflow_ml_pipeline_spark.functions.skew import salted_count_sum
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count_sum(ev, ["user_id"], "value")
+
+
+@query(
+    "user_distinct_values_salted",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_distinct_values_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user COUNT(DISTINCT value) through the value-salted
+    two-phase kernel (functions/skew.py::salted_count_distinct). This is
+    the aggregation shape where salting genuinely wins in Spark: plain
+    distinct-count funnels every distinct (key, value) pair of a hot key
+    into one reducer — map-side dedup shrinks volume, not fan-in — while
+    the hash(value)-derived salt splits the distinct set into disjoint
+    slices whose counts add exactly. The oracle is the plain GROUP BY:
+    salting is result-transparent by construction."""
+    from airflow_ml_pipeline_spark.functions.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["user_id"], "value")
 
 
 @query(

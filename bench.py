@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_decontamination",
     "label_centroids",
     "user_value_totals_salted",
+    "user_distinct_values_salted",
     "segment_value_salted_join",
     "stream_events_hourly",
     "stream_stateful_running_totals",

@@ -30,6 +30,25 @@ def test_salted_aggregation_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_count_distinct_equals_plain(spark, sf_dir):
+    """Value-hash salt slices the distinct set disjointly, so per-salt
+    distinct counts add back to the exact plain COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: r.n_distinct
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_extendedprice").alias("n_distinct"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: r.n_distinct
+        for r in skew.salted_count_distinct(
+            li, ["l_returnflag"], "l_extendedprice"
+        ).collect()
+    }
+    assert salted == plain
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     part = load_table(spark, sf_dir, "part").select(
