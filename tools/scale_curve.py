@@ -111,6 +111,14 @@ FOOTER = """
   execute as per-partition top-1 after one key shuffle; on a bucketed
   changelog the shuffle disappears and compaction runs per ingestion
   batch.
+- **Serving latency** (D5, measured by `tools/serve_bench.py` over real
+  HTTP, 40 requests after warmup): POST /predict p50/p95 = 5.6/6.7 ms
+  single-row, 141/173 ms for a 100-row batch (1.4 ms/row). The route
+  scores driver-side — pure-Python feature twin + pyspark.ml's
+  single-instance predictProbability, parity-tested against the Spark
+  transform path — because a per-request Spark job costs ~515 ms flat
+  (the pre-fast-path measurement); champions without the
+  single-instance API fall back to the exact training transform path.
 - **Expand pre-aggregation** (`cube_revenue`, `rollup_revenue`,
   `grouping_sets_revenue`): the round-1 -> round-3 "regression" on
   these was methodology, not a plan change — r1 timed `count()`, which
