@@ -97,6 +97,7 @@ CHECK_PRIORITY = [
     "customer_drift_profile",  # ML-pipeline oracle anchor
     "stream_stateful_running_totals",  # stateful streaming
     "events_funnel",  # temporal/window family
+    "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "local_supplier_revenue",  # TPC-H join shapes (Q5)
     "user_value_totals_salted",  # skew helpers (also skew-benched this round)
     "user_distinct_values_salted",  # NEW: value-salted exact distinct count
@@ -154,7 +155,6 @@ CHECK_PRIORITY = [
     "stream_errors_before_purchase_pairs",
     "stream_user_value_totals",
     "stream_static_enriched_segments",
-    "user_eventtype_map_stats",
     "forecast_revenue_change",
     "nation_market_share",
     "part_best_supplier",
