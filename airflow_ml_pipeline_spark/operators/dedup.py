@@ -34,7 +34,16 @@ N_MINHASH = 32  # minhash signature length
 LSH_BANDS = 16  # 16 bands x 2 rows: P(candidate | J=0.8) = 1-(1-0.8^2)^16 ~ 0.9999;
 # false candidates from low-J pairs are cheap because the exact-Jaccard
 # verification step filters them
-MERSENNE_P = (1 << 61) - 1
+# Mersenne-31: the permutation (a*x + b) mod P must WRAP to mix. With
+# 31-bit x and 31-bit coefficients the product spans ~2^62, i.e. ~2^31
+# multiples of this P — a proper universal family inside exact int64
+# arithmetic. (The round-1..3 value was 2^61-1: with a,b ~ 2^31 the
+# product never exceeded ~2P, the map was monotone in x for almost every
+# slot, and all n_hashes "permutations" collapsed into rank-of-min-x —
+# one effective permutation. Caught in round 4 when two J>=0.9 pairs
+# missed every band at sf0.1: the pair-difference shingle happened to
+# carry the corpus-minimal 31-bit hash and dominated 54/64 slots.)
+MERSENNE_P = (1 << 31) - 1
 # corpus_prepared's discovery banding: dense enough that missing a true
 # J>=0.5 pair is a ~1e-4 event per pair, so the LSH-composed pipeline
 # reproduces the exact-kernel oracle on the test corpora (asserted in tests)
@@ -188,12 +197,15 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_coefficients(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
-    """Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod p."""
+    """Deterministic (a, b) for h_i(x) = (a_i*x + b_i) mod MERSENNE_P,
+    drawn uniformly over the field (a != 0) so every slot is an
+    independent member of the universal family — see the MERSENNE_P note
+    for why coefficient range and modulus must match."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=n_hashes).tolist()
-    b = rng.randint(0, 1 << 31, size=n_hashes).tolist()
+    a = rng.randint(1, MERSENNE_P, size=n_hashes).tolist()
+    b = rng.randint(0, MERSENNE_P, size=n_hashes).tolist()
     return a, b
 
 
@@ -202,8 +214,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id -> array<long> MinHash signature (length ``n_hashes``).
 
-    Shingle hash = xxhash64 & 0x7FFFFFFF (31-bit) so a*x stays inside int64
-    against the Mersenne prime 2^61-1.
+    Shingle hash = xxhash64 & 0x7FFFFFFF (31-bit); permutations are
+    (a*x + b) mod (2^31 - 1) with field-sized coefficients, so the 62-bit
+    product both stays inside exact int64 arithmetic AND wraps ~2^31
+    times — a genuinely universal family (see the MERSENNE_P note for the
+    degenerate 2^61-1 variant this replaces).
 
     ZERO-shuffle formulation: the signature is a per-document array
     aggregate — hash each shingle once, then fold the permuted hashes into

@@ -57,6 +57,25 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir, exact_pairs):
         assert bin(fp[a] ^ fp[b]).count("1") <= 12, (a, b)
 
 
+def test_minhash_permutations_actually_permute():
+    """Regression for the round-1..3 degenerate family: with P=2^61-1 and
+    31-bit coefficients the product never wrapped, every slot's min was
+    the min-x element, and all 64 'permutations' collapsed into one (two
+    J>=0.9 pairs missed every LSH band at sf0.1). A universal family must
+    give different slots different argmins over a random value set."""
+    import random
+
+    a, b = dedup._minhash_coefficients(64)
+    rng = random.Random(123)
+    xs = [rng.randrange(1 << 31) for _ in range(200)]
+    argmins = set()
+    for ai, bi in zip(a, b):
+        vals = [(ai * x + bi) % dedup.MERSENNE_P for x in xs]
+        argmins.add(vals.index(min(vals)))
+    # degenerate family: ~1 distinct argmin; healthy family: ~50+ of 64
+    assert len(argmins) >= 30, f"only {len(argmins)} distinct argmins"
+
+
 def test_simhash_drops_docs_with_no_2grams(spark):
     """Docs with <2 tokens have zero 2-gram features; they must be DROPPED
     (explode semantics, matching the minhash path and the md5 oracle's
