@@ -152,17 +152,28 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/looping text; zero shuffles — pure per-row array math that
     whole-stage codegen fuses with the scan."""
     docs = load_spread(spark, sf_dir, "documents")
-    g = ngrams(tokens(F.col("text")), REPETITION_N)
-    n = F.size(g)
-    d = F.size(F.array_distinct(g))
-    ratio = F.when(
-        n > 0, F.round(F.lit(1) - d.cast("double") / n, 6)
-    ).otherwise(F.lit(0.0))
-    return docs.select(
+    # materialize the gram array, then the counts, each as columns BEFORE
+    # the expressions that reference them twice: higher-order-function
+    # lambdas are excluded from codegen subexpression elimination, so the
+    # single-projection form re-built the ngram array ~4x per row
+    grams = docs.select(
+        "doc_id", ngrams(tokens(F.col("text")), REPETITION_N).alias("g")
+    )
+    counts = grams.select(
         "doc_id",
-        n.cast("bigint").alias("n_grams"),
-        d.cast("bigint").alias("n_distinct_grams"),
-        ratio.alias("dup_gram_ratio"),
+        F.size("g").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct_grams"),
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.round(
+            F.lit(1)
+            - F.col("n_distinct_grams").cast("double") / F.col("n_grams"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "doc_id", "n_grams", "n_distinct_grams", ratio.alias("dup_gram_ratio")
     )
 
 
@@ -201,12 +212,14 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned BY BUCKET (parallel) plus the broadcast offset. Identical
     result to the global window, no single-partition stage."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    scored = docs.select(
+    # token array materialized once (3 references downstream; HOF trees
+    # are excluded from subexpression elimination)
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    scored = tok.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
         F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
         ).alias("score"),
     ).withColumn("bucket", F.floor(F.col("score") * 100))
 

@@ -42,17 +42,23 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats map: char/token/unique-token counts, mean token
     length. Pure projection — zero shuffles at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    return docs.select(
+    # materialize the token array once — the outer projection references it
+    # 3x, and split() inside a single projection re-evaluates per reference
+    # (HOF-containing trees are excluded from subexpression elimination);
+    # CollapseProject keeps the stage because the alias is multiply-used
+    tok = docs.select(
+        "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    return tok.select(
         "doc_id",
         "lang",
         "source",
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique_tokens"),
         F.round(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / F.size(toks),
+            / F.size("toks"),
             4,
         ).alias("avg_token_len"),
     )
@@ -154,13 +160,23 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, lexical diversity, length score, and a pass/fail gate. All
     integer-count ratios → engine-exact doubles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
-    return docs.select(
+    # token array materialized once (referenced 3x downstream), then the
+    # integer counts materialized once (each referenced 2-3x) — HOF trees
+    # are excluded from subexpression elimination, so the single-projection
+    # form re-split the text per reference
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    counts = tok.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        count_in(F.col("toks"), STOPWORDS_EN).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    )
+    n_tok = F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / n_tok
+    return counts.select(
         "doc_id",
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 4).alias(
+        F.round(F.col("n_uniq").cast("double") / n_tok, 4).alias(
             "unique_ratio"
         ),
         F.round(F.least(F.lit(1.0), n_tok.cast("double") / 100.0), 4).alias(
@@ -209,8 +225,22 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed priority tie-break (en > de > es > fr), 'unknown' when no marker
     hits. Deterministic, engine-portable, zero-shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    scores = {lang: count_in(toks, m) for lang, m in LANG_MARKERS.items()}
+    # token array materialized once, then the four marker counts as
+    # columns: the argmax CASE references every score 2-3x, and each
+    # count_in is a HOF filter excluded from subexpression elimination —
+    # the single-projection form re-split and re-scanned the text ~10x
+    tok = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    scored = tok.select(
+        "doc_id",
+        "lang",
+        *[
+            count_in(F.col("toks"), m).alias(f"s_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
     all_zero = (
         (scores["en"] == 0)
         & (scores["de"] == 0)
@@ -229,7 +259,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["es"] >= scores["fr"], F.lit("es"))
         .otherwise(F.lit("fr"))
     )
-    return docs.select(
+    return scored.select(
         "doc_id", F.col("lang").alias("lang_tag"), pred.alias("predicted_lang")
     )
 
