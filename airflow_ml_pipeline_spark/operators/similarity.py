@@ -284,9 +284,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ContextCleaner-reclaimed once the query's frame is unreachable.
     # EAGER so every consumer reads stored blocks; a lazy checkpoint
     # re-evaluates the bucket computation per consumer inside one job.
+    # the L2 norm rides along from the same single pass: every candidate
+    # pair downstream needs both sides' norms, and computing them here
+    # (once per vector, inside the checkpoint) replaces two per-pair
+    # norm folds in the scoring join
     bucketed = emb.withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
-    ).localCheckpoint(eager=True)
+    ).withColumn("nrm", l2_norm(F.col("embedding"))).localCheckpoint(eager=True)
     # Probe expansion: each vector registers under its bucket and all
     # hamming-1 neighbors; sharing ANY registered code => candidate pair.
     # A pair can match on at most ONE code (a's probe codes are distinct
@@ -309,14 +313,27 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles moving ids it would immediately re-join.
     a = codes.alias("a")
     b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cands = a.join(
         b,
         (F.col("a.code") == F.col("bucket")) & (F.col("a.vec_id") < F.col("id_b")),
-    ).select(F.col("a.vec_id").alias("id_a"), "id_b", "emb_b")
-    ea = bucketed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    ).select(F.col("a.vec_id").alias("id_a"), "id_b", "emb_b", "nrm_b")
+    ea = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    # per-pair work = ONE dot-product fold; norms come from the
+    # checkpointed per-vector columns (the filter's predicate pushdown
+    # still duplicates the dot into the condition — 2 folds per pair —
+    # but the old cosine() form paid 3 folds x 2 references = 6)
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         cands.join(ea, "id_a")
         .filter(sim >= COSINE_DUP_THRESHOLD)
@@ -393,15 +410,28 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams past it in one scan; the per-row work is |eval| fused dot
     products inside codegen, and the only aggregation is per-train-vector
     max/count. No LSH needed: exactness is affordable precisely because
-    one side is benchmark-sized."""
+    one side is benchmark-sized. Both norms are precomputed per ROW (one
+    fold each) before the cross join: cosine() inline would re-fold the
+    train norm |eval| times and each eval norm |train| times — at N_train
+    x N_eval pairs that triples the inner-loop array work."""
     emb = load_table(spark, sf_dir, "embeddings")
     ev = F.broadcast(
         emb.filter(F.col("vec_id") % EVAL_SPLIT_MOD == 0).select(
-            F.col("embedding").alias("evec")
+            F.col("embedding").alias("evec"),
+            l2_norm(F.col("embedding")).alias("enorm"),
         )
     )
-    tr = emb.filter(F.col("vec_id") % EVAL_SPLIT_MOD != 0)
-    c = F.round(cosine(F.col("embedding"), F.col("evec")), 6)
+    tr = emb.filter(F.col("vec_id") % EVAL_SPLIT_MOD != 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("tnorm"),
+    )
+    c = F.round(
+        dot(F.col("embedding"), F.col("evec"))
+        / (F.col("tnorm") * F.col("enorm")),
+        6,
+    )
     return (
         tr.crossJoin(ev)
         .select("vec_id", "label", c.alias("c"))
