@@ -205,7 +205,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
 
     import numpy as np
 
-    cached = _IVF_INDEX.get(sf_dir)
+    # cache key includes a content fingerprint of the source parquet
+    # (path + per-file mtime/size): a corpus regenerated in place must
+    # rebuild the index, not serve stale cluster assignments — same
+    # staleness contract as the rollup store (operators/temporal.py)
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    cached = _IVF_INDEX.get(key)
     if cached is not None:
         return cached
     emb = load_table(spark, sf_dir, "embeddings")
@@ -215,15 +220,33 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
     indexed.count()  # materialize now: build cost belongs to the build step
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
-    _IVF_INDEX[sf_dir] = (indexed, cn)
-    return _IVF_INDEX[sf_dir]
+    for stale in [k2 for k2 in _IVF_INDEX if k2[0] == sf_dir]:
+        _IVF_INDEX.pop(stale)[0].unpersist()
+    _IVF_INDEX[key] = (indexed, cn)
+    return _IVF_INDEX[key]
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Hash of the embeddings parquet's path + file (mtime_ns, size) set."""
+    import hashlib
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:16]
 
 
 def drop_ivf_index(sf_dir: str) -> None:
     """Release the cached index (unpersists the cluster-assigned frame)."""
-    cached = _IVF_INDEX.pop(sf_dir, None)
-    if cached is not None:
-        cached[0].unpersist()
+    for key in [k for k in _IVF_INDEX if k[0] == sf_dir]:
+        _IVF_INDEX.pop(key)[0].unpersist()
 
 
 @query("ann_ivf_topk")  # rows-only: trained-quantizer ANN is probabilistic
