@@ -84,3 +84,47 @@ def test_broadcast_eval_decontamination(spark, sf_dir):
             f"{name}:\n{plan}"
         )
         assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_expand_runs_over_preaggregated_partials(spark, sf_dir):
+    """CUBE/ROLLUP/GROUPING SETS must Expand the ~|flag x status| partial
+    rows, never the fact table (round-4 rewrite: Expand over raw rows
+    multiplies the 100 TB shuffle volume by the grouping-set count). The
+    contract: Expand's subtree contains a HashAggregate — i.e. the finest
+    grouping is aggregated BEFORE the Expand multiplies rows."""
+    for name in ("cube_revenue", "rollup_revenue", "grouping_sets_revenue"):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "Expand" in plan, f"{name}:\n{plan}"
+        # formatted explain lists operators leaf-first; the fact-scan
+        # aggregation must appear BEFORE (below) the Expand node
+        first_agg = plan.find("HashAggregate")
+        expand_at = plan.find("Expand")
+        assert 0 <= first_agg < expand_at, f"{name}:\n{plan}"
+
+
+def test_exact_verify_joins_candidates_not_corpus(spark, sf_dir):
+    """verified_near_dup_pairs must fetch shingle sets via a BROADCAST of
+    the candidate-id frame (round-4 rewrite): a sort-merge join keyed on
+    (doc, shingle) strings shuffles the whole exploded corpus to serve a
+    candidate set orders of magnitude smaller."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.verified_near_dup_pairs(docs))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_serving_fast_path_available_for_champion_models(spark):
+    """The REST fast path requires the single-instance prediction API on
+    every model type the training registry can promote — if a Spark ML
+    upgrade drops it, serving silently falls back to ~500 ms/request."""
+    from pyspark.ml.classification import (
+        GBTClassificationModel,
+        LogisticRegressionModel,
+        RandomForestClassificationModel,
+    )
+
+    for cls in (
+        LogisticRegressionModel,
+        RandomForestClassificationModel,
+        GBTClassificationModel,
+    ):
+        assert hasattr(cls, "predict") and hasattr(cls, "predictProbability"), cls
