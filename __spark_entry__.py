@@ -52,6 +52,7 @@ import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.packing  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
+import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -96,6 +97,7 @@ CHECK_PRIORITY = [
     "multimodal_features",  # multimodal plumbing
     "customer_drift_profile",  # ML-pipeline oracle anchor
     "stream_stateful_running_totals",  # stateful streaming
+    "stream_dedup_ingest_fps",  # NEW: foreachBatch dedup-at-ingest store
     "events_funnel",  # temporal/window family
     "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "local_supplier_revenue",  # TPC-H join shapes (Q5)

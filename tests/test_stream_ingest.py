@@ -1,0 +1,85 @@
+"""Streaming dedup-ingest contract: store convergence to the batch-exact
+fingerprint set, first-arrival winner semantics, and foreachBatch retry
+idempotency (the exactly-once property the partition-per-batch layout
+exists for)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import dedup
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+from airflow_ml_pipeline_spark.streaming import ingest
+
+
+def _fresh(spark, sf_dir):
+    arrivals, store, checkpoint = ingest.ingest_dirs(sf_dir)
+    for d in (store, checkpoint):
+        shutil.rmtree(d, ignore_errors=True)
+    return arrivals, store, checkpoint
+
+
+def test_store_converges_to_batch_exact_dedup(spark, sf_dir):
+    _fresh(spark, sf_dir)
+    store = ingest.run_dedup_ingest(spark, sf_dir)
+    stored = spark.read.parquet(store)
+    store_fps = {r.fp for r in stored.select("fp").collect()}
+    batch_fps = {
+        r.fp
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert store_fps == batch_fps
+    # one winner per fingerprint — the store IS deduplicated
+    assert stored.count() == len(store_fps)
+    # survivors agree with the exact-dedup kernel's survivor count
+    assert stored.count() == dedup.dedup_corpus(spark, sf_dir).count()
+
+
+def test_rerun_is_noop(spark, sf_dir):
+    store = ingest.run_dedup_ingest(spark, sf_dir)
+    before = spark.read.parquet(store).count()
+    store2 = ingest.run_dedup_ingest(spark, sf_dir)  # checkpoint: no new files
+    assert store2 == store
+    assert spark.read.parquet(store).count() == before
+
+
+def test_upsert_batch_retry_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch must rewrite exactly its own partition:
+    same rows after the retry, and no self-anti-join erasure."""
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], ["doc_id", "text"]
+    )
+    ingest.upsert_batch(b0, 0, store)
+    ingest.upsert_batch(b1, 1, store)
+    rows = {(r.fp, r.doc_id) for r in spark.read.parquet(store).collect()}
+    # batch 0: min-doc winners; batch 1: beta already stored -> only gamma
+    assert len(rows) == 3
+    winners = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert winners == {1, 3, 5}
+    # retry both batches (crash-replay): store unchanged
+    ingest.upsert_batch(b0, 0, store)
+    ingest.upsert_batch(b1, 1, store)
+    assert {(r.fp, r.doc_id) for r in spark.read.parquet(store).collect()} == rows
+
+
+def test_first_arrival_wins_across_batches(spark, tmp_path):
+    """Across batches the winner is first-arrival (ingestion semantics),
+    even when a later batch carries a smaller doc_id."""
+    store = str(tmp_path / "store")
+    ingest.upsert_batch(
+        spark.createDataFrame([(9, "dup")], ["doc_id", "text"]), 0, store
+    )
+    ingest.upsert_batch(
+        spark.createDataFrame([(1, "dup")], ["doc_id", "text"]), 1, store
+    )
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 9
