@@ -26,13 +26,32 @@ STAGE_ROOT = "/tmp/spark_graft_stream"
 
 
 def stage_events_dir(sf_dir: str) -> str:
-    """Copy the events parquet into a per-sf staging directory (idempotent)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    """Copy the events parquet into a staging directory keyed on a CONTENT
+    fingerprint of the source (path + per-file mtime/size) — a corpus
+    regenerated in place, or two sf_dirs sharing a basename, must get a
+    fresh staging dir instead of replaying stale events (same staleness
+    contract as the rollup store and IVF index cache; round-3 ADVICE)."""
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_mtime_ns}:{st.st_size};".encode())
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{h.hexdigest()[:16]}"
     stage = os.path.join(STAGE_ROOT, tag)
     marker = os.path.join(stage, "_staged")
     if not os.path.exists(marker):
         os.makedirs(stage, exist_ok=True)
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(stage, "events.parquet"),
+                            dirs_exist_ok=True)
+        else:
+            shutil.copy(src, stage)
         with open(marker, "w") as f:
             f.write("ok")
     return stage

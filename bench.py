@@ -175,18 +175,27 @@ def main() -> None:
         output_mode="complete",
     ).count()
 
+    # BENCH_REPEAT=N (default 1) runs each query N times and records the
+    # MIN — opt-in steady-state timing for noisy hosts; the default stays
+    # single-shot so round-over-round numbers remain comparable
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # noop sink, not count(): count() lets Catalyst prune every projected
-        # column, so a projection-only query (per-doc fingerprints, per-row
-        # feature columns) would bench as a bare scan — the noop write
-        # materializes every output column without driver transfer, which is
-        # how a production job terminates in a sink
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # noop sink, not count(): count() lets Catalyst prune every
+            # projected column, so a projection-only query (per-doc
+            # fingerprints, per-row feature columns) would bench as a bare
+            # scan — the noop write materializes every output column without
+            # driver transfer, which is how a production job terminates in a
+            # sink
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         # row counts are a sanity signal, not a timing: BENCH_ROWS=1 opts in
         # (a count re-executes the query, doubling suite wall-clock)
         rows[name] = df.count() if os.environ.get("BENCH_ROWS") else -1
