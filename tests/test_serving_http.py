@@ -83,6 +83,36 @@ def test_fast_path_matches_spark_batch_path(spark, served):
         assert abs(fast_p - float(spark_r.probability_1)) < 1e-9
 
 
+def test_fast_path_edge_rows_match_spark(spark, served):
+    """Edge inputs the random-row parity test cannot hit: the tenure=0
+    division guards, every tenure-bucket boundary (pd.cut right-closed
+    intervals), and an unknown category (sklearn handle_unknown='ignore'
+    -> all-zero dummies)."""
+    from airflow_ml_pipeline_spark.operators import deployment
+    from airflow_ml_pipeline_spark.operators.serving_harness import serving_config
+    from airflow_ml_pipeline_spark.schemas import CUSTOMERS_INPUT
+
+    edge_rows = [
+        dict(SAMPLE_ROW, tenure=0),  # charge_per_tenure/support_intensity guards
+        *[dict(SAMPLE_ROW, tenure=t) for t in (6, 7, 12, 24, 48, 72)],
+        dict(SAMPLE_ROW, contract_type="never-seen-contract"),  # unknown cat
+        dict(SAMPLE_ROW, num_support_tickets=0, total_charges=0.0),
+    ]
+    status, body = served.post("/predict", edge_rows)
+    assert status == 200
+
+    cfg = serving_config("/tmp/unused")
+    cfg["deployment"]["champion_model_path"] = served.champion_path
+    model, prep, _ = deployment.load_champion(spark, cfg)
+    scored = deployment.predict_proba(
+        model, prep, spark.createDataFrame(edge_rows, schema=CUSTOMERS_INPUT)
+    )
+    spark_rows = scored.select("prediction", "probability_1").collect()
+    assert body["predictions"] == [int(r.prediction) for r in spark_rows]
+    for fast_p, spark_r in zip(body["probabilities"], spark_rows):
+        assert abs(fast_p - float(spark_r.probability_1)) < 1e-9
+
+
 def test_model_info_route(served):
     status, body = served.get("/model/info")
     assert status == 200
