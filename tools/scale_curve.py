@@ -111,6 +111,17 @@ FOOTER = """
   execute as per-partition top-1 after one key shuffle; on a bucketed
   changelog the shuffle disappears and compaction runs per ingestion
   batch.
+- **Host timing variance (measurement honesty)**: this container's CPU
+  is shared-tenancy — an identical single-core Python probe measured
+  2.61s / 3.42s / 2.61s back-to-back (±30%), and four runs of the
+  UNCHANGED bench suite on round-4 code spanned 84.5-95.6s total
+  (131.7s under visible external load). Round-over-round per-query
+  deltas under ~1.4x are therefore noise here; the signal is in the
+  order-of-magnitude wins (near_dup_clusters 11.4→~4s, serving 515→6ms)
+  and in plan shape, which PLANS.md and the plan-contract tests pin
+  deterministically. `BENCH_REPEAT=N` (bench.py) opts into min-of-N
+  steady-state timing; the default stays single-shot for comparability
+  with earlier rounds.
 - **Serving latency** (D5, measured by `tools/serve_bench.py` over real
   HTTP, 40 requests after warmup): POST /predict p50/p95 = 5.6/6.7 ms
   single-row, 141/173 ms for a 100-row batch (1.4 ms/row). The route
