@@ -76,6 +76,37 @@ def test_minhash_permutations_actually_permute():
     assert len(argmins) >= 30, f"only {len(argmins)} distinct argmins"
 
 
+def test_minhash_agreement_tracks_jaccard(spark):
+    """The defining MinHash property: P(sig_i(A) == sig_i(B)) = J(A, B),
+    so slot agreement over 64 slots concentrates near J (sigma ~ 0.06).
+    The degenerate round-1..3 family broke exactly this — agreement was
+    ~0.15 at J = 0.99 because every slot tracked min(x), not an
+    independent permutation. Tolerance 4 sigma ~ 0.25."""
+    def doc(tokens_):
+        return " ".join(tokens_)
+
+    # controlled 3-gram overlap: shared prefix of n tokens + disjoint tails
+    base = [f"w{i}" for i in range(120)]
+    pairs = [
+        (doc(base), doc(base[:110] + [f"a{i}" for i in range(10)])),  # J high
+        (doc(base[:60] + [f"b{i}" for i in range(60)]), doc(base)),  # J mid
+        (doc(base[:15] + [f"c{i}" for i in range(105)]), doc(base)),  # J low
+    ]
+    rows = [(2 * i + j, t) for i, p in enumerate(pairs) for j, t in enumerate(p)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.signature for r in dedup.minhash_signatures(df, n_hashes=64).collect()}
+
+    def jaccard(a, b):
+        ga = {tuple(a.split()[i : i + 3]) for i in range(len(a.split()) - 2)}
+        gb = {tuple(b.split()[i : i + 3]) for i in range(len(b.split()) - 2)}
+        return len(ga & gb) / len(ga | gb)
+
+    for i, (a, b) in enumerate(pairs):
+        j = jaccard(a, b)
+        agree = sum(x == y for x, y in zip(sigs[2 * i], sigs[2 * i + 1])) / 64
+        assert abs(agree - j) < 0.25, (i, j, agree)
+
+
 def test_simhash_drops_docs_with_no_2grams(spark):
     """Docs with <2 tokens have zero 2-gram features; they must be DROPPED
     (explode semantics, matching the minhash path and the md5 oracle's

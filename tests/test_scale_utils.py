@@ -30,6 +30,17 @@ def test_salted_aggregation_equals_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_count_distinct_ignores_nulls_like_plain(spark):
+    """COUNT(DISTINCT) skips nulls; the value-hash salt must not resurrect
+    them (hash(NULL) -> NULL salt group, whose count_distinct is 0)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None)],
+        "k string, v int",
+    )
+    out = {r.k: r.n_distinct for r in skew.salted_count_distinct(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "b": 0}
+
+
 def test_salted_count_distinct_equals_plain(spark, sf_dir):
     """Value-hash salt slices the distinct set disjointly, so per-salt
     distinct counts add back to the exact plain COUNT(DISTINCT)."""
