@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, davg
-from airflow_ml_pipeline_spark.functions.vectors import cosine, dot, l2_norm
+from airflow_ml_pipeline_spark.functions.vectors import dot, l2_norm
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
@@ -28,10 +28,13 @@ LSH_SEED = 7
 
 
 def _query_vec(df: DataFrame) -> DataFrame:
-    """The standing query vector as a 1-row broadcastable frame."""
+    """The standing query vector (and its precomputed norm) as a 1-row
+    broadcastable frame — the norm fold runs once at broadcast build, not
+    once per scanned corpus row."""
     return F.broadcast(
         df.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").alias("qvec")
+            F.col("embedding").alias("qvec"),
+            l2_norm(F.col("embedding")).alias("qnorm"),
         )
     )
 
@@ -64,13 +67,12 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the standing query vector: broadcast the query,
     one scan, TakeOrderedAndProject for the global top-k (no full sort)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        l2_norm(F.col("embedding")) * F.col("qnorm")
+    )
     return (
         emb.crossJoin(_query_vec(emb))
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
-        )
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -163,7 +165,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+            F.col("embedding").alias("qvec"),
+            l2_norm(F.col("embedding")).alias("qnorm"),
+            F.col("bucket").alias("qbucket"),
         )
     )
     masks = [0] + [1 << i for i in range(N_PLANES)]
@@ -175,14 +179,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_buckets = F.array(
         *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
     )
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        l2_norm(F.col("embedding")) * F.col("qnorm")
+    )
     return (
         bucketed.crossJoin(q)
         .filter(F.array_contains(probe_buckets, F.col("bucket")))
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
-        )
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -269,19 +272,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = q / np.linalg.norm(q)
     nprobe = [int(i) for i in np.argsort(-(cn @ qn))[:6]]
 
-    qvec = F.broadcast(
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").alias("qvec")
-        )
+    qvec = _query_vec(emb)
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        l2_norm(F.col("embedding")) * F.col("qnorm")
     )
     return (
         indexed.filter(F.col("cluster_id").isin(nprobe))
         .crossJoin(qvec)
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
-        )
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -376,13 +374,18 @@ def knn_join_bruteforce(
     scored = emb.crossJoin(
         F.broadcast(
             queries.select(
-                F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("qvec"),
+                l2_norm(F.col("embedding")).alias("qnorm"),
             )
         )
     ).select(
         "q_id",
         "vec_id",
-        cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        (
+            dot(F.col("embedding"), F.col("qvec"))
+            / (l2_norm(F.col("embedding")) * F.col("qnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
