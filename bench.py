@@ -94,6 +94,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",
     "doc_winnowing_md5",
+    "doc_containment_md5",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
