@@ -104,6 +104,7 @@ CHECK_PRIORITY = [
     "user_value_totals_salted",  # skew helpers (also skew-benched this round)
     "user_distinct_values_salted",  # NEW: value-salted exact distinct count
     "doc_containment_md5",  # NEW: asymmetric containment (quote) detection
+    "dedup_source_priority",  # NEW: source-priority keep policy
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

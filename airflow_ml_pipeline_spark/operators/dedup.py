@@ -137,6 +137,50 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_source_priority",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           doc_id AS keep_doc_id,
+           source AS keep_source,
+           CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(text)
+        ORDER BY CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER), doc_id
+    ) = 1
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a SOURCE-PRIORITY keep policy: among duplicate
+    documents the survivor comes from the most-trusted source (lowest
+    source number stands in for curated > crawl), doc_id breaking ties —
+    the production policy when the same text arrives via multiple feeds
+    of different quality, vs ``dedup_exact``'s neutral min-id.
+
+    One shuffle: the winner is ``min(struct(priority, doc_id, source))``
+    inside the fingerprint groupBy — lexicographic struct ordering gives
+    the argmin without a window or a join-back, so the plan is identical
+    in shape (and cost) to plain exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    keyed = docs.select(
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.struct(
+            pri.alias("pri"), F.col("doc_id").alias("doc_id"), F.col("source").alias("source")
+        ).alias("key"),
+    )
+    agg = keyed.groupBy("fingerprint").agg(
+        F.min("key").alias("k"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return agg.select(
+        "fingerprint",
+        F.col("k.doc_id").alias("keep_doc_id"),
+        F.col("k.source").alias("keep_source"),
+        "n_copies",
+    )
+
+
+@query(
     "near_dup_pairs_jaccard",
     oracle=f"""
     WITH toks AS (
