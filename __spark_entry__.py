@@ -105,6 +105,8 @@ CHECK_PRIORITY = [
     "user_distinct_values_salted",  # NEW: value-salted exact distinct count
     "doc_containment_md5",  # NEW: asymmetric containment (quote) detection
     "dedup_source_priority",  # NEW: source-priority keep policy
+    "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
+    "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

@@ -470,3 +470,147 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("c") >= LEAK_COS_THRESHOLD).alias("is_leaked"),
         )
     )
+
+
+SDD_BITS = 6  # sign-projection bits -> 64 clusters (scale: bits grow ~log n
+# so mean cluster size stays bounded; SemDeDup's paper uses k-means — the
+# trained-quantizer variant here is build_ivf_index, this is its
+# deterministic, oracle-checkable twin)
+SDD_TAU = 0.4  # prune threshold, aligned with COSINE_DUP_THRESHOLD
+
+
+def _sdd_planes(bits: int = SDD_BITS, dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 projection planes from md5 parity — reproducible
+    from the spec alone in ANY engine (no RNG state), which is what lets
+    the DuckDB oracle state the identical clustering."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"sdd:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dims)
+        ]
+        for j in range(bits)
+    ]
+
+
+def _sdd_oracle() -> str:
+    planes = _sdd_planes()
+    vals = ", ".join(
+        "({}, [{}])".format(j, ", ".join(str(x) for x in row))
+        for j, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(j, t) AS (VALUES {vals}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v[i] * t[i])) >= 0
+                    THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes GROUP BY e.vec_id
+    ),
+    b AS (SELECT c.vec_id, c.bucket, e.v,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+                     AS nrm
+          FROM codes c JOIN e USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id, a.bucket, o.vec_id AS nn_id,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> a.v[i] * o.v[i])) / (a.nrm * o.nrm), 6) AS c
+        FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
+    )
+    SELECT vec_id, bucket, nn_id, c AS nn_cos,
+           CAST(MAX(CASE WHEN c >= {SDD_TAU} AND nn_id < vec_id
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY vec_id) AS INTEGER) AS pruned
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY c DESC, nn_id) AS rn
+          FROM pairs)
+    QUALIFY rn = 1
+    """
+
+
+@query("semantic_dedup_bucket_nn", oracle=_sdd_oracle())
+def semantic_dedup_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then compare pairs ONLY within a cluster and
+    prune a vector when a same-cluster neighbor above the cosine threshold
+    has higher keep-priority (lower vec_id). Output: one row per vector
+    that has at least one cluster peer — its nearest in-cluster neighbor
+    (tie-broken on rounded cosine DESC, id ASC) and the prune flag;
+    vectors alone in their cluster are trivial survivors and are omitted.
+
+    The paper clusters with k-means; the trained-quantizer version of that
+    lives in ``build_ivf_index``/``ann_ivf_topk`` (rows-only: a fitted
+    model is not SQL-expressible). This declared query swaps in a
+    deterministic sign-projection clustering — ±1 planes derived from md5
+    parity, reproducible from the spec alone — so the ENTIRE
+    cluster→pair→prune pipeline is value-checked against DuckDB; the
+    pruning policy and plan shape are identical under either clusterer.
+
+    Scale shape: the pairwise stage touches only same-bucket pairs — the
+    corpus never self-joins globally; with bits ~ log(n) mean bucket size
+    is constant, so pair volume is O(n · bucket_size), not O(n²). One
+    shuffle on the bucket code for the join, one groupBy per vector for
+    the argmax/flag (map-side partials). The cosine is rounded to 6
+    BEFORE the argmax on both sides, so the comparison key — not just the
+    output — is identical across engines (sum-order ulps can't flip the
+    neighbor choice). A hot bucket (mass near one centroid) is the skew
+    case: production adds a bit or salts the bucket join exactly as
+    ``functions/skew.py`` does for hot aggregation keys."""
+    return semantic_dedup(load_spread(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup(
+    emb: DataFrame, bits: int = SDD_BITS, tau: float = SDD_TAU
+) -> DataFrame:
+    """Library form of ``semantic_dedup_bucket_nn``: ``emb`` needs
+    (vec_id, embedding). See the query docstring for semantics/scale."""
+    planes = _sdd_planes(bits=bits)
+    bucket = None
+    for j, row in enumerate(planes):
+        # single array Literal, NOT F.array(*[F.lit(x)...]): 64 child
+        # expressions make Janino compile the projection for ~18 s
+        plane_lit = F.lit(row).cast("array<double>")
+        bit = F.when(dot(F.col("embedding"), plane_lit) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    b = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        bucket.cast("bigint").alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    o = b.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("bucket").alias("bucket_o"),
+        F.col("embedding").alias("emb_o"),
+        F.col("nrm").alias("nrm_o"),
+    )
+    c = F.round(
+        dot(F.col("embedding"), F.col("emb_o")) / (F.col("nrm") * F.col("nrm_o")), 6
+    )
+    pairs = (
+        b.join(o, (F.col("bucket") == F.col("bucket_o")) & (F.col("vec_id") != F.col("nn_id")))
+        .select("vec_id", "bucket", "nn_id", c.alias("c"))
+    )
+    best = pairs.groupBy("vec_id", "bucket").agg(
+        F.max(F.struct(F.col("c"), (-F.col("nn_id")).alias("negid"))).alias("m"),
+        F.max(
+            F.when((F.col("c") >= tau) & (F.col("nn_id") < F.col("vec_id")), 1)
+            .otherwise(0)
+        )
+        .cast("int")
+        .alias("pruned"),
+    )
+    return best.select(
+        "vec_id",
+        "bucket",
+        (-F.col("m.negid")).cast("bigint").alias("nn_id"),
+        F.col("m.c").alias("nn_cos"),
+        "pruned",
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "doc_winnowing_fingerprints",
     "doc_winnowing_md5",
     "doc_containment_md5",
+    "doc_dup_span_coverage",
+    "semantic_dedup_bucket_nn",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -214,3 +214,33 @@ def test_corpus_prepared_invariants(spark, sf_dir):
         if p.doc_a in surv_ids and p.doc_b in surv_ids
     ]
     assert both == []
+
+
+def test_dup_span_coverage_planted(spark):
+    """Semantics on a planted corpus: only CROSS-doc verbatim spans count,
+    covered characters come from merged (gaps-and-islands) intervals, short
+    docs and purely self-repetitive docs score zero."""
+    span = "ghijklmnopqrstuvwxyzGHIJKLMNOPQRSTUVWXYZ"  # 40 chars, unique run
+    rows = [
+        (1, "a" * 100),                          # unique to doc 1
+        (2, "c" * 30 + span + "d" * 30),         # span at chars 31..70
+        (3, "e" * 10 + span + "f" * 50),         # span at chars 11..50
+        (4, "zq"),                               # shorter than k -> no grams
+        (5, "b" * 100),                          # internal repetition only
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t, in rows], ["doc_id", "text", "n_chars"]
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_coverage(docs).collect()}
+    assert len(out) == 5
+    assert {i: out[i].dup_chars for i in out} == {1: 0, 2: 40, 3: 40, 4: 0, 5: 0}
+    assert abs(out[2].dup_fraction - 0.4) < 1e-9
+    assert abs(out[3].dup_fraction - 0.4) < 1e-9
+
+
+def test_dup_span_coverage_corpus_invariants(spark, sf_dir):
+    rows = dedup.doc_dup_span_coverage(spark, sf_dir).collect()
+    assert all(0 <= r.dup_chars <= r.n_chars for r in rows)
+    assert all(0.0 <= r.dup_fraction <= 1.0 for r in rows)
+    # the corpus plants near-duplicates, which share long verbatim spans
+    assert any(r.dup_fraction > 0.5 for r in rows)

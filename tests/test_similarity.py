@@ -74,3 +74,35 @@ def test_embedding_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
         expected = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert abs(sim - expected) < 1e-4
         assert expected >= similarity.COSINE_DUP_THRESHOLD - 1e-9
+
+
+def test_semantic_dedup_prunes_planted_duplicate(spark):
+    """An exact duplicate vector always lands in its twin's bucket with
+    cosine 1.0; the higher id is pruned, the keeper is not."""
+    v = [1.0] + [0.0] * 63
+    w = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup(emb).collect()}
+    assert out[1].nn_id == 2 and abs(out[1].nn_cos - 1.0) < 1e-9
+    assert out[2].nn_id == 1 and abs(out[2].nn_cos - 1.0) < 1e-9
+    assert out[1].pruned == 0 and out[2].pruned == 1
+    if 3 in out:  # only present if it collided into a shared bucket
+        assert out[3].pruned == 0
+
+
+def test_semantic_dedup_corpus_invariants(spark, sf_dir):
+    rows = similarity.semantic_dedup_bucket_nn(spark, sf_dir).collect()
+    assert rows, "non-singleton buckets must exist at test scale"
+    assert all(0 <= r.bucket < (1 << similarity.SDD_BITS) for r in rows)
+    assert all(r.nn_cos <= 1.0 + 1e-9 for r in rows)
+    # pruned -> some neighbor >= tau -> the argmax neighbor >= tau
+    assert all(
+        r.nn_cos >= similarity.SDD_TAU - 1e-9 for r in rows if r.pruned == 1
+    )
+    # the nearest in-cluster neighbor relation is symmetric-consistent:
+    # if a's nn is b with cos c, then b's nn cos is >= c
+    best = {r.vec_id: (r.nn_id, r.nn_cos) for r in rows}
+    for vid, (nn, c) in best.items():
+        assert best[nn][1] >= c - 1e-9
