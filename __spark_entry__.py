@@ -107,6 +107,7 @@ CHECK_PRIORITY = [
     "dedup_source_priority",  # NEW: source-priority keep policy
     "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
     "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
+    "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

@@ -871,6 +871,44 @@ MAX_FP_DF = 10  # stop-fingerprint cutoff: fps in more docs carry no signal
 MIN_FP_COUNT = 5  # inner doc needs this many discriminative fps to score
 
 
+def winnow_md5_postings(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing postings with md5 k-gram hashes —
+    the oracle-checkable fingerprint basis shared by the containment
+    detector and incremental near-dedup. Exploded rows + a frame-bounded
+    window min, NOT the array-HOF formulation: lexicographic minima over
+    32-char strings cost O(w) string compares per element in a slice
+    transform, measured ~25x slower (see ``doc_winnowing_md5``). Docs with
+    fewer than w hashes keep one window over what exists (the p=1 guard,
+    matching the oracle)."""
+    from pyspark.sql.window import Window
+
+    n_hashes = F.greatest(F.length("text") - k + 1, F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_hashes)).alias("i", "p"),
+        F.col("text"),
+    ).select(
+        "doc_id", "p", F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    )
+    n_h = Window.partitionBy("doc_id")
+    return (
+        grams.select(
+            "doc_id",
+            "p",
+            F.min("h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(n_h).alias("n_h"),
+        )
+        .filter((F.col("p") <= F.col("n_h") - w + 1) | (F.col("p") == 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @query(
     "doc_containment_md5",
     oracle=f"""
@@ -936,43 +974,16 @@ def doc_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote). md5 basis = the oracle-checkable twin (same pattern as
     ``doc_winnowing_md5``); swap the hash lambda for xxhash64 to get the
     8-byte production fast path."""
-    from pyspark.sql.window import Window
-
     docs = load_spread(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    n_hashes = F.greatest(F.length("text") - k + 1, F.lit(1))
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(F.sequence(F.lit(1), n_hashes)).alias("i", "p"),
-        F.col("text"),
-    ).select(
-        "doc_id", "p", F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h")
-    )
-    win = (
-        Window.partitionBy("doc_id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
-    )
-    n_h = Window.partitionBy("doc_id")
-    fps = (
-        grams.select(
-            "doc_id",
-            "p",
-            F.min("h").over(win).alias("fp"),
-            F.count(F.lit(1)).over(n_h).alias("n_h"),
-        )
-        .filter((F.col("p") <= F.col("n_h") - w + 1) | (F.col("p") == 1))
-        .select("doc_id", "fp")
-        .distinct()
-        # EAGER materialization of the winnowed postings: four consumers
-        # read this frame (the df filter, the sizes agg, and both sides of
-        # the pair join), and the explode+window lineage above would
-        # otherwise re-run per consumer — measured 4.2 s -> ~2.4 s at
-        # sf0.1. localCheckpoint, not cache(): stored blocks are
-        # ContextCleaner-reclaimed once the frame is unreachable (same
-        # rationale as embedding_near_dup_pairs). This IS the production
-        # shape at 100 TB: the fingerprint postings (~|text|/w rows/doc)
-        # are materialized once and every downstream stage scans them.
-        .localCheckpoint(eager=True)
-    )
+    # EAGER materialization of the winnowed postings: four consumers read
+    # this frame (the df filter, the sizes agg, and both sides of the pair
+    # join), and the explode+window lineage would otherwise re-run per
+    # consumer — measured 4.2 s -> ~2.6 s at sf0.1. localCheckpoint, not
+    # cache(): stored blocks are ContextCleaner-reclaimed once the frame
+    # is unreachable (same rationale as embedding_near_dup_pairs). This IS
+    # the production shape at 100 TB: the fingerprint postings (~|text|/w
+    # rows/doc) are materialized once and every downstream stage scans them.
+    fps = winnow_md5_postings(docs).localCheckpoint(eager=True)
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_FP_DF
     )
@@ -1163,4 +1174,105 @@ def dup_span_coverage(
     ).alias("dup_fraction")
     return base.join(cov, "doc_id", "left").select(
         "doc_id", "n_chars", dup_chars, frac
+    )
+
+
+@query(
+    "near_dup_incremental",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, p, md5(substring(text, p, {WINNOW_K})) AS h
+        FROM documents,
+             LATERAL unnest(range(1, GREATEST(len(text) - {WINNOW_K} + 1, 1) + 1))
+                 AS u(p)
+    ),
+    mins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               p, COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+        FROM grams
+    ),
+    all_fps AS (
+        SELECT DISTINCT doc_id, fp FROM mins
+        WHERE p <= n_h - {WINNOW_W} + 1 OR p = 1
+    ),
+    hist_fps AS (SELECT doc_id, fp FROM all_fps WHERE doc_id % 10 < 8),
+    stop AS (SELECT fp FROM hist_fps GROUP BY fp HAVING COUNT(*) > {MAX_FP_DF}),
+    hist_d AS (SELECT * FROM hist_fps WHERE fp NOT IN (SELECT fp FROM stop)),
+    batch_d AS (SELECT doc_id, fp FROM all_fps
+                WHERE doc_id % 10 >= 8 AND fp NOT IN (SELECT fp FROM stop)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM batch_d GROUP BY doc_id),
+    shared AS (SELECT b.doc_id AS bdoc, h.doc_id AS hdoc, COUNT(*) AS c
+               FROM batch_d b JOIN hist_d h USING (fp) GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT s.bdoc AS doc_id
+            FROM shared s JOIN sizes z ON z.doc_id = s.bdoc
+            WHERE CAST(c AS DOUBLE) / z.n >= {CONTAINMENT_THRESHOLD}
+              AND z.n >= {MIN_FP_COUNT})
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 10 >= 8 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: the incoming batch (doc_id % 10 >= 8 stands
+    in for today's crawl) keeps only documents that are not contained in
+    some historical document — ``dedup_incremental``'s contract upgraded
+    from byte-identity to the winnowing containment kernel
+    (``doc_containment_md5``), so a re-crawled page with fresh chrome or a
+    post quoted into a new wrapper is recognized as already-held content.
+
+    A batch doc is dropped when containment(batch in hist) =
+    |fp(b) ∩ fp(h)| / |fp(b)| >= threshold for ANY historical doc h, over
+    discriminative fingerprints only (the stop-fingerprint cutoff is
+    computed on the HISTORICAL side — the store ships its df stats, the
+    batch never rescans history). Batch docs with fewer than MIN_FP_COUNT
+    discriminative fps are unscorable and pass through as novel (the
+    exact-fingerprint path is their backstop).
+
+    Scale shape: the historical side is the materialized winnowing
+    postings store (~|text|/w rows/doc, built once, appended per batch) —
+    here both sides derive from the corpus table so the oracle can state
+    the same computation, exactly as ``dedup_incremental`` documents. The
+    candidate join is batch-postings x store-postings on fingerprint —
+    bounded by the BATCH's posting count times per-fp document frequency,
+    which the stop-fp cutoff caps; history-sized work never happens per
+    increment."""
+    docs = load_spread(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    # the "store": winnowed postings of the historical corpus + its df
+    # stats; materialized once (in production: a parquet artifact)
+    hist_fps = winnow_md5_postings(hist).localCheckpoint(eager=True)
+    stop = (
+        hist_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_FP_DF)
+        .select("fp")
+    )
+    hist_d = hist_fps.join(stop, "fp", "left_anti")
+    batch_d = (
+        winnow_md5_postings(batch)
+        .join(stop, "fp", "left_anti")
+        .localCheckpoint(eager=True)  # feeds sizes AND the candidate join
+    )
+    sizes = batch_d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        batch_d.select(F.col("doc_id").alias("bdoc"), "fp")
+        .join(hist_d.select(F.col("doc_id").alias("hdoc"), "fp"), "fp")
+        .groupBy("bdoc", "hdoc")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup = (
+        shared.join(sizes.select(F.col("doc_id").alias("bdoc"), "n"), "bdoc")
+        .filter(
+            (F.col("c").cast("double") / F.col("n") >= CONTAINMENT_THRESHOLD)
+            & (F.col("n") >= MIN_FP_COUNT)
+        )
+        .select(F.col("bdoc").alias("doc_id"))
+        .distinct()
+    )
+    return batch.join(dup, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

@@ -97,6 +97,7 @@ HEADLINE = [
     "doc_containment_md5",
     "doc_dup_span_coverage",
     "semantic_dedup_bucket_nn",
+    "near_dup_incremental",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -128,3 +128,30 @@ def test_serving_fast_path_available_for_champion_models(spark):
         GBTClassificationModel,
     ):
         assert hasattr(cls, "predict") and hasattr(cls, "predictProbability"), cls
+
+
+def test_dup_span_coverage_no_pair_explosion(spark, sf_dir):
+    """Span coverage must never form document pairs: the duplicated-gram
+    detection is a groupBy + semi join on the gram hash (with map-side
+    partial aggregation so boilerplate grams combine before the exchange),
+    not a posting-list self-join."""
+    from airflow_ml_pipeline_spark.operators.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dup_span_coverage(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan  # df agg combines map-side
+
+
+def test_semantic_dedup_bucket_equijoin(spark, sf_dir):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster code
+    (hash-partitionable at 100 TB) — if the bucket predicate ever stops
+    being recognized as a join key, the plan degrades to an all-pairs
+    nested loop."""
+    from airflow_ml_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(semantic_dedup(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

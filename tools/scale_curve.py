@@ -62,6 +62,10 @@ QUERIES = [
     ("corpus_weighted_sample", "documents"),
     ("dedup_incremental", "documents"),
     ("events_hourly_continuous", "events"),
+    ("doc_containment_md5", "documents"),
+    ("doc_dup_span_coverage", "documents"),
+    ("semantic_dedup_bucket_nn", "embeddings"),
+    ("near_dup_incremental", "documents"),
 ]
 
 FOOTER = """
