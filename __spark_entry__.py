@@ -108,6 +108,7 @@ CHECK_PRIORITY = [
     "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
     "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
     "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
+    "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

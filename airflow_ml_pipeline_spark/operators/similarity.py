@@ -614,3 +614,48 @@ def semantic_dedup(
         F.col("m.c").alias("nn_cos"),
         "pruned",
     )
+
+
+@query(
+    "embedding_corr_matrix",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i)
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           round(corr(e.v[a.i], e.v[b.i]), 6) AS corr
+    FROM dims a JOIN dims b ON a.i <= b.i CROSS JOIN e
+    GROUP BY 1, 2
+    HAVING corr(e.v[a.i], e.v[b.i]) IS NOT NULL
+    """,
+)
+def embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of embedding dimensions (upper
+    triangle) — the feature-redundancy profile that drives dimension
+    pruning and whitening decisions before ANN index build.
+
+    Scale shape: ONE distributed pass — MLlib's ``Correlation.corr``
+    tree-aggregates the d x d Gram matrix across partitions (each task
+    folds its rows into a local Gram, the reduce is O(d^2) per merge), so
+    the corpus is read once and nothing data-sized shuffles; the result is
+    a bounded d^2 aggregate (64 x 64 here), the same driver-bounded-
+    aggregate class as the pipeline's per-feature means. Emitting it back
+    as a DataFrame keeps the declared-query contract; constant dimensions
+    (NaN correlation) are dropped on both sides."""
+    import math
+
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Correlation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    m = Correlation.corr(vec, "features").head()[0].toArray()
+    d = m.shape[0]
+    rows = [
+        (i + 1, j + 1, round(float(m[i][j]), 6))
+        for i in range(d)
+        for j in range(i, d)
+        if not math.isnan(m[i][j])
+    ]
+    return spark.createDataFrame(rows, "dim_i int, dim_j int, corr double")

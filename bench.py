@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_dup_span_coverage",
     "semantic_dedup_bucket_nn",
     "near_dup_incremental",
+    "embedding_corr_matrix",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
