@@ -1088,8 +1088,10 @@ DUP_SPAN_K = 32  # span gram length: long enough that a hit is copied text,
     cov AS (SELECT doc_id, CAST(SUM(seg) AS BIGINT) AS dup_chars
             FROM segs GROUP BY doc_id)
     SELECT d.doc_id, d.n_chars, COALESCE(c.dup_chars, 0) AS dup_chars,
-           round(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / d.n_chars, 6)
-               AS dup_fraction
+           CASE WHEN d.n_chars > 0
+                THEN round(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE)
+                           / d.n_chars, 6)
+                ELSE 0.0 END AS dup_fraction
     FROM documents d LEFT JOIN cov c USING (doc_id)
     """,
 )
@@ -1169,9 +1171,20 @@ def dup_span_coverage(
     )
     cov = segs.groupBy("doc_id").agg(F.sum("seg").cast("long").alias("dup_chars"))
     dup_chars = F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars")
-    frac = F.round(
-        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / F.col("n_chars"), 6
-    ).alias("dup_fraction")
+    # guarded division: an empty document is 0-covered, not an ANSI
+    # DIVIDE_BY_ZERO (hypothesis-found edge in the library form)
+    frac = (
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction")
+    )
     return base.join(cov, "doc_id", "left").select(
         "doc_id", "n_chars", dup_chars, frac
     )

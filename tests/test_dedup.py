@@ -4,6 +4,8 @@ scalable paths (MinHash LSH, SimHash) are measured against it."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from airflow_ml_pipeline_spark.operators import dedup
@@ -244,3 +246,45 @@ def test_dup_span_coverage_corpus_invariants(spark, sf_dir):
     assert all(0.0 <= r.dup_fraction <= 1.0 for r in rows)
     # the corpus plants near-duplicates, which share long verbatim spans
     assert any(r.dup_fraction > 0.5 for r in rows)
+
+
+def _ref_span_coverage(texts: dict[int, str], k: int) -> dict[int, int]:
+    """Independent reference: union of positions covered by k-grams that
+    occur in >= 2 distinct docs — set arithmetic, no interval algebra."""
+    from collections import defaultdict
+
+    gram_docs: dict[str, set[int]] = defaultdict(set)
+    for i, t in texts.items():
+        for p in range(len(t) - k + 1):
+            gram_docs[t[p : p + k]].add(i)
+    out = {}
+    for i, t in texts.items():
+        covered: set[int] = set()
+        for p in range(len(t) - k + 1):
+            if len(gram_docs[t[p : p + k]]) >= 2:
+                covered.update(range(p, p + k))
+        out[i] = len(covered)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_dup_span_coverage_matches_set_union_reference(spark, texts):
+    """The gaps-and-islands window (sum of min(k, gap)) must equal the
+    plain set-union covered-character count for ANY corpus — the tiny
+    alphabet forces dense cross-doc gram collisions, overlapping and
+    adjacent intervals, and sub-k tail overlaps."""
+    k = 8
+    texts_map = dict(enumerate(texts))
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts_map.items()],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id: r.dup_chars for r in dedup.dup_span_coverage(docs, k=k).collect()}
+    assert got == _ref_span_coverage(texts_map, k)
