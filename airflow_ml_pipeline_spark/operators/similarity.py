@@ -518,8 +518,10 @@ def _sdd_oracle() -> str:
           FROM codes c JOIN e USING (vec_id)),
     pairs AS (
         SELECT a.vec_id, a.bucket, o.vec_id AS nn_id,
-               round(list_sum(list_transform(range(1, 65),
-                         i -> a.v[i] * o.v[i])) / (a.nrm * o.nrm), 6) AS c
+               CASE WHEN a.nrm * o.nrm > 0
+                    THEN round(list_sum(list_transform(range(1, 65),
+                             i -> a.v[i] * o.v[i])) / (a.nrm * o.nrm), 6)
+                    ELSE 0.0 END AS c
         FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
     )
     SELECT vec_id, bucket, nn_id, c AS nn_cos,
@@ -591,9 +593,18 @@ def semantic_dedup(
         F.col("embedding").alias("emb_o"),
         F.col("nrm").alias("nrm_o"),
     )
-    c = F.round(
-        dot(F.col("embedding"), F.col("emb_o")) / (F.col("nrm") * F.col("nrm_o")), 6
-    )
+    # guarded division: a zero-norm (all-zero) vector scores cosine 0.0
+    # against everything instead of an ANSI DIVIDE_BY_ZERO — degenerate
+    # embeddings are upstream-filtered in production, but the library form
+    # must not crash on them
+    c = F.when(
+        F.col("nrm") * F.col("nrm_o") > 0,
+        F.round(
+            dot(F.col("embedding"), F.col("emb_o"))
+            / (F.col("nrm") * F.col("nrm_o")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     pairs = (
         b.join(o, (F.col("bucket") == F.col("bucket_o")) & (F.col("vec_id") != F.col("nn_id")))
         .select("vec_id", "bucket", "nn_id", c.alias("c"))

@@ -106,3 +106,19 @@ def test_semantic_dedup_corpus_invariants(spark, sf_dir):
     best = {r.vec_id: (r.nn_id, r.nn_cos) for r in rows}
     for vid, (nn, c) in best.items():
         assert best[nn][1] >= c - 1e-9
+
+
+def test_semantic_dedup_zero_vector_does_not_crash(spark):
+    """A zero-norm embedding must score cosine 0.0 against bucket peers
+    (and never prune anything), not raise ANSI DIVIDE_BY_ZERO."""
+    v = [1.0] + [0.0] * 63
+    z = [0.0] * 64
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, z), (4, z)], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup(emb).collect()}
+    assert out[2].pruned == 1  # the real duplicate still prunes
+    for vid in (3, 4):
+        if vid in out:
+            assert out[vid].nn_cos == 0.0
+            assert out[vid].pruned == 0
