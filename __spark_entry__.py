@@ -109,6 +109,7 @@ CHECK_PRIORITY = [
     "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
     "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
     "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
+    "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

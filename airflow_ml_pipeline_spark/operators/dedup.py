@@ -1289,3 +1289,125 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(dup, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "doc_dup_span_scrubbed",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, p, md5(substring(text, p, {DUP_SPAN_K})) AS h
+        FROM documents,
+             LATERAL unnest(range(1, GREATEST(len(text) - {DUP_SPAN_K} + 1, 0) + 1))
+                 AS u(p)
+    ),
+    owners AS (SELECT h, MIN(doc_id) AS owner FROM grams GROUP BY h),
+    scrub AS (
+        SELECT DISTINCT g.doc_id, u.q AS p
+        FROM grams g JOIN owners o USING (h),
+             LATERAL unnest(range(g.p, g.p + {DUP_SPAN_K})) AS u(q)
+        WHERE o.owner != g.doc_id
+    ),
+    chars AS (
+        SELECT d.doc_id, u.p, substring(d.text, u.p, 1) AS ch
+        FROM documents d, LATERAL unnest(range(1, len(d.text) + 1)) AS u(p)
+    ),
+    keptc AS (
+        SELECT c.* FROM chars c LEFT JOIN scrub s
+          ON s.doc_id = c.doc_id AND s.p = c.p
+        WHERE s.p IS NULL
+    ),
+    kept AS (
+        SELECT doc_id, string_agg(ch, '' ORDER BY p) AS kept_text
+        FROM keptc GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(COALESCE(len(k.kept_text), 0) AS BIGINT) AS kept_chars,
+           md5(COALESCE(k.kept_text, '')) AS kept_md5
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def doc_dup_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (the apply step of ``doc_dup_span_coverage``,
+    Lee et al.'s "remove all but one occurrence"): every >=k-char span that
+    appears in multiple documents is kept only in its canonical owner (the
+    lowest doc_id containing the gram) and scrubbed from every other copy.
+    The canonical doc survives untouched; later copies get their duplicated
+    regions excised — output is each doc's residual length and the md5 of
+    the rewritten text (scalar digest; the text itself is the same
+    expression minus the hash).
+
+    Shape: gram postings -> per-gram min-owner aggregate (map-side
+    partials, same skew posture as the coverage query) -> scrubbed
+    positions by exploding each non-owner hit's k-char footprint ->
+    per-char anti join + ordered reassembly per doc. Per-character rows
+    are the honest cost of text surgery — the same O(|text|) row count the
+    gram stage already pays, partitioned by doc so reassembly never
+    crosses documents. The gram lineage is evaluated twice (owners +
+    hits); production scans the materialized postings artifact for both,
+    as documented on the coverage query."""
+    return dup_span_scrub(
+        load_spread(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+def dup_span_scrub(
+    docs: DataFrame, base: DataFrame | None = None, k: int = DUP_SPAN_K
+) -> DataFrame:
+    """Library form of ``doc_dup_span_scrubbed``: ``docs`` needs
+    (doc_id, text); ``base`` (default ``docs``) supplies the output rows
+    and their ``n_chars``. See the query docstring for semantics/scale."""
+    if base is None:
+        base = docs
+    grams = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias(
+                "i", "p"
+            ),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
+        )
+    )
+    owners = grams.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    scrub = (
+        grams.join(owners, "h")
+        .filter(F.col("owner") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("q"),
+        )
+        .distinct()
+    )
+    chars = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(1), F.length("text"))).alias("i", "p"),
+            "text",
+        )
+        .select("doc_id", "p", F.col("text").substr(F.col("p"), F.lit(1)).alias("ch"))
+    )
+    keptc = chars.join(
+        scrub.select("doc_id", F.col("q").alias("p")), ["doc_id", "p"], "left_anti"
+    )
+    kept = keptc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "ch"))), lambda s: s["ch"]
+            ),
+            "",
+        ).alias("kept_text")
+    )
+    kt = F.coalesce(F.col("kept_text"), F.lit(""))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.length(kt).cast("bigint").alias("kept_chars"),
+        F.md5(kt).alias("kept_md5"),
+    )

@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_winnowing_md5",
     "doc_containment_md5",
     "doc_dup_span_coverage",
+    "doc_dup_span_scrubbed",
     "semantic_dedup_bucket_nn",
     "near_dup_incremental",
     "embedding_corr_matrix",

@@ -288,3 +288,26 @@ def test_dup_span_coverage_matches_set_union_reference(spark, texts):
     )
     got = {r.doc_id: r.dup_chars for r in dedup.dup_span_coverage(docs, k=k).collect()}
     assert got == _ref_span_coverage(texts_map, k)
+
+
+def test_dup_span_scrub_planted(spark):
+    """The lowest-id owner keeps its text verbatim; later copies lose
+    exactly the duplicated region; unique and sub-k docs pass through."""
+    import hashlib
+
+    span = "ghijklmnopqrstuvwxyzGHIJKLMNOPQRSTUVWXYZ"  # 40 chars
+    texts = {
+        1: "a" * 100,
+        2: "c" * 30 + span + "d" * 30,  # canonical owner of the span
+        3: "e" * 10 + span + "f" * 50,  # loses chars 11..50
+        4: "zq",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_scrub(docs).collect()}
+    expected = {1: texts[1], 2: texts[2], 3: "e" * 10 + "f" * 50, 4: texts[4]}
+    for i, want in expected.items():
+        assert out[i].kept_chars == len(want), i
+        assert out[i].kept_md5 == hashlib.md5(want.encode()).hexdigest(), i

@@ -66,6 +66,8 @@ QUERIES = [
     ("doc_dup_span_coverage", "documents"),
     ("semantic_dedup_bucket_nn", "embeddings"),
     ("near_dup_incremental", "documents"),
+    ("doc_dup_span_scrubbed", "documents"),
+    ("embedding_corr_matrix", "embeddings"),
 ]
 
 FOOTER = """
