@@ -110,6 +110,7 @@ CHECK_PRIORITY = [
     "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
     "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
     "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
+    "stream_near_dup_ingest",  # NEW: containment suppression at ingest
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

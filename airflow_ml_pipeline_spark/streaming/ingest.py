@@ -170,3 +170,244 @@ def stream_dedup_ingest_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).join(
         kept, "fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup ingestion: containment suppression against the
+# seen-content postings store (the near-dup upgrade of the exact ingester
+# above, composing streaming/ingest with operators/dedup's winnowing kernel).
+# ---------------------------------------------------------------------------
+
+NEAR_N_BATCHES = 4
+
+
+def near_ingest_dirs(sf_dir: str) -> tuple[str, str, str, str, str]:
+    """(arrivals, store, checkpoint, survivors, stop-artifact) dirs for the
+    near-dup ingester — separate trio from the exact ingester's."""
+    tag = f"near-{os.path.basename(os.path.normpath(sf_dir))}-{_corpus_fingerprint(sf_dir)}"
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "arrivals"),
+        os.path.join(root, "store"),
+        os.path.join(root, "checkpoint"),
+        os.path.join(root, "survivors"),
+        os.path.join(root, "stop_fps"),
+    )
+
+
+def stage_mod_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the corpus as NEAR_N_BATCHES single-file arrivals where file i
+    holds doc_id % N == i, with strictly increasing mtimes AND sorted
+    names, so the file source's (mtime, path) ordering replays them as
+    micro-batches 0..N-1 deterministically — the property the driver
+    oracle's batch arithmetic states."""
+    import glob
+    import time
+
+    arrivals, _, _, _, _ = near_ingest_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if os.path.exists(marker):
+        return arrivals
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = f"{arrivals}.build.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(NEAR_N_BATCHES):
+        part_dir = os.path.join(tmp, f"part{i}")
+        docs.filter(F.col("doc_id") % NEAR_N_BATCHES == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(tmp, f"batch-{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = time.time() + i  # strictly increasing, 1s apart
+        os.utime(dst, (t, t))
+    try:
+        os.rename(tmp, arrivals)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return arrivals
+
+
+def upsert_near_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str, stop_dir: str
+) -> None:
+    """foreachBatch body: drop batch docs whose discriminative winnowing
+    postings are >= CONTAINMENT_THRESHOLD contained in some doc of an
+    EARLIER batch (the seen-content store), then append this batch's
+    postings to the store and its survivors to the output — both as
+    batch-owned partition overwrites, so a retried batch rewrites exactly
+    its own output (same exactly-once contract as ``upsert_batch``)."""
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        MIN_FP_COUNT,
+        winnow_md5_postings,
+    )
+
+    spark = batch_df.sparkSession
+    stop = spark.read.parquet(stop_dir)
+    postings = (
+        winnow_md5_postings(batch_df)
+        .join(stop, "fp", "left_anti")
+        .localCheckpoint(eager=True)  # feeds sizes, the join, and the store write
+    )
+    prior = store_before(spark, store_dir, batch_id)
+    if prior is None:
+        survivors = batch_df.select("doc_id", "lang", "source", "n_chars")
+    else:
+        sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        shared = (
+            postings.select(F.col("doc_id").alias("bdoc"), "fp")
+            .join(prior.select(F.col("doc_id").alias("hdoc"), "fp"), "fp")
+            .groupBy("bdoc", "hdoc")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dropped = (
+            shared.join(sizes.select(F.col("doc_id").alias("bdoc"), "n"), "bdoc")
+            .filter(
+                (F.col("c").cast("double") / F.col("n") >= CONTAINMENT_THRESHOLD)
+                & (F.col("n") >= MIN_FP_COUNT)
+            )
+            .select(F.col("bdoc").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch_df.select("doc_id", "lang", "source", "n_chars").join(
+            dropped, "doc_id", "left_anti"
+        )
+    # the store records EVERY arrival's postings (seen-content semantics:
+    # novelty is judged against all content seen earlier, kept or not)
+    postings.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_near_dedup_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Replay the corpus through the streaming near-dup ingester and return
+    the survivors directory. The stop-fingerprint list is computed ONCE
+    from whole-corpus document frequency and written as a standing
+    artifact before the stream starts — in production it is refreshed
+    offline from corpus stats (like a stopword list), so per-batch
+    suppression stays deterministic and order-independent."""
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        MAX_FP_DF,
+        winnow_md5_postings,
+    )
+
+    arrivals, store, checkpoint, survivors, stop_dir = near_ingest_dirs(sf_dir)
+    stage_mod_batches(spark, sf_dir)
+    if not os.path.isdir(stop_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            winnow_md5_postings(docs)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > MAX_FP_DF)
+            .select("fp")
+            .write.mode("overwrite")
+            .parquet(f"{stop_dir}.build")
+        )
+        os.rename(f"{stop_dir}.build", stop_dir)
+    schema = spark.read.parquet(arrivals).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: upsert_near_batch(df, bid, store, survivors, stop_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # defensive: the oracle's batch arithmetic assumes file i == batch i;
+    # fail loudly if the source ever reorders arrivals
+    bad = (
+        spark.read.parquet(store)
+        .filter(F.col("doc_id") % NEAR_N_BATCHES != F.col("batch_id"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"near-dup ingest: {bad} postings landed in the wrong micro-batch"
+        )
+    return survivors
+
+
+def _near_ingest_oracle() -> str:
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        MAX_FP_DF,
+        MIN_FP_COUNT,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, p, md5(substring(text, p, {WINNOW_K})) AS h
+        FROM documents,
+             LATERAL unnest(range(1, GREATEST(len(text) - {WINNOW_K} + 1, 1) + 1))
+                 AS u(p)
+    ),
+    mins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               p, COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+        FROM grams
+    ),
+    all_fps AS (
+        SELECT DISTINCT doc_id, fp FROM mins
+        WHERE p <= n_h - {WINNOW_W} + 1 OR p = 1
+    ),
+    stop AS (SELECT fp FROM all_fps GROUP BY fp HAVING COUNT(*) > {MAX_FP_DF}),
+    b AS (SELECT doc_id, fp, doc_id % {NEAR_N_BATCHES} AS batch FROM all_fps
+          WHERE fp NOT IN (SELECT fp FROM stop)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY doc_id),
+    shared AS (SELECT x.doc_id AS d, h.doc_id AS hd, COUNT(*) AS c
+               FROM b x JOIN b h ON x.fp = h.fp AND h.batch < x.batch
+               GROUP BY 1, 2),
+    dropped AS (
+        SELECT DISTINCT s.d AS doc_id
+        FROM shared s JOIN sizes z ON z.doc_id = s.d
+        WHERE CAST(c AS DOUBLE) / z.n >= {CONTAINMENT_THRESHOLD}
+          AND z.n >= {MIN_FP_COUNT}
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("stream_near_dup_ingest", oracle=_near_ingest_oracle())
+def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup-AT-INGEST: each arriving micro-batch keeps only
+    documents not already contained (>= threshold over discriminative
+    winnowing fingerprints) in content seen by EARLIER batches — a
+    re-crawl or syndicated copy is suppressed the moment it arrives, with
+    ``near_dup_incremental`` as its batch twin and the exact-fingerprint
+    ingester (``stream_dedup_ingest_fps``) as the byte-identity backstop.
+
+    Determinism contract the oracle states: arrivals are staged so batch i
+    holds doc_id % {NEAR_N_BATCHES} == i (mtime+name ordered, asserted
+    after the run), the stop-fingerprint list is a standing whole-corpus
+    artifact, and suppression is judged against ALL earlier-seen content
+    (kept or dropped) — so survivor choice needs no recursive
+    survivor-of-survivor chain and micro-batch replay is idempotent
+    (batch-owned partition overwrites, exactly-once per the module
+    docstring). Within-batch near-dups are NOT suppressed here (arrival
+    batches are small; the nightly batch pipeline owns steady-state
+    dedup) — the oracle's batch < batch condition states exactly that."""
+    survivors = run_near_dedup_ingest(spark, sf_dir)
+    return spark.read.parquet(survivors).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

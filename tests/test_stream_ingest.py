@@ -83,3 +83,27 @@ def test_first_arrival_wins_across_batches(spark, tmp_path):
     )
     rows = spark.read.parquet(store).collect()
     assert len(rows) == 1 and rows[0].doc_id == 9
+
+
+def test_near_dup_ingest_replay_and_batch_semantics(spark, sf_dir):
+    """AvailableNow replay of the near-dup ingester is idempotent (second
+    run converges to the same survivor set via the checkpoint), batch 0
+    passes through untouched (nothing seen before it), and every dropped
+    doc belongs to a later batch."""
+    surv_dir = ingest.run_near_dedup_ingest(spark, sf_dir)
+    surv1 = {r.doc_id for r in spark.read.parquet(surv_dir).collect()}
+    surv2 = {
+        r.doc_id
+        for r in spark.read.parquet(
+            ingest.run_near_dedup_ingest(spark, sf_dir)
+        ).collect()
+    }
+    assert surv1 == surv2
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    all_ids = {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    batch0 = {i for i in all_ids if i % ingest.NEAR_N_BATCHES == 0}
+    assert batch0 <= surv1
+    assert all(i % ingest.NEAR_N_BATCHES != 0 for i in all_ids - surv1)
