@@ -111,6 +111,7 @@ CHECK_PRIORITY = [
     "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
     "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
     "stream_near_dup_ingest",  # NEW: containment suppression at ingest
+    "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

@@ -376,3 +376,92 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ids"),
         F.md5(F.regexp_replace("t2", PII_IDNUM, "[ID]")).alias("scrubbed_md5"),
     )
+
+
+BPE_N_MERGES = 8
+
+
+def bpe_train_merges(vocab: DataFrame, n_merges: int = BPE_N_MERGES):
+    """Greedy BPE merge training over a (word, cnt) frequency table:
+    each round counts adjacent symbol pairs weighted by word frequency,
+    merges the winner (max count, then lexicographic (left, right) — a
+    unique, engine-independent tiebreak), and rewrites the vocab's symbol
+    arrays with a leftmost-first fold. Returns
+    ``[(step, left, right, pair_count), ...]`` (may stop early when no
+    pair repeats).
+
+    Scale shape: this is the textbook reason BPE training scales — the
+    iteration runs over the VOCAB (distinct words x counts, a tiny
+    fraction of the corpus; the corpus is touched once to build it), each
+    round being one exploded-bigram aggregation (map-side partials) plus a
+    1-row argmax collect, with the symbol rewrite a per-row array fold.
+    localCheckpoint per round truncates the N-deep lineage exactly like
+    the CC loop in corpus_ops. The driver loop is control flow only."""
+    sym = vocab.select("cnt", F.split("word", "").alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        sym = sym.localCheckpoint(eager=True)
+        n = F.size("syms")
+        pairs = sym.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].c < 2:
+            break  # no pair occurs twice: nothing left worth merging
+        left, right, cnt = top[0].l, top[0].r, int(top[0].c)
+        merges.append((step, left, right, cnt))
+        merged = left + right
+        # leftmost-first greedy application: fold symbols, merging a
+        # trailing `left` with an incoming `right`; try_element_at (not
+        # element_at) so the empty accumulator yields NULL, not an ANSI
+        # INVALID_ARRAY_INDEX
+        sym = sym.select(
+            "cnt",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        )
+    return merges
+
+
+@query("bpe_trained_merges")  # rows-only: N-round iterative training is not
+# SQL-expressible; exact parity vs a pure-Python reference trainer is
+# asserted in tests/test_packing.py
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training loop itself (upgrade of the single-round
+    ``bpe_merge_candidates`` statistic): N greedy character-BPE merges
+    learned from the corpus word-frequency table, in training order.
+    Deterministic — ties broken lexicographically — so the merge table is
+    reproducible across runs, partitionings, and cluster sizes."""
+    docs = load_spread(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_train_merges(vocab)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )

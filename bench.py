@@ -81,6 +81,7 @@ HEADLINE = [
     "corpus_shuffled_shards",
     "sequence_packing",
     "bpe_merge_candidates",
+    "bpe_trained_merges",
     "doc_pii_scrub",
     "embedding_dim_stats",
     "local_supplier_revenue",

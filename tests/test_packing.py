@@ -101,3 +101,70 @@ def test_embedding_dim_stats_profile_shape(spark, sf_dir):
         assert r.n == n_vecs
         assert r.min_x <= r.mean <= r.max_x
         assert r.std >= 0
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
+    """Pure-Python reference BPE trainer: same greedy leftmost-first merge
+    and (count desc, pair asc) tiebreak as the Spark implementation."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((step, left, right, cnt))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_trained_merges_match_python_reference(spark, sf_dir):
+    """The distributed trainer must reproduce the reference trainer's merge
+    table EXACTLY (order, pairs, counts) on the real corpus vocab."""
+    from airflow_ml_pipeline_spark.operators.packing import (
+        BPE_N_MERGES,
+        bpe_trained_merges,
+    )
+    from airflow_ml_pipeline_spark.functions.text import tokens
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {
+        r.word: r.cnt
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_trained_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(wc, BPE_N_MERGES)
+    assert len(got) > 0
+
+
+def test_bpe_overlapping_merge_is_leftmost_first(spark):
+    """'aaaa' under merge (a,a) must become (aa)(aa), then (aa,aa) -> aaaa:
+    the fold's replace-last semantics match reference BPE."""
+    from airflow_ml_pipeline_spark.operators.packing import bpe_train_merges
+
+    vocab = spark.createDataFrame([("aaaa", 3)], ["word", "cnt"])
+    merges = bpe_train_merges(vocab, n_merges=3)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[1][1:3] == ("aa", "aa")
