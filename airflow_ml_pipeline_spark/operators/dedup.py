@@ -1338,13 +1338,15 @@ def doc_dup_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: gram postings -> per-gram min-owner aggregate (map-side
     partials, same skew posture as the coverage query) -> scrubbed
-    positions by exploding each non-owner hit's k-char footprint ->
-    per-char anti join + ordered reassembly per doc. Per-character rows
-    are the honest cost of text surgery — the same O(|text|) row count the
-    gram stage already pays, partitioned by doc so reassembly never
-    crosses documents. The gram lineage is evaluated twice (owners +
-    hits); production scans the materialized postings artifact for both,
-    as documented on the coverage query."""
+    positions from each non-owner hit's k-char footprint, merged into
+    INTERVALS per doc (gaps-and-islands window, bounded by text length),
+    then the rewrite is one O(#intervals) substring fold per document —
+    keep-between-intervals concatenation, never a per-character shuffle
+    (the first formulation anti-joined exploded characters: 2x wall time
+    and an O(|corpus chars|) exchange for no semantic gain). The gram
+    lineage is evaluated twice (owners + hits); production scans the
+    materialized postings artifact for both, as documented on the
+    coverage query."""
     return dup_span_scrub(
         load_spread(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "documents"),
@@ -1384,30 +1386,58 @@ def dup_span_scrub(
         )
         .distinct()
     )
-    chars = (
-        docs.filter(F.length("text") >= 1)
+    from pyspark.sql.window import Window
+
+    # gaps-and-islands: consecutive scrubbed positions fold into one
+    # interval; island id = running count of gaps > 1
+    w = Window.partitionBy("doc_id").orderBy("q")
+    islands = scrub.select(
+        "doc_id",
+        "q",
+        F.sum(
+            F.when(F.col("q") - F.coalesce(F.lag("q", 1).over(w), F.col("q")) > 1, 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    intervals = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("q").alias("s"), F.max("q").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs")
+        )
+    )
+    # rewrite = fold over the sorted intervals: emit the text between the
+    # previous interval's end and this one's start, then skip it; finish
+    # by appending the tail — O(#intervals) substring ops per doc
+    state0 = F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc"))
+    fold = F.aggregate(
+        F.col("ivs"),
+        state0,
+        lambda st, iv: F.struct(
+            (iv["e"] + 1).alias("pos"),
+            F.concat(
+                st["acc"],
+                F.col("text").substr(st["pos"], iv["s"] - st["pos"]),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.col("text").substr(
+                st["pos"], F.length("text") - st["pos"] + 1
+            ),
+        ),
+    )
+    kt = F.when(F.col("ivs").isNull(), F.col("text")).otherwise(fold)
+    return (
+        base.select("doc_id", "n_chars", "text")
+        .join(intervals, "doc_id", "left")
         .select(
             "doc_id",
-            F.posexplode(F.sequence(F.lit(1), F.length("text"))).alias("i", "p"),
-            "text",
+            "n_chars",
+            F.length(kt).cast("bigint").alias("kept_chars"),
+            F.md5(kt).alias("kept_md5"),
         )
-        .select("doc_id", "p", F.col("text").substr(F.col("p"), F.lit(1)).alias("ch"))
-    )
-    keptc = chars.join(
-        scrub.select("doc_id", F.col("q").alias("p")), ["doc_id", "p"], "left_anti"
-    )
-    kept = keptc.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "ch"))), lambda s: s["ch"]
-            ),
-            "",
-        ).alias("kept_text")
-    )
-    kt = F.coalesce(F.col("kept_text"), F.lit(""))
-    return base.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_chars",
-        F.length(kt).cast("bigint").alias("kept_chars"),
-        F.md5(kt).alias("kept_md5"),
     )
