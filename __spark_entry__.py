@@ -50,6 +50,7 @@ import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.packing  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.manifest  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
@@ -112,6 +113,7 @@ CHECK_PRIORITY = [
     "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
     "stream_near_dup_ingest",  # NEW: containment suppression at ingest
     "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
+    "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

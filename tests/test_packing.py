@@ -168,3 +168,23 @@ def test_bpe_overlapping_merge_is_leftmost_first(spark):
     merges = bpe_train_merges(vocab, n_merges=3)
     assert merges[0][1:3] == ("a", "a")
     assert merges[1][1:3] == ("aa", "aa")
+
+
+def test_training_data_manifest_detects_membership_change(spark, sf_dir):
+    """The manifest checksum is order-insensitive but membership-sensitive:
+    identical shard contents hash identically across recomputes; totals
+    reconcile with the prepared corpus."""
+    from airflow_ml_pipeline_spark.operators.dedup import prepared_corpus
+    from airflow_ml_pipeline_spark.operators.manifest import training_data_manifest
+
+    m1 = {r.shard: r for r in training_data_manifest(spark, sf_dir).collect()}
+    m2 = {r.shard: r for r in training_data_manifest(spark, sf_dir).collect()}
+    assert {s: r.members_md5 for s, r in m1.items()} == {
+        s: r.members_md5 for s, r in m2.items()
+    }
+    prepared = prepared_corpus(spark, sf_dir)
+    assert sum(r.n_docs for r in m1.values()) == prepared.count()
+    assert sum(r.n_tokens for r in m1.values()) == (
+        prepared.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert set(m1) <= set(range(16))
