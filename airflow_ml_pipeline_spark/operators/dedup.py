@@ -1441,3 +1441,68 @@ def dup_span_scrub(
             F.md5(kt).alias("kept_md5"),
         )
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT doc_a, doc_b,
+               round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = doc_a
+        JOIN sizes s2 ON s2.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+              >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS train_doc,
+           CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS eval_doc,
+           jaccard
+    FROM near
+    WHERE (doc_a % 10 >= 8) != (doc_b % 10 >= 8)
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage audit: every near-duplicate pair that
+    CROSSES the split (train doc on one side, held-out doc on the other,
+    doc_id % 10 >= 8 standing in for the eval fold, the same convention
+    as ``dedup_incremental``). A random split of a corpus with
+    near-duplicates leaks — the model sees the eval content in training —
+    and this is the audit that catches it before a misleading eval; the
+    fix is group-aware splitting over ``near_dup_clusters`` labels.
+
+    Scale shape: strictly the exact-kernel pair computation
+    (``near_dup_pairs_jaccard``'s posting-list explosion — at 100 TB the
+    pair discovery swaps to the MinHash-LSH path, identical audit
+    semantics) plus a per-pair flag filter; the split predicate adds no
+    shuffle."""
+    pairs = near_dup_pairs_jaccard(spark, sf_dir)
+    a_eval = F.col("doc_a") % 10 >= 8
+    b_eval = F.col("doc_b") % 10 >= 8
+    return (
+        pairs.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc"),
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_doc"),
+            "jaccard",
+        )
+    )
