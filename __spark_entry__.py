@@ -115,6 +115,7 @@ CHECK_PRIORITY = [
     "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
     "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
     "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
+    "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

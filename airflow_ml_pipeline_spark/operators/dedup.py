@@ -1506,3 +1506,139 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+CDC_K = 8  # rolling-window length for the boundary hash
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT doc_id, p
+        FROM documents,
+             LATERAL unnest(range({CDC_K}, len(text) + 1)) AS u(p)
+        WHERE substring(md5(substring(text, p - {CDC_K} + 1, {CDC_K})), 1, 1)
+              = '0'
+    ),
+    ends AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, p FROM bounds
+            UNION ALL
+            SELECT doc_id, len(text) AS p FROM documents WHERE len(text) > 0
+        )
+    ),
+    chunks AS (
+        SELECT doc_id, p AS e,
+               COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+                   AS s
+        FROM ends
+    ),
+    hashed AS (
+        SELECT c.doc_id, c.s,
+               md5(substring(d.text, c.s, c.e - c.s + 1)) AS h,
+               c.e - c.s + 1 AS clen
+        FROM chunks c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, clen,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM hashed
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS owned_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS BIGINT)
+                   AS stored_bytes
+        FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(p.n_chunks, 0) AS n_chunks,
+           COALESCE(p.owned_chunks, 0) AS owned_chunks,
+           COALESCE(p.stored_bytes, 0) AS stored_bytes
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) storage dedup — the FastCDC/rsync
+    family: chunk boundaries fall where the rolling k-window hash hits a
+    mask (here: md5 hex leading '0', expected chunk ~16 chars), so an
+    insertion shifts ONE chunk instead of re-slicing the whole document
+    (fixed-size blocks lose all alignment after one byte). Chunks dedupe
+    by content hash with first-occurrence ownership (min (doc_id, start));
+    per doc: chunk count, owned (first-seen) chunks, and the bytes a
+    chunk-deduped store would keep. This is the dataset-versioning /
+    transfer-dedup primitive — near-identical corpus releases share all
+    but their edited chunks.
+
+    Scale shape: boundary detection is a per-position projection (same
+    explode the gram ops pay); chunk assembly is one per-doc window over
+    boundary rows (~|text|/16 per doc, NOT per-char); ownership is a
+    window over the chunk-hash key — the partition is all copies of one
+    chunk, bounded by duplication depth, with hot boilerplate chunks the
+    skew case handled as everywhere else (salt or cap). The only
+    data-sized exchanges carry (doc_id, position) pairs and 16-byte chunk
+    hashes, never text."""
+    from pyspark.sql.window import Window
+
+    k = CDC_K
+    docs = load_spread(spark, sf_dir, "documents")
+    bounds = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(k), F.length("text"))).alias("i", "p"),
+            "text",
+        )
+        .filter(
+            F.md5(F.col("text").substr(F.col("p") - k + 1, F.lit(k))).substr(1, 1)
+            == "0"
+        )
+        .select("doc_id", "p")
+    )
+    ends = bounds.union(
+        docs.filter(F.length("text") > 0).select(
+            "doc_id", F.length("text").alias("p")
+        )
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    chunks = ends.select(
+        "doc_id",
+        F.col("p").alias("e"),
+        (F.coalesce(F.lag("p", 1).over(w), F.lit(0)) + 1).alias("s"),
+    )
+    hashed = chunks.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "s",
+        F.md5(F.col("text").substr(F.col("s"), F.col("e") - F.col("s") + 1)).alias(
+            "h"
+        ),
+        (F.col("e") - F.col("s") + 1).alias("clen"),
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "s")
+    ranked = hashed.select(
+        "doc_id", "clen", F.row_number().over(wh).alias("rn")
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("owned_chunks"),
+        F.sum(F.when(F.col("rn") == 1, F.col("clen")).otherwise(0))
+        .cast("bigint")
+        .alias("stored_bytes"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("n_chunks"), z).alias("n_chunks"),
+            F.coalesce(F.col("owned_chunks"), z).alias("owned_chunks"),
+            F.coalesce(F.col("stored_bytes"), z).alias("stored_bytes"),
+        )
+    )

@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_containment_md5",
     "doc_dup_span_coverage",
     "doc_dup_span_scrubbed",
+    "cdc_chunk_dedup",
     "semantic_dedup_bucket_nn",
     "near_dup_incremental",
     "embedding_corr_matrix",

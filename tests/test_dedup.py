@@ -311,3 +311,44 @@ def test_dup_span_scrub_planted(spark):
     for i, want in expected.items():
         assert out[i].kept_chars == len(want), i
         assert out[i].kept_md5 == hashlib.md5(want.encode()).hexdigest(), i
+
+
+def test_cdc_chunking_survives_insertion(spark, sf_dir):
+    """The CDC property: prepending bytes to a document shifts only the
+    chunks before the first content-defined boundary — the shared suffix
+    re-chunks identically and dedupes against the original. (A fixed-size
+    blocker would lose every block after the insertion point.)"""
+    import random
+
+    import hashlib
+
+    from airflow_ml_pipeline_spark.operators import dedup as dd
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefghij momentum ") for _ in range(400))
+
+    def ref_chunks(t: str, k: int = dd.CDC_K):
+        ends = [
+            p
+            for p in range(k, len(t) + 1)
+            if hashlib.md5(t[p - k : p].encode()).hexdigest()[0] == "0"
+        ]
+        if len(t) > 0 and (not ends or ends[-1] != len(t)):
+            ends.append(len(t))
+        s = 1
+        out = []
+        for e in ends:
+            out.append(t[s - 1 : e])
+            s = e + 1
+        return out
+
+    c1, c2 = ref_chunks(base), ref_chunks("XYZ" + base)
+    shared = set(c1) & set(c2)
+    assert len(shared) >= len(c1) - 2, "suffix chunks must realign"
+
+    rows = dd.cdc_chunk_dedup(spark, sf_dir).collect()
+    assert all(r.stored_bytes <= r.n_chars for r in rows)
+    assert all(r.owned_chunks <= r.n_chunks for r in rows)
+    total_raw = sum(r.n_chars for r in rows)
+    total_stored = sum(r.stored_bytes for r in rows)
+    assert total_stored < total_raw, "corpus with duplicates must dedupe"
