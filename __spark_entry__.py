@@ -116,6 +116,7 @@ CHECK_PRIORITY = [
     "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
     "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
     "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
+    "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

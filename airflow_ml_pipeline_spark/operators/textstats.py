@@ -435,3 +435,61 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "token_zipf_fit",
+    oracle="""
+    WITH freqs AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                       AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM freqs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+           round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+               AS zipf_intercept,
+           round(corr(x, y) * corr(x, y), 6) AS r_squared
+    FROM ranked
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares slope
+    of log(frequency) against log(rank). Natural-language corpora fit
+    slope ~ -1 with high r² — a corpus whose slope collapses toward 0
+    (uniform, synthetic spam) or whose r² craters (mixed garbage) fails
+    the distributional sanity gate that runs beside per-doc quality
+    filters.
+
+    Scale shape: the word-count shuffle (map-side partials), one global
+    rank over the TYPE table (vocabulary-sized, orders of magnitude
+    smaller than the corpus — the same bounded-frame global window the
+    prefix-sum ops justify), then single-pass moment aggregates
+    (covar/var/corr) — identical estimator stated on both engines, so the
+    regression itself is value-checked, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r_squared"),
+    )
