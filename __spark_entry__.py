@@ -117,6 +117,7 @@ CHECK_PRIORITY = [
     "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
     "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
     "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
+    "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",

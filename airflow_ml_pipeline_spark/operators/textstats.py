@@ -493,3 +493,110 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
         F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r_squared"),
     )
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t
+    ),
+    total AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_corpus FROM uni),
+    bg AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                          i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+            FROM tok WHERE len(ts) >= 2
+        ), LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+    ),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ln(
+                     {BIGRAM_LAMBDA} * (CAST(c12 AS DOUBLE)
+                                        / CAST(u1.c1 AS DOUBLE))
+                     + {round(1 - BIGRAM_LAMBDA, 6)} * (CAST(u2.c1 AS DOUBLE)
+                                                       / n_corpus)
+                 ) AS DECIMAL(25,6))) AS DOUBLE) AS sum_logprob
+    FROM bg
+    JOIN big USING (w1, w2)
+    JOIN uni u1 ON u1.t = bg.w1
+    JOIN uni u2 ON u2.t = bg.w2
+    CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model score per document:
+    P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N, mean ln P over the doc's
+    bigram positions — the next step up from ``doc_unigram_logprob``
+    toward the KenLM-style perplexity filter (a doc of real words in
+    IMPLAUSIBLE ORDER scores well under unigrams but poorly here — emit
+    the decimal-exact logprob sum plus the bigram count (mean = sum/count
+    for the caller; see the parity note below on why not the mean); docs
+    with fewer than 2 tokens have no bigram evidence and are omitted).
+
+    Scale shape: two vocabulary-shaped aggregations (unigram + bigram
+    tables, map-side partials); the bigram table joins back on (w1, w2).
+    On the test corpora both tables broadcast; at 100 TB the bigram table
+    outgrows a broadcast and the same plan runs as a shuffle join keyed on
+    the bigram — no step is corpus-quadratic. Per-bigram ln values are
+    rounded to 6 decimals BEFORE the per-doc sum (decimal-exact,
+    order-independent accumulation), the same bit-parity discipline as
+    the unigram scorer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    bg = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, n - 1),
+                F.slice("ts", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("n_corpus"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("c12").cast("double") / F.col("c1_w1").cast("double")
+    ) + F.lit(round(1 - BIGRAM_LAMBDA, 6)) * (
+        F.col("c1_w2").cast("double") / F.col("n_corpus")
+    )
+    ln6 = F.log(p).cast("decimal(25,6)")
+    u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c1").alias("c1_w1")))
+    u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1_w2")))
+    return (
+        bg.join(F.broadcast(big), ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # the SUM stays decimal-exact then converts once to double —
+            # emitting sum+count, not the mean: a mean of 6-decimal
+            # decimals can land EXACTLY on a .5e-6 boundary (doc 3832 at
+            # sf0.1: -3.4078655), where Spark's BigDecimal-of-the-binary
+            # HALF_UP and DuckDB's decimal-rendering round() disagree by
+            # 1e-6; the exact decimal sum has no such boundary
+            F.sum(ln6).cast("double").alias("sum_logprob"),
+        )
+    )
