@@ -82,6 +82,24 @@ CHECK_PRIORITY = [
     "near_dup_clusters",  # pointer-doubling checkpoint restructure
     "doc_token_entropy",  # rewritten as built-in expression (was pandas_udf)
     "doc_token_entropy_udf",  # the pandas_udf surface demo, kept declared
+    # queries NEW this round — zero driver evidence yet, so they outrank
+    # the (already r1-r3-witnessed) family anchors below
+    "user_distinct_values_salted",  # NEW: value-salted exact distinct count
+    "doc_containment_md5",  # NEW: asymmetric containment (quote) detection
+    "dedup_source_priority",  # NEW: source-priority keep policy
+    "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
+    "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
+    "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
+    "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
+    "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
+    "stream_near_dup_ingest",  # NEW: containment suppression at ingest
+    "stream_dedup_ingest_fps",  # NEW: foreachBatch dedup-at-ingest store
+    "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
+    "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
+    "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
+    "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
+    "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
+    "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     # one green anchor per already-verified operator family
     "returnflag_priority_counts",  # conditional hash agg
     "cube_revenue",  # rollup/cube/grouping-sets (also re-benched this round)
@@ -98,26 +116,10 @@ CHECK_PRIORITY = [
     "multimodal_features",  # multimodal plumbing
     "customer_drift_profile",  # ML-pipeline oracle anchor
     "stream_stateful_running_totals",  # stateful streaming
-    "stream_dedup_ingest_fps",  # NEW: foreachBatch dedup-at-ingest store
     "events_funnel",  # temporal/window family
     "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "local_supplier_revenue",  # TPC-H join shapes (Q5)
     "user_value_totals_salted",  # skew helpers (also skew-benched this round)
-    "user_distinct_values_salted",  # NEW: value-salted exact distinct count
-    "doc_containment_md5",  # NEW: asymmetric containment (quote) detection
-    "dedup_source_priority",  # NEW: source-priority keep policy
-    "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
-    "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
-    "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
-    "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
-    "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
-    "stream_near_dup_ingest",  # NEW: containment suppression at ingest
-    "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
-    "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
-    "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
-    "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
-    "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
-    "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     # remainder of the ~50 budget: re-witness round 1's relational block
     # (green in r1, no driver row since)
     "pricing_summary",
