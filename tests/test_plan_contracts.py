@@ -155,3 +155,31 @@ def test_semantic_dedup_bucket_equijoin(spark, sf_dir):
     plan = _plan(semantic_dedup(emb))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cdc_and_bigram_avoid_pair_explosion(spark, sf_dir):
+    """CDC chunking and the bigram LM must stay equi-join/window shaped:
+    no cartesian products or (non-broadcast-singleton) nested loops. The
+    1-row corpus-total broadcast is the one legitimate nested-loop join
+    in the bigram plan (same pattern as embedding_decontamination)."""
+    plan = _plan(registry.QUERIES["cdc_chunk_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = _plan(registry.QUERIES["doc_bigram_logprob"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # singleton-total broadcast may appear at most once (count plan NODES:
+    # formatted explain mentions each node twice — tree + detail section)
+    import re
+
+    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nodes) <= 1, plan
+
+
+def test_manifest_aggregation_is_partial(spark, sf_dir):
+    """The manifest's shard aggregation must combine map-side (partial
+    aggregate present) — a collect_list agg cannot partial-combine, so the
+    contract checks the count/sum side of the plan still shows partials
+    upstream in the prepared-corpus lineage."""
+    plan = _plan(registry.QUERIES["training_data_manifest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_" in plan, plan
