@@ -1270,14 +1270,28 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stop, "fp", "left_anti")
         .localCheckpoint(eager=True)  # feeds sizes AND the candidate join
     )
-    sizes = batch_d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dup = containment_dropped_ids(batch_d, hist_d)
+    return batch.join(dup, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def containment_dropped_ids(batch_fps: DataFrame, hist_fps: DataFrame) -> DataFrame:
+    """The containment drop rule shared by batch (``near_dup_incremental``)
+    and streaming (``streaming/ingest.py::upsert_near_batch``) incremental
+    near-dedup — ONE definition so the twins cannot desynchronize: given
+    discriminative (doc_id, fp) postings for the incoming batch and the
+    historical store, return the batch doc_ids with
+    |fp(b) ∩ fp(h)| / |fp(b)| >= CONTAINMENT_THRESHOLD for some historical
+    doc h, scoring only batch docs with >= MIN_FP_COUNT postings."""
+    sizes = batch_fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     shared = (
-        batch_d.select(F.col("doc_id").alias("bdoc"), "fp")
-        .join(hist_d.select(F.col("doc_id").alias("hdoc"), "fp"), "fp")
+        batch_fps.select(F.col("doc_id").alias("bdoc"), "fp")
+        .join(hist_fps.select(F.col("doc_id").alias("hdoc"), "fp"), "fp")
         .groupBy("bdoc", "hdoc")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    dup = (
+    return (
         shared.join(sizes.select(F.col("doc_id").alias("bdoc"), "n"), "bdoc")
         .filter(
             (F.col("c").cast("double") / F.col("n") >= CONTAINMENT_THRESHOLD)
@@ -1285,9 +1299,6 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bdoc").alias("doc_id"))
         .distinct()
-    )
-    return batch.join(dup, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -1377,33 +1388,35 @@ def dup_span_scrub(
         )
     )
     owners = grams.groupBy("h").agg(F.min("doc_id").alias("owner"))
-    scrub = (
+    # hit START positions only — one row per non-owner gram hit, never the
+    # k-char footprint exploded to per-character rows (that first
+    # formulation shuffled ~k x as many (doc_id, position) rows through a
+    # distinct only to re-merge them; the intervals are derivable from the
+    # starts alone)
+    hits = (
         grams.join(owners, "h")
         .filter(F.col("owner") != F.col("doc_id"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("q"),
-        )
-        .distinct()
+        .select("doc_id", "p")
     )
     from pyspark.sql.window import Window
 
-    # gaps-and-islands: consecutive scrubbed positions fold into one
-    # interval; island id = running count of gaps > 1
-    w = Window.partitionBy("doc_id").orderBy("q")
-    islands = scrub.select(
+    # gaps-and-islands over start positions: a new interval starts when
+    # this hit's footprint [p, p+k-1] does not touch the running coverage
+    # end max(prev p)+k-1 (+1 for adjacency)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = (
+        F.max("p").over(w.rowsBetween(Window.unboundedPreceding, -1)) + k - 1
+    )
+    islands = hits.select(
         "doc_id",
-        "q",
-        F.sum(
-            F.when(F.col("q") - F.coalesce(F.lag("q", 1).over(w), F.col("q")) > 1, 1)
-            .otherwise(0)
-        )
+        "p",
+        F.sum(F.when(F.col("p") > prev_end + 1, 1).otherwise(0))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("island"),
     )
     intervals = (
         islands.groupBy("doc_id", "island")
-        .agg(F.min("q").alias("s"), F.max("q").alias("e"))
+        .agg(F.min("p").alias("s"), (F.max("p") + k - 1).alias("e"))
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs")

@@ -651,7 +651,11 @@ def embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded d^2 aggregate (64 x 64 here), the same driver-bounded-
     aggregate class as the pipeline's per-feature means. Emitting it back
     as a DataFrame keeps the declared-query contract; constant dimensions
-    (NaN correlation) are dropped on both sides."""
+    are dropped on both sides — including their DIAGONAL entry: MLlib
+    pins m[j][j] to exactly 1.0 even for a zero-variance column (only the
+    off-diagonals go NaN), while the oracle's corr(v[j],v[j]) is NULL
+    there, so a constant dim is detected as all-NaN-off-diagonal and its
+    rows removed entirely to keep the two engines row-identical."""
     import math
 
     from pyspark.ml.functions import array_to_vector
@@ -663,10 +667,15 @@ def embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = Correlation.corr(vec, "features").head()[0].toArray()
     d = m.shape[0]
+    constant = {
+        j
+        for j in range(d)
+        if all(math.isnan(m[j][k]) for k in range(d) if k != j)
+    }
     rows = [
         (i + 1, j + 1, round(float(m[i][j]), 6))
         for i in range(d)
         for j in range(i, d)
-        if not math.isnan(m[i][j])
+        if not math.isnan(m[i][j]) and i not in constant and j not in constant
     ]
     return spark.createDataFrame(rows, "dim_i int, dim_j int, corr double")

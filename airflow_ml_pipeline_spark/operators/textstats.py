@@ -583,8 +583,12 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln6 = F.log(p).cast("decimal(25,6)")
     u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c1").alias("c1_w1")))
     u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1_w2")))
+    # no broadcast hint on the bigram table: it grows with the corpus
+    # (unlike the 1-row total and the vocab), and a hint overrides AQE's
+    # sizing — the optimizer picks broadcast at test scale and a shuffle
+    # join keyed on the bigram once the table outgrows the threshold
     return (
-        bg.join(F.broadcast(big), ["w1", "w2"])
+        bg.join(big, ["w1", "w2"])
         .join(u1, "w1")
         .join(u2, "w2")
         .crossJoin(F.broadcast(total))

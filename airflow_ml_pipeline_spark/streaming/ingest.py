@@ -241,8 +241,7 @@ def upsert_near_batch(
     batch-owned partition overwrites, so a retried batch rewrites exactly
     its own output (same exactly-once contract as ``upsert_batch``)."""
     from airflow_ml_pipeline_spark.operators.dedup import (
-        CONTAINMENT_THRESHOLD,
-        MIN_FP_COUNT,
+        containment_dropped_ids,
         winnow_md5_postings,
     )
 
@@ -257,22 +256,10 @@ def upsert_near_batch(
     if prior is None:
         survivors = batch_df.select("doc_id", "lang", "source", "n_chars")
     else:
-        sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        shared = (
-            postings.select(F.col("doc_id").alias("bdoc"), "fp")
-            .join(prior.select(F.col("doc_id").alias("hdoc"), "fp"), "fp")
-            .groupBy("bdoc", "hdoc")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        dropped = (
-            shared.join(sizes.select(F.col("doc_id").alias("bdoc"), "n"), "bdoc")
-            .filter(
-                (F.col("c").cast("double") / F.col("n") >= CONTAINMENT_THRESHOLD)
-                & (F.col("n") >= MIN_FP_COUNT)
-            )
-            .select(F.col("bdoc").alias("doc_id"))
-            .distinct()
-        )
+        # the drop rule is the SHARED definition in operators/dedup.py —
+        # the batch twin (near_dup_incremental) and this streaming path
+        # cannot desynchronize on threshold/min-count semantics
+        dropped = containment_dropped_ids(postings, prior.select("doc_id", "fp"))
         survivors = batch_df.select("doc_id", "lang", "source", "n_chars").join(
             dropped, "doc_id", "left_anti"
         )
