@@ -146,6 +146,35 @@ FOOTER = """
   rows instead of every fact row (4x shuffle volume at 100 TB);
   noop-sink times dropped cube 2.0->0.9s, grouping_sets 1.8->0.9s,
   rollup 1.6->0.75s at sf0.1.
+- **Substring-level dedup** (`doc_dup_span_coverage`,
+  `doc_dup_span_scrubbed`): the only data-sized shuffles carry
+  (doc_id, position, 16-byte hash) triples, never text; duplicated-gram
+  detection is a groupBy with map-side partials (a boilerplate gram
+  combines before the exchange — no hot-key buffering), and the rewrite
+  is an O(#intervals) substring fold per doc (the per-char anti-join
+  formulation was 1.8x slower and shuffled ~32x the rows). At 100 TB
+  the (doc_id, p, h) postings are materialized once and every stage
+  scans them.
+- **Incremental near-dedup** (`near_dup_incremental`,
+  `stream_near_dup_ingest`): per-increment work is bounded by the
+  BATCH's postings times per-fp document frequency — the stop-fp
+  cutoff caps the fan-out and the historical side is a materialized
+  postings store (appended per batch), never a re-scan of history; the
+  drop rule is one shared definition for the batch and streaming twins.
+- **Semantic dedup** (`semantic_dedup_bucket_nn`): pair volume is
+  O(n x bucket_size) with bits ~ log(n); a hot bucket (mass near one
+  centroid) salts like any hot aggregation key. The k-means variant
+  (`build_ivf_index`) partitions by cluster_id so pruning is partition
+  pruning.
+- **CDC chunking** (`cdc_chunk_dedup`): boundary detection is a
+  projection; chunk assembly is a per-doc window over ~|text|/16
+  boundary rows; ownership is a window whose partition is one chunk
+  hash's copies (bounded by duplication depth).
+- **Manifest / Zipf / bigram LM**: all iterate over vocabulary- or
+  shard-sized aggregates after one corpus-sized shuffle with map-side
+  partials; the bigram join-back broadcasts only while the bigram
+  table fits (no hint — AQE decides, so outgrowing the threshold
+  degrades to a shuffle join, not an OOM).
 """
 
 
