@@ -101,6 +101,7 @@ CHECK_PRIORITY = [
     "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
     "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     # one green anchor per already-verified operator family
+    "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "returnflag_priority_counts",  # conditional hash agg
     "cube_revenue",  # rollup/cube/grouping-sets (also re-benched this round)
     "corpus_sketch_stats",  # sketches / mergeable rollup
@@ -117,7 +118,6 @@ CHECK_PRIORITY = [
     "customer_drift_profile",  # ML-pipeline oracle anchor
     "stream_stateful_running_totals",  # stateful streaming
     "events_funnel",  # temporal/window family
-    "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "local_supplier_revenue",  # TPC-H join shapes (Q5)
     "user_value_totals_salted",  # skew helpers (also skew-benched this round)
     # remainder of the ~50 budget: re-witness round 1's relational block
