@@ -352,3 +352,21 @@ def test_cdc_chunking_survives_insertion(spark, sf_dir):
     total_raw = sum(r.n_chars for r in rows)
     total_stored = sum(r.stored_bytes for r in rows)
     assert total_stored < total_raw, "corpus with duplicates must dedupe"
+
+
+def test_scrub_removes_subset_of_covered_chars(spark, sf_dir):
+    """Metamorphic invariant between the two span operators: the scrubber
+    removes only NON-OWNER duplicated spans, while coverage counts every
+    cross-doc duplicated span (owners included) — so per document,
+    chars removed by scrubbing <= chars counted as duplicated, with
+    equality impossible for a doc that owns any shared span."""
+    cov = {r.doc_id: r for r in dedup.doc_dup_span_coverage(spark, sf_dir).collect()}
+    scr = {r.doc_id: r for r in dedup.doc_dup_span_scrubbed(spark, sf_dir).collect()}
+    assert set(cov) == set(scr)
+    for i in cov:
+        removed = scr[i].n_chars - scr[i].kept_chars
+        assert 0 <= removed <= cov[i].dup_chars, i
+    # owners exist: some doc keeps everything despite nonzero coverage
+    assert any(
+        cov[i].dup_chars > 0 and scr[i].kept_chars == scr[i].n_chars for i in cov
+    )
