@@ -1596,8 +1596,22 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, never text."""
     from pyspark.sql.window import Window
 
-    k = CDC_K
-    docs = load_spread(spark, sf_dir, "documents")
+    return cdc_chunk_stats(
+        load_spread(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame, base: DataFrame | None = None, k: int = CDC_K
+) -> DataFrame:
+    """Library form of ``cdc_chunk_dedup``: ``docs`` needs (doc_id, text);
+    ``base`` (default ``docs``) supplies the output rows and their
+    ``n_chars``. See the query docstring for semantics/scale."""
+    from pyspark.sql.window import Window
+
+    if base is None:
+        base = docs
     bounds = (
         docs.filter(F.length("text") >= k)
         .select(
@@ -1645,8 +1659,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.lit(0).cast("bigint")
     return (
-        load_table(spark, sf_dir, "documents")
-        .join(per_doc, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",

@@ -370,3 +370,66 @@ def test_scrub_removes_subset_of_covered_chars(spark, sf_dir):
     assert any(
         cov[i].dup_chars > 0 and scr[i].kept_chars == scr[i].n_chars for i in cov
     )
+
+
+def _ref_cdc_stats(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Reference CDC chunker + first-occurrence ownership, pure Python."""
+    import hashlib
+
+    def chunks(t: str):
+        ends = [
+            p
+            for p in range(k, len(t) + 1)
+            if hashlib.md5(t[p - k : p].encode()).hexdigest()[0] == "0"
+        ]
+        if len(t) > 0 and (not ends or ends[-1] != len(t)):
+            ends.append(len(t))
+        s, out = 1, []
+        for e in ends:
+            out.append((s, t[s - 1 : e]))
+            s = e + 1
+        return out
+
+    owner: dict[str, tuple] = {}
+    per_doc = {}
+    for i in sorted(texts):
+        cs = chunks(texts[i])
+        per_doc[i] = cs
+        for s, c in cs:
+            h = hashlib.md5(c.encode()).hexdigest()
+            if h not in owner or (i, s) < owner[h]:
+                owner[h] = (i, s)
+    out = {}
+    for i, cs in per_doc.items():
+        owned = [
+            (s, c)
+            for s, c in cs
+            if owner[hashlib.md5(c.encode()).hexdigest()] == (i, s)
+        ]
+        out[i] = (len(cs), len(owned), sum(len(c) for _, c in owned))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cdc_chunk_stats_match_reference(spark, texts):
+    """Chunk boundaries, counts, and first-occurrence ownership must match
+    a pure-Python reference chunker on arbitrary corpora — including empty
+    docs, sub-k docs, docs whose last window is a boundary, and repeated
+    identical chunks within one doc."""
+    texts_map = dict(enumerate(texts))
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts_map.items()],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.owned_chunks, r.stored_bytes)
+        for r in dedup.cdc_chunk_stats(docs).collect()
+    }
+    assert got == _ref_cdc_stats(texts_map, dedup.CDC_K)
