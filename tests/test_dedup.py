@@ -433,3 +433,40 @@ def test_cdc_chunk_stats_match_reference(spark, texts):
         for r in dedup.cdc_chunk_stats(docs).collect()
     }
     assert got == _ref_cdc_stats(texts_map, dedup.CDC_K)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=50),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_winnow_md5_postings_match_reference(spark, texts):
+    """The winnowing algebra itself (not just its DuckDB restatement):
+    distinct min-of-each-w-window fingerprints per doc must match a pure
+    Python implementation, including the p=1 guard for docs with fewer
+    than w hashes and docs shorter than k (single degenerate gram)."""
+    import hashlib
+
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+
+    def ref(t: str) -> set:
+        n = max(len(t) - k + 1, 1)
+        hs = [hashlib.md5(t[p - 1 : p - 1 + k].encode()).hexdigest() for p in range(1, n + 1)]
+        fps = set()
+        for p in range(1, n + 1):
+            if p <= n - w + 1 or p == 1:
+                fps.add(min(hs[p - 1 : p - 1 + w]))
+        return fps
+
+    texts_map = dict(enumerate(texts))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts_map.items()], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in dedup.winnow_md5_postings(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    expected = {i: ref(t) for i, t in texts_map.items()}
+    assert got == expected
