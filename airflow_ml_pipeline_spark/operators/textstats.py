@@ -604,3 +604,109 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ln6).cast("double").alias("sum_logprob"),
         )
     )
+
+
+BM25_QUERY = ("window", "merge", "batch")  # the standing lexical query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(dl) AS avgdl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE t IN {BM25_QUERY}
+        GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok WHERE t IN {BM25_QUERY}
+        GROUP BY t
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+                   AS DECIMAL(25,6)) AS s
+        FROM tf
+        JOIN df USING (t)
+        JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY SUM(s) DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-{BM25_TOP} documents for a standing
+    term query — the SPARSE retrieval path complementing the dense ANN
+    ops (``knn_cosine_bruteforce``/``ann_*``); production RAG corpora run
+    both and fuse. Okapi BM25 with the +1 idf variant (always positive),
+    k1={BM25_K1}, b={BM25_B}.
+
+    Scale shape: the postings scan filters to the query's terms BEFORE
+    any shuffle (predicate on the exploded token — at scale this is an
+    inverted-index lookup, here a pushed filter), so the aggregations
+    touch only matching postings; df/avgdl are O(terms)/O(1) aggregates
+    that broadcast into the per-(doc, term) scoring projection, and the
+    global top-k is TakeOrderedAndProject. Per-term scores are rounded
+    to 6 decimals and summed decimal-exactly per doc (the sum-not-mean
+    parity discipline — see ``doc_bigram_logprob``); the final ordering
+    key is that exact decimal sum, so ranking ties break identically in
+    both engines (then doc_id)."""
+    terms = list(BM25_QUERY)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    qtok = tok.filter(F.col("t").isin(terms))
+    doclen = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = qtok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = qtok.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfnorm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    s6 = F.round(idf * tfnorm, 6).cast("decimal(25,6)")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s6.alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("s_sum"))
+    return (
+        agg.orderBy(F.desc("s_sum"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .select("doc_id", F.col("s_sum").cast("double").alias("bm25"))
+    )

@@ -102,6 +102,7 @@ HEADLINE = [
     "semantic_dedup_bucket_nn",
     "near_dup_incremental",
     "embedding_corr_matrix",
+    "bm25_topk",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
