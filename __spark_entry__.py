@@ -101,6 +101,7 @@ CHECK_PRIORITY = [
     "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
     "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     "bm25_topk",  # NEW: sparse (lexical) retrieval beside the dense ANN path
+    "retrieval_rrf_fused",  # NEW: reciprocal-rank fusion of sparse + dense
     # one green anchor per already-verified operator family
     "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "returnflag_priority_counts",  # conditional hash agg

@@ -710,3 +710,136 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", F.col("s_sum").cast("double").alias("bm25"))
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def _rrf_oracle() -> str:
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE t IN {BM25_QUERY} GROUP BY doc_id, t
+    ),
+    dft AS (
+        SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok WHERE t IN {BM25_QUERY} GROUP BY t
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+                   AS DECIMAL(25,6)) AS s
+        FROM tf JOIN dft USING (t) JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY SUM(s) DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM scored GROUP BY doc_id
+        ORDER BY SUM(s) DESC, doc_id LIMIT {BM25_TOP}
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    dense_scored AS (
+        SELECT vec_id AS doc_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> qvec[i] * qvec[i])))), 6) AS cos_sim
+        FROM embeddings CROSS JOIN q
+    ),
+    dense AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM dense_scored
+        ORDER BY cos_sim DESC, doc_id LIMIT {TOP_K}
+    )
+    SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({RRF_K} + b.r), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + d.r), 0.0), 6) AS rrf,
+           CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+               AS in_sparse,
+           CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+               AS in_dense
+    FROM bm25 b FULL OUTER JOIN dense d ON b.doc_id = d.doc_id
+    """
+
+
+@query("retrieval_rrf_fused", oracle=_rrf_oracle())
+def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
+    dense (cosine kNN over the documents' embedding twins — vec_id is the
+    doc_id of the embedded document) rankings for the standing queries,
+    RRF(d) = Σ_rankers 1/(k + rank_d) with k={RRF_K} — the standard
+    score-free fusion RAG stacks run because BM25 scores and cosines are
+    not calibrated against each other.
+
+    Scale shape: both ranker subplans are the already-audited top-k plans
+    (term-filtered postings; broadcast query vector), each ending in a
+    bounded top-k — so the fusion join touches at most
+    |bm25_top| + |dense_top| rows regardless of corpus size. Ranks are
+    integers with engine-identical tiebreaks (exact decimal score, then
+    doc_id), and the RRF sum is two fixed-order double terms, so the
+    fused scores hash identically without any further rounding
+    discipline."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+    )
+
+    # re-rank deterministically from the emitted scores (bm25 is the exact
+    # decimal sum cast to double; ties break on doc_id in both engines)
+    sparse_r = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r_s"),
+    )
+    dense_r = knn_cosine_bruteforce(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .cast("bigint")
+        .alias("r_d"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("r_s")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("r_d")), F.lit(0.0)),
+        6,
+    )
+    return sparse_r.join(dense_r, "doc_id", "full_outer").select(
+        "doc_id",
+        rrf.alias("rrf"),
+        F.col("r_s").isNotNull().cast("int").alias("in_sparse"),
+        F.col("r_d").isNotNull().cast("int").alias("in_dense"),
+    )
