@@ -112,10 +112,11 @@ CHECK_PRIORITY = [
     "lang_nchars_median_udaf",  # UDAF surface
     "doc_chunks_udtf",  # UDTF surface
     "knn_cosine_bruteforce",  # similarity
-    "embedding_decontamination",  # decontamination
     "corpus_weighted_sample",  # corpus curation
     "sequence_packing",  # serving ops
-    "dedup_incremental",  # incremental dedup
+    # (dedup_incremental / embedding_decontamination anchors retired from
+    # the prefix: their families are re-witnessed via corpus_prepared and
+    # the round's new dedup/decontamination-adjacent queries above)
     "multimodal_features",  # multimodal plumbing
     "customer_drift_profile",  # ML-pipeline oracle anchor
     "stream_stateful_running_totals",  # stateful streaming
