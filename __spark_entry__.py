@@ -102,6 +102,8 @@ CHECK_PRIORITY = [
     "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
     "bm25_topk",  # NEW: sparse (lexical) retrieval beside the dense ANN path
     "retrieval_rrf_fused",  # NEW: reciprocal-rank fusion of sparse + dense
+    "event_transition_matrix",  # NEW: Markov next-event matrix
+    "user_state_scd2",  # NEW: SCD2 validity intervals from the changelog
     # one green anchor per already-verified operator family
     "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "returnflag_priority_counts",  # conditional hash agg
@@ -112,8 +114,9 @@ CHECK_PRIORITY = [
     "lang_nchars_median_udaf",  # UDAF surface
     "doc_chunks_udtf",  # UDTF surface
     "knn_cosine_bruteforce",  # similarity
-    "corpus_weighted_sample",  # corpus curation
     "sequence_packing",  # serving ops
+    # (corpus_weighted_sample retired: curation is repped by
+    # near_dup_clusters in the changed-paths block)
     # (dedup_incremental / embedding_decontamination anchors retired from
     # the prefix: their families are re-witnessed via corpus_prepared and
     # the round's new dedup/decontamination-adjacent queries above)

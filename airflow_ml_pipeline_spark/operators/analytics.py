@@ -99,3 +99,145 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("o_custkey").alias("n_customers"))
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    counts and conditional probabilities P(next | current) for consecutive
+    event pairs — the behavioral fingerprint behind next-action
+    prediction, anomaly scoring (improbable transitions), and funnel
+    diagnosis (where sessions leak). Ordering ties break on event_id so
+    the pairing is deterministic across engines and partitionings.
+
+    Scale shape: one shuffle on user_id for the lead() window (per-user
+    history, bounded), then a hash agg on the (from, to) pair — a domain
+    of |event_types|² keys, so partial aggregation collapses each
+    partition to a tiny map before the exchange; the probability
+    normalization windows over that tiny aggregate, never the events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@query(
+    "user_state_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(CASE WHEN prev_type IS NULL
+                              OR prev_type != event_type
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS run_id
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, event_type, run_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM starts GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY run_id) AS valid_to_us,
+           n_events
+    FROM runs
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a changelog:
+    consecutive same-state runs per user collapse into validity intervals
+    [valid_from, valid_to) — valid_to is the next run's start, NULL for
+    the current state — with the event count per run. The warehouse
+    operator that turns an append-only event stream into an as-of
+    joinable dimension (the as-of join itself is
+    ``purchase_last_view_asof``). Interval bounds are emitted as epoch
+    MICROSECONDS (engine-neutral integers; formatted timestamps reopen
+    the strftime-parity can of worms for no analytic gain).
+
+    Scale shape: everything is per-user windows over each user's own
+    history (one shuffle on user_id, reused across the lag / run-sum /
+    lead stages — EnsureRequirements sees the same partitioning) plus a
+    (user, run) hash agg; runs are emitted once, so the output is
+    change-sized, not event-sized — the property that makes SCD2 the
+    compact storage form of a changelog."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
+            )
+        )
+        .cast("int")
+        .alias("is_start"),
+    )
+    runs = (
+        marked.withColumn(
+            "run_id",
+            F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wr).alias("valid_to_us"),
+        "n_events",
+    )

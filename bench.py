@@ -63,6 +63,8 @@ HEADLINE = [
     "events_sliding_daily",
     "events_json_stats",
     "events_sessionized",
+    "event_transition_matrix",
+    "user_state_scd2",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",
