@@ -104,6 +104,7 @@ CHECK_PRIORITY = [
     "retrieval_rrf_fused",  # NEW: reciprocal-rank fusion of sparse + dense
     "event_transition_matrix",  # NEW: Markov next-event matrix
     "user_state_scd2",  # NEW: SCD2 validity intervals from the changelog
+    "ab_conversion_ztest",  # NEW: two-proportion experiment readout
     # one green anchor per already-verified operator family
     "user_eventtype_map_stats",  # semi-structured (map/JSON) family
     "returnflag_priority_counts",  # conditional hash agg

@@ -241,3 +241,105 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(wr).alias("valid_to_us"),
         "n_events",
     )
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(converted) AS DOUBLE) AS c
+        FROM users GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN c END) AS c1
+        FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           CAST(c1 AS BIGINT) AS conv_treatment,
+           round(c0 / n0, 6) AS rate_control,
+           round(c1 / n1, 6) AS rate_treatment,
+           CASE WHEN (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0.0
+                ELSE round((c1 / n1 - c0 / n0)
+                     / sqrt(((c0 + c1) / (n0 + n1))
+                            * (1.0 - (c0 + c1) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)), 6) END AS z_score,
+           CAST(CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+                      AND abs((c1 / n1 - c0 / n0)
+                 / sqrt(((c0 + c1) / (n0 + n1))
+                        * (1.0 - (c0 + c1) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1))) > 1.959964
+                THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+    FROM wide
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: pooled two-proportion z-test on per-user
+    HIGH-VALUE (value > 90) purchase conversion between two variants (user_id parity stands in
+    for the assignment column an experimentation system writes) — the
+    readout query every A/B platform runs, with the 1.96 two-sided 95%
+    significance gate. All inputs are integer counts, so the z statistic
+    is identical arithmetic in both engines (same expression tree, no
+    libm beyond sqrt).
+
+    Scale shape: one per-user aggregation (max-flag conversion — dedupes
+    repeat purchasers by construction), one 2-row variant aggregate, then
+    O(1) arithmetic; nothing after the first shuffle depends on data
+    size. The variant column generalizes to any assignment join."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    v = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("c"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # zero-variance guard: all-converted or none-converted pools have no
+    # sampling variance — define z = 0 (no evidence) instead of 0/0
+    degenerate = (F.col("c0") + F.col("c1") == 0) | (
+        F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")
+    )
+    z_raw = (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(z_raw)
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.col("c1").cast("bigint").alias("conv_treatment"),
+        F.round(F.col("c0") / F.col("n0"), 6).alias("rate_control"),
+        F.round(F.col("c1") / F.col("n1"), 6).alias("rate_treatment"),
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(z_raw, 6)).alias(
+            "z_score"
+        ),
+        (~degenerate & (F.abs(z_raw) > 1.959964)).cast("int").alias(
+            "significant_95"
+        ),
+    )
