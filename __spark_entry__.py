@@ -76,7 +76,9 @@ CHECK_PRIORITY = [
     "embedding_norms",
     # code paths CHANGED this round — re-witness green
     "simhash_md5",  # tiny-doc zero-gram filter (r3 ADVICE)
-    "events_hourly_continuous",  # rollup cache re-keyed on content fingerprint
+    # (events_hourly_continuous dropped from the prefix: r3-green, and its
+    # r4 change was cache re-keying, not query semantics — follows in
+    # registry order)
     "stream_events_hourly",  # tz-independent NTZ normalization (scan boundary)
     "purchase_last_view_asof",  # same NTZ path, batch ts arithmetic
     "near_dup_clusters",  # pointer-doubling checkpoint restructure
