@@ -470,3 +470,26 @@ def test_winnow_md5_postings_match_reference(spark, texts):
         got.setdefault(r.doc_id, set()).add(r.fp)
     expected = {i: ref(t) for i, t in texts_map.items()}
     assert got == expected
+
+
+def test_containment_dropped_ids_threshold_semantics(spark):
+    """The shared batch/streaming drop rule on planted postings: a batch
+    doc is dropped only when >= 60% of its postings appear in ONE
+    historical doc (not pooled across several), and docs under the
+    MIN_FP_COUNT evidence floor always pass."""
+    # hist doc 100 holds fps f0..f9; hist doc 101 holds g0..g4
+    hist = spark.createDataFrame(
+        [(100, f"f{i}") for i in range(10)] + [(101, f"g{i}") for i in range(5)],
+        ["doc_id", "fp"],
+    )
+    batch = spark.createDataFrame(
+        # doc 1: 5 fps, 4 in hist-100 -> containment 0.8 -> dropped
+        [(1, f"f{i}") for i in range(4)] + [(1, "x0")]
+        # doc 2: 5 fps, 2 in hist-100 + 2 in hist-101 -> max per-doc 0.4 -> kept
+        + [(2, "f0"), (2, "f1"), (2, "g0"), (2, "g1"), (2, "x1")]
+        # doc 3: 4 fps all in hist-100 but below MIN_FP_COUNT=5 -> kept
+        + [(3, f"f{i}") for i in range(4)],
+        ["doc_id", "fp"],
+    )
+    dropped = {r.doc_id for r in dedup.containment_dropped_ids(batch, hist).collect()}
+    assert dropped == {1}
