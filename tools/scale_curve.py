@@ -68,6 +68,17 @@ QUERIES = [
     ("near_dup_incremental", "documents"),
     ("doc_dup_span_scrubbed", "documents"),
     ("embedding_corr_matrix", "embeddings"),
+    ("bm25_topk", "documents"),
+    ("retrieval_rrf_fused", "documents"),
+    ("event_transition_matrix", "events"),
+    ("user_state_scd2", "events"),
+    ("ab_conversion_ztest", "events"),
+    ("token_zipf_fit", "documents"),
+    ("doc_bigram_logprob", "documents"),
+    ("cdc_chunk_dedup", "documents"),
+    ("bpe_trained_merges", "documents"),
+    ("training_data_manifest", "documents"),
+    ("split_leakage_audit", "documents"),
 ]
 
 FOOTER = """
