@@ -164,7 +164,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
     ),
     starts AS (
         SELECT user_id, event_type, ts, event_id,
@@ -207,7 +207,13 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact storage form of a changelog."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-typed events are excluded on BOTH sides: a NULL state is not a
+    # state, and lag() cannot distinguish "no previous row" from "previous
+    # state was NULL", so run-break semantics over NULLs would be
+    # ill-defined (and engine-divergent: 'x' != NULL is NULL in SQL)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id",
@@ -339,7 +345,10 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(degenerate, F.lit(0.0)).otherwise(F.round(z_raw, 6)).alias(
             "z_score"
         ),
-        (~degenerate & (F.abs(z_raw) > 1.959964)).cast("int").alias(
-            "significant_95"
-        ),
+        # when() so a NULL condition (an empty variant pool makes n0/c0
+        # NULL -> degenerate NULL) lands in otherwise(0), matching the
+        # oracle's CASE ... ELSE 0 instead of propagating NULL
+        F.when(~degenerate & (F.abs(z_raw) > 1.959964), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("significant_95"),
     )

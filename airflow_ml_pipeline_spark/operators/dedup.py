@@ -1594,8 +1594,6 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew case handled as everywhere else (salt or cap). The only
     data-sized exchanges carry (doc_id, position) pairs and 16-byte chunk
     hashes, never text."""
-    from pyspark.sql.window import Window
-
     return cdc_chunk_stats(
         load_spread(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "documents"),

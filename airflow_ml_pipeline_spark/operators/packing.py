@@ -395,8 +395,9 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = BPE_N_MERGES):
     fraction of the corpus; the corpus is touched once to build it), each
     round being one exploded-bigram aggregation (map-side partials) plus a
     1-row argmax collect, with the symbol rewrite a per-row array fold.
-    localCheckpoint per round truncates the N-deep lineage exactly like
-    the CC loop in corpus_ops. The driver loop is control flow only."""
+    An eager localCheckpoint every few rounds bounds the otherwise
+    N-deep lineage (same rationale as the CC loop in corpus_ops; see the
+    cadence note inline). The driver loop is control flow only."""
     sym = vocab.select("cnt", F.split("word", "").alias("syms"))
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):

@@ -22,6 +22,19 @@ from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
 QUERY_VEC_ID = 0  # the corpus vector used as the standing query
 TOP_K = 10
+
+#: SQL for cosine(embedding, qvec) rounded to 6dp — evaluated against a
+#: `q(qvec DOUBLE[])` CTE. ONE statement shared by the knn oracle here and
+#: retrieval_rrf_fused's oracle (operators/textstats.py) so the dense
+#: scoring can never drift between them.
+SQL_COS_VS_QVEC = """round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> qvec[i] * qvec[i])))), 6)"""
 N_PLANES = 6  # LSH: 6 hyperplanes -> 64 buckets (sized for the test corpora;
 # at 100 TB scale planes grow with log2(corpus/target_bucket_size))
 LSH_SEED = 7
@@ -47,14 +60,7 @@ def _query_vec(df: DataFrame) -> DataFrame:
         FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
     ),
     scored AS (
-        SELECT vec_id, label,
-               round(
-                 list_sum(list_transform(range(1, 65),
-                     i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
-                 / (sqrt(list_sum(list_transform(range(1, 65),
-                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65), i -> qvec[i] * qvec[i])))),
-                 6) AS cos_sim
+        SELECT vec_id, label, {SQL_COS_VS_QVEC} AS cos_sim
         FROM embeddings CROSS JOIN q
     )
     SELECT vec_id, label, cos_sim

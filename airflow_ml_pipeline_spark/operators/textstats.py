@@ -611,11 +611,11 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 20
 
-
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+#: The BM25 per-(doc, term) scoring pipeline as a reusable CTE chain ending
+#: in `scored(doc_id, s)` — ONE statement of the oracle shared by
+#: ``bm25_topk`` and ``retrieval_rrf_fused`` so the two can never drift.
+_SQL_BM25_SCORED_CTES = f"""
+    tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
     doclen AS (
@@ -632,7 +632,7 @@ BM25_TOP = 20
         FROM tok WHERE t IN {BM25_QUERY}
         GROUP BY doc_id, t
     ),
-    df AS (
+    dft AS (
         SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
         FROM tok WHERE t IN {BM25_QUERY}
         GROUP BY t
@@ -646,10 +646,16 @@ BM25_TOP = 20
                       * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
                    AS DECIMAL(25,6)) AS s
         FROM tf
-        JOIN df USING (t)
+        JOIN dft USING (t)
         JOIN doclen USING (doc_id)
         CROSS JOIN stats
-    )
+    )"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_SCORED_CTES}
     SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY SUM(s) DESC, doc_id
@@ -721,37 +727,12 @@ def _rrf_oracle() -> str:
         TOP_K,
     )
 
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        SQL_COS_VS_QVEC,
+    )
+
     return f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-    ),
-    doclen AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-        FROM documents
-    ),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
-        FROM doclen
-    ),
-    tf AS (
-        SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
-        FROM tok WHERE t IN {BM25_QUERY} GROUP BY doc_id, t
-    ),
-    dft AS (
-        SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-        FROM tok WHERE t IN {BM25_QUERY} GROUP BY t
-    ),
-    scored AS (
-        SELECT tf.doc_id,
-               CAST(round(
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * (tf * ({BM25_K1} + 1.0))
-                   / (tf + {BM25_K1}
-                      * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
-                   AS DECIMAL(25,6)) AS s
-        FROM tf JOIN dft USING (t) JOIN doclen USING (doc_id)
-        CROSS JOIN stats
-    ),
+    WITH {_SQL_BM25_SCORED_CTES},
     bm25 AS (
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY SUM(s) DESC, doc_id)
@@ -764,15 +745,7 @@ def _rrf_oracle() -> str:
         FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
     ),
     dense_scored AS (
-        SELECT vec_id AS doc_id,
-               round(
-                 list_sum(list_transform(range(1, 65),
-                     i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
-                 / (sqrt(list_sum(list_transform(range(1, 65),
-                     i -> CAST(embedding[i] AS DOUBLE)
-                          * CAST(embedding[i] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
-                     i -> qvec[i] * qvec[i])))), 6) AS cos_sim
+        SELECT vec_id AS doc_id, {SQL_COS_VS_QVEC} AS cos_sim
         FROM embeddings CROSS JOIN q
     ),
     dense AS (
