@@ -493,3 +493,48 @@ def test_containment_dropped_ids_threshold_semantics(spark):
     )
     dropped = {r.doc_id for r in dedup.containment_dropped_ids(batch, hist).collect()}
     assert dropped == {1}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_simhash_md5_vote_matches_reference(spark, texts):
+    """The SimHash vote algebra itself: distinct token 2-grams hashed to
+    60-bit md5 ints, per-bit majority vote (strict >, ties -> 0) must
+    match a pure-Python reference — including docs dropped for having
+    fewer than two tokens and repeated grams deduplicated before voting."""
+    import hashlib
+
+    def ref(t: str):
+        toks = t.split(" ")
+        if len(toks) < 2:
+            return None
+        grams = list(dict.fromkeys(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ))
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        fp = 0
+        for b in range(60):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 > len(hs):
+                fp |= 1 << b
+        return fp
+
+    texts_map = dict(enumerate(texts))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts_map.items()], "doc_id long, text string"
+    )
+    hashed = dedup._simhash_grams(
+        docs, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup._simhash_vote(hashed, n_bits=dedup.SIMHASH_MD5_BITS).collect()
+    }
+    expected = {i: ref(t) for i, t in texts_map.items() if ref(t) is not None}
+    assert got == expected
