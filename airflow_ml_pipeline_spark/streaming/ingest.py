@@ -55,9 +55,33 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _prune_stale_tags(prefix: str, keep_tag: str, min_age_s: float = 7200) -> None:
+    """GC: remove sibling state dirs for the SAME corpus basename but a
+    DIFFERENT content fingerprint — a regenerated corpus leaves the old
+    tag's staging/store/checkpoint unreachable forever otherwise. Only
+    dirs untouched for ``min_age_s`` are removed so a concurrently
+    running session (round-3 ADVICE raised exactly this race class) is
+    never pulled out from under."""
+    import time
+
+    if not os.path.isdir(INGEST_ROOT):
+        return
+    for d in os.listdir(INGEST_ROOT):
+        if not d.startswith(prefix + "-") or d == keep_tag:
+            continue
+        path = os.path.join(INGEST_ROOT, d)
+        try:
+            if time.time() - os.stat(path).st_mtime > min_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def ingest_dirs(sf_dir: str) -> tuple[str, str, str]:
     """(staging, store, checkpoint) directories for this corpus version."""
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{_corpus_fingerprint(sf_dir)}"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{base}-{_corpus_fingerprint(sf_dir)}"
+    _prune_stale_tags(base, tag)
     root = os.path.join(INGEST_ROOT, tag)
     return (
         os.path.join(root, "arrivals"),
@@ -184,7 +208,9 @@ NEAR_N_BATCHES = 4
 def near_ingest_dirs(sf_dir: str) -> tuple[str, str, str, str, str]:
     """(arrivals, store, checkpoint, survivors, stop-artifact) dirs for the
     near-dup ingester — separate trio from the exact ingester's."""
-    tag = f"near-{os.path.basename(os.path.normpath(sf_dir))}-{_corpus_fingerprint(sf_dir)}"
+    base = f"near-{os.path.basename(os.path.normpath(sf_dir))}"
+    tag = f"{base}-{_corpus_fingerprint(sf_dir)}"
+    _prune_stale_tags(base, tag)
     root = os.path.join(INGEST_ROOT, tag)
     return (
         os.path.join(root, "arrivals"),

@@ -107,3 +107,28 @@ def test_near_dup_ingest_replay_and_batch_semantics(spark, sf_dir):
     batch0 = {i for i in all_ids if i % ingest.NEAR_N_BATCHES == 0}
     assert batch0 <= surv1
     assert all(i % ingest.NEAR_N_BATCHES != 0 for i in all_ids - surv1)
+
+
+def test_stale_ingest_state_is_pruned(spark, sf_dir, tmp_path, monkeypatch):
+    """A regenerated corpus changes the content fingerprint; the previous
+    tag's staging/store/checkpoint would otherwise leak in /tmp forever.
+    Old-and-different tags for the same corpus basename are GC'd; young
+    dirs (possibly a concurrent session) and other basenames survive."""
+    import os
+    import time
+
+    monkeypatch.setattr(ingest, "INGEST_ROOT", str(tmp_path))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    stale = tmp_path / f"{base}-deadbeefdeadbeef"
+    young = tmp_path / f"{base}-cafecafecafecafe"
+    other = tmp_path / "othersf-deadbeefdeadbeef"
+    for d in (stale, young, other):
+        d.mkdir()
+    old = time.time() - 100000
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+
+    ingest.ingest_dirs(sf_dir)
+    assert not stale.exists(), "old different-fingerprint tag must be GC'd"
+    assert young.exists(), "young dirs may belong to a concurrent session"
+    assert other.exists(), "other corpus basenames are untouched"
