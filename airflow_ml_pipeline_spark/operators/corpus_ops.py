@@ -625,3 +625,77 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < w)
         .select("doc_id", "lang", "n_tokens", F.round(w, 6).alias("weight"))
     )
+
+
+NOVELTY_N = 3  # token n-gram order for the novelty signal
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(text, ' ')) >= {NOVELTY_N}
+                    THEN list_transform(
+                         range(1, len(string_split(text, ' ')) - {NOVELTY_N - 2}),
+                         i -> string_split(text, ' ')[i] || ' '
+                              || string_split(text, ' ')[i+1] || ' '
+                              || string_split(text, ' ')[i+2])
+                    ELSE [] END) AS grams
+        FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+    f AS (SELECT shingle, MIN(doc_id) AS first_owner FROM e GROUP BY shingle)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_owner = e.doc_id) AS BIGINT)
+               AS n_novel,
+           round(CAST(COUNT(*) FILTER (WHERE f.first_owner = e.doc_id)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+    FROM e JOIN f ON e.shingle = f.shingle
+    GROUP BY e.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    token 3-grams whose FIRST occurrence (minimum doc_id in corpus order)
+    is this document. The curation signal behind "how much does this doc
+    add that the corpus doesn't already have" — low-novelty documents are
+    near-copies, templates, or boilerplate even when no single pair
+    crosses a near-dup threshold, so this catches diffuse N-way
+    duplication that pairwise detectors miss. In a dated corpus doc_id
+    order is crawl order and this becomes incremental novelty vs history.
+
+    Scale shape: the inverted-index pattern — distinct per-doc grams
+    explode to (gram, doc_id) postings, ONE shuffle on gram computes
+    min-owner per gram (partial min per partition first, so hot
+    boilerplate grams collapse map-side), and the postings re-join the
+    min-owner table on the gram key they are already shuffled by — no
+    second text scan, no pair explosion anywhere: cost is linear in
+    corpus grams regardless of how duplicated the corpus is (the same
+    posting-list shape as ``near_dup_pairs_jaccard``'s kernel but with a
+    min-aggregate instead of a pair fan-out). The final per-doc rollup is
+    a hash agg on doc_id."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """The novelty kernel over any (doc_id, text) frame — see
+    ``doc_ngram_novelty`` for semantics and the scale shape."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokens(F.col("text")), NOVELTY_N))
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_owner"))
+    joined = sh.join(first, "shingle")
+    novel = F.col("first_owner") == F.col("doc_id")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.sum(novel.cast("long")).alias("n_novel"),
+        F.round(
+            F.sum(novel.cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_ratio"),
+    )

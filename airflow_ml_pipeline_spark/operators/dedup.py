@@ -533,11 +533,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_MD5_BITS = 60  # 15 md5 hex chars -> 60 bits, inside signed int64
 
-
-@query(
-    "simhash_md5",
-    oracle=f"""
-    WITH g AS (
+#: The md5-SimHash fingerprint algebra as DuckDB CTEs (`sh` = (doc_id,
+#: simhash)) — shared by the `simhash_md5` oracle and the Hamming-band
+#: pair oracle below, so both state the IDENTICAL vote kernel.
+_SQL_SIMHASH_MD5_CTES = f"""
+    g AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(string_split(text, ' ')) >= 2
                    THEN list_transform(range(1, len(string_split(text, ' '))),
@@ -551,14 +551,24 @@ SIMHASH_MD5_BITS = 60  # 15 md5 hex chars -> 60 bits, inside signed int64
                list_transform(grams,
                    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
         FROM g WHERE len(grams) > 0
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {SIMHASH_MD5_BITS}),
+                   b -> CASE WHEN 2 * len(list_filter(hs,
+                                  v -> (v & (CAST(1 AS BIGINT) << b)) != 0)) > n
+                             THEN CAST(1 AS BIGINT) << b
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        FROM h
     )
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, {SIMHASH_MD5_BITS}),
-               b -> CASE WHEN 2 * len(list_filter(hs,
-                              v -> (v & (CAST(1 AS BIGINT) << b)) != 0)) > n
-                         THEN CAST(1 AS BIGINT) << b
-                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-    FROM h
+"""
+
+
+@query(
+    "simhash_md5",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_MD5_CTES}
+    SELECT doc_id, simhash FROM sh
     """,
 )
 def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,4 +1675,85 @@ def cdc_chunk_stats(
             F.coalesce(F.col("owned_chunks"), z).alias("owned_chunks"),
             F.coalesce(F.col("stored_bytes"), z).alias("stored_bytes"),
         )
+    )
+
+
+SIMHASH_BANDS = 6  # 6 bands x 10 bits over the 60-bit md5 simhash
+SIMHASH_HAMMING_MAX = 5  # pigeonhole: d <= bands-1 => some band is identical
+
+
+@query(
+    "near_dup_pairs_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_MD5_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """,
+)
+def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair discovery by Hamming-band LSH — the third
+    near-dup detector beside MinHash-Jaccard and winnowing-containment,
+    and the one whose banded discovery is EXACT, not probabilistic: a
+    pair within Hamming distance d <= 5 differs in at most 5 of the 6
+    disjoint 10-bit bands, so at least one band matches exactly
+    (pigeonhole) and the pair is guaranteed to surface as a candidate.
+    The DuckDB oracle therefore states the brute-force all-pairs twin
+    and the banded plan must reproduce it bit-for-bit — unlike MinHash
+    LSH there is no recall gap to excuse.
+
+    Scale shape: fingerprints are a pure projection over the scan (the
+    shuffle-free vote algebra of ``simhash64``); banding posexplodes
+    each fingerprint row into 6 (band, key) rows — fan-out O(bands),
+    independent of document length; discovery is a self-join on
+    (band, 10-bit key), i.e. one shuffle of 6 ints per doc — the corpus
+    text never moves; verification is bit_count(XOR) on the joined
+    fingerprints, O(1) per candidate, no text comparison at all. The
+    xxhash64 production path (``simhash_fingerprints``) would use the
+    identical banding over 64-bit fingerprints; the md5 twin keeps the
+    whole detector value-checkable end-to-end.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    hashed = _simhash_grams(
+        docs, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    fp = _simhash_vote(hashed, n_bits=SIMHASH_MD5_BITS)
+    width = SIMHASH_MD5_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")), "doc_a")
+        .join(fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )

@@ -335,3 +335,93 @@ def segment_value_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
     )
+
+
+ANOMALY_BASELINE_ROWS = 50  # trailing baseline window (rows, not time)
+ANOMALY_MIN_BASELINE = 30  # don't score until the baseline is this full
+ANOMALY_Z = 3.0  # |z| beyond this flags the event
+
+_Z_SQL = """((value - s / n)
+             / sqrt((ss - s * s / n) / (n - 1)))"""
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH scored AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOMALY_BASELINE_ROWS} PRECEDING
+                              AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, {SQL_TS('ts')} AS event_ts, value,
+           round({_Z_SQL}, 6) AS z
+    FROM scored
+    WHERE n >= {ANOMALY_MIN_BASELINE}
+      AND (ss - s * s / n) / (n - 1) > 0
+      AND abs({_Z_SQL}) > {ANOMALY_Z}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch form: each event is
+    scored against the trailing 50 same-type events' mean/stddev and
+    flagged when |z| > 3 — the data-quality tripwire that catches a
+    sensor spike, a price glitch, or a metric regression the moment it
+    lands, without a fixed global threshold (the baseline adapts per
+    event type and drifts with the stream).
+
+    Exactness: the baseline moments come from DECIMAL window sums of
+    value and value² (order-independent, so the plan can compute window
+    partials however it likes), converted to double only for the final
+    z arithmetic — both engines then evaluate the IDENTICAL double
+    expression tree, so the 6-dp-rounded z and the >3 cut agree
+    bit-for-bit; a zero-variance baseline is excluded by the same
+    predicate on both sides.
+
+    Scale shape: ONE shuffle on event_type for the running window (at
+    100 TB the partition key would be (event_type, day-bucket) with a
+    per-bucket warm-up overlap — the standard time-sliced window
+    parallelization); output is anomaly-sized, not event-sized. The
+    streaming twin of this plan is an ``applyInPandasWithState``
+    rolling buffer per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(ev)
+
+
+def anomaly_zscore(ev: DataFrame) -> DataFrame:
+    """The trailing-z-score kernel over any (event_id, event_type, ts,
+    value) frame — see ``events_anomaly_zscore`` for semantics."""
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_BASELINE_ROWS, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        scored.filter(
+            (F.col("n") >= ANOMALY_MIN_BASELINE) & (var > 0) & (F.abs(z) > ANOMALY_Z)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            fmt_ts(F.col("ts")).alias("event_ts"),
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -245,3 +245,47 @@ def test_decontaminated_corpus_excludes_exactly_the_flagged_docs(spark, sf_dir):
     }
     assert clean == train - flagged
     assert flagged and clean
+
+
+def test_ngram_novelty_planted(spark):
+    """First copy owns its grams (novelty 1), an exact later copy owns none
+    (novelty 0), an unrelated doc is fully novel, and a doc sharing half
+    its grams with an earlier doc scores the shared fraction."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),       # 3 distinct 3-grams
+        (2, "alpha beta gamma delta epsilon"),       # exact copy of 1
+        (3, "zeta eta theta iota kappa"),            # disjoint
+        (4, "alpha beta gamma nu xi"),               # shares gram 1 of doc 1
+        (5, "one two"),                              # < 3 tokens: no row
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in corpus_ops.ngram_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].novelty_ratio == 1.0
+    assert out[2].novelty_ratio == 0.0
+    assert out[3].novelty_ratio == 1.0
+    assert out[4].n_distinct_grams == 3 and out[4].n_novel == 2
+    for r in out.values():
+        assert 0 <= r.n_novel <= r.n_distinct_grams
+
+
+def test_ngram_novelty_corpus_invariants(spark, sf_dir):
+    """Every gram has exactly one first owner: summing novel counts over
+    docs equals the number of distinct grams in the corpus; the corpus's
+    planted near-dup copies force some low-novelty docs."""
+    out = corpus_ops.doc_ngram_novelty(spark, sf_dir).collect()
+    total_novel = sum(r.n_novel for r in out)
+    docs = load_table(spark, sf_dir, "documents")
+    from airflow_ml_pipeline_spark.functions.text import ngrams, tokens
+
+    n_distinct = (
+        docs.select(
+            F.explode(
+                F.array_distinct(ngrams(tokens(F.col("text")), 3))
+            ).alias("g")
+        )
+        .agg(F.count_distinct("g"))
+        .collect()[0][0]
+    )
+    assert total_novel == n_distinct
+    assert any(r.novelty_ratio < 0.5 for r in out)

@@ -538,3 +538,24 @@ def test_simhash_md5_vote_matches_reference(spark, texts):
     }
     expected = {i: ref(t) for i, t in texts_map.items() if ref(t) is not None}
     assert got == expected
+
+
+def test_simhash_banding_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole exactness of the Hamming-band discovery: the banded plan
+    must reproduce the brute-force all-pairs Hamming<=5 set EXACTLY (no
+    recall gap, unlike MinHash LSH) — verified against a driver-side
+    all-pairs scan of the same md5 fingerprints."""
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_md5(spark, sf_dir).collect()}
+    ids = sorted(fp)
+    expected = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= dedup.SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.near_dup_pairs_simhash(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "corpus plants near-dups; the detector must find some"

@@ -70,3 +70,35 @@ def test_length_histogram_partitions_the_corpus(spark, sf_dir):
     rows = textstats.doc_length_histogram(spark, sf_dir).collect()
     assert sum(r.n_docs for r in rows) == docs.count()
     assert all(r.bucket_lo % 100 == 0 for r in rows)
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """A spike against a stable alternating baseline is the only flagged
+    event; scoring starts only once the trailing baseline is full enough."""
+    import datetime
+
+    from airflow_ml_pipeline_spark.operators.events import anomaly_zscore
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "m", t0 + datetime.timedelta(seconds=i), 10.0 if i % 2 else 12.0)
+        for i in range(60)
+    ]
+    rows.append((60, "m", t0 + datetime.timedelta(seconds=60), 100.0))
+    # a second event type with too little history: never scored
+    rows += [
+        (100 + i, "q", t0 + datetime.timedelta(seconds=i), float(i))
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = anomaly_zscore(ev).collect()
+    assert [r.event_id for r in out] == [60]
+    assert out[0].z > 3
+
+
+def test_anomaly_zscore_corpus_bounds(spark, sf_dir):
+    from airflow_ml_pipeline_spark.operators import events
+
+    out = events.events_anomaly_zscore(spark, sf_dir).collect()
+    assert out, "uniform-ish synthetic values still produce tail events"
+    assert all(abs(r.z) > 3 for r in out)
