@@ -7,7 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from airflow_ml_pipeline_spark.operators.events import SESSION_GAP_SECONDS
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -351,4 +353,232 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~degenerate & (F.abs(z_raw) > 1.959964), F.lit(1))
         .otherwise(F.lit(0))
         .alias("significant_95"),
+    )
+
+
+PARETO_BUCKET_WIDTH = 100_000  # revenue-grid bucket for the two-phase cumsum
+
+
+@query(
+    "customer_pareto_class",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    cum AS (
+        SELECT custkey, r, t,
+               SUM(r) OVER (ORDER BY r DESC, custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cr
+        FROM rev, tot
+    )
+    SELECT custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           round(CAST(cr AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+           CASE WHEN cr * 100 <= t * 80 THEN 'A'
+                WHEN cr * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def customer_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of customers by lifetime revenue: rank
+    by revenue, take the running revenue share, and label the customers
+    who make up the first 80% of revenue 'A', the next 15% 'B', the tail
+    'C' — the inventory/CRM segmentation query every warehouse runs. The
+    class boundary compares EXACT decimals (cr*100 <= t*80), never a
+    rounded double, so the A/B/C cut is engine-identical even for the
+    customer straddling the threshold.
+
+    Scale shape: the revenue rollup is one hash agg; the global cumulative
+    sum is the DISTRIBUTED TWO-PHASE PREFIX SUM (same pattern as
+    ``corpus_token_budget_fill``/``sequence_packing``): bucket customers
+    on a revenue grid, aggregate per-bucket totals (tiny frame), window
+    once over the buckets for each bucket's global offset, then run
+    per-bucket cumulative windows IN PARALLEL partitioned by bucket —
+    bit-identical to the oracle's single global window without its
+    single-partition stage. The revenue total rides in as a broadcast
+    1-row frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    bucketed = rev.withColumn(
+        "bucket", F.floor(F.col("r") / PARETO_BUCKET_WIDTH)
+    )
+    bucket_tot = bucketed.groupBy("bucket").agg(F.sum("r").alias("br"))
+    w_off = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("br").over(w_off), F.lit(0).cast("decimal(38,6)")
+        ).alias("offset"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("r"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "custkey",
+        "r",
+        (F.col("offset") + F.sum("r").over(w_in)).alias("cr"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "custkey",
+        F.col("r").cast("double").alias("revenue"),
+        F.round(
+            F.col("cr").cast("double") / F.col("t").cast("double"), 6
+        ).alias("cum_share"),
+        F.when(F.col("cr") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("cr") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "session_concurrency_profile",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {SESSION_GAP_SECONDS} * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        FROM tagged GROUP BY user_id, session_id
+    ),
+    b AS (
+        SELECT s_us AS us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT e_us AS us, -1 AS delta FROM sess
+    ),
+    r AS (
+        SELECT us,
+               SUM(delta) OVER (ORDER BY us ASC, delta DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS conc
+        FROM b
+    ),
+    hr AS (
+        SELECT us // {_US_PER_HOUR} AS bucket, MAX(conc) AS max_in
+        FROM r GROUP BY 1
+    ),
+    off AS (
+        SELECT bucket, COALESCE(SUM(bd) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS carry
+        FROM (SELECT us // {_US_PER_HOUR} AS bucket, SUM(delta) AS bd
+              FROM b GROUP BY 1)
+    )
+    SELECT CAST(hr.bucket * {_US_PER_HOUR} AS BIGINT) AS hour_us,
+           CAST(GREATEST(off.carry, hr.max_in) AS INTEGER) AS max_concurrent
+    FROM hr JOIN off ON hr.bucket = off.bucket
+    """,
+)
+def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning query
+    (how many users are active AT ONCE, not per bucket) — via the
+    classic sweep line: each session contributes a +1 boundary at its
+    start and a -1 at its end, and concurrency is the running sum over
+    all boundaries in time order (+1 sorts before -1 at the same
+    instant, so touching sessions are both counted). Each hour's peak is
+    GREATEST(carry-in concurrency at the hour boundary, max of the sweep
+    at boundaries inside the hour) — without the carry-in, an hour whose
+    only boundary is a session END would report the post-drop value, not
+    the session that was still open when the hour started. Hours with no
+    boundaries at all (fully inside long sessions) hold constant
+    concurrency and are omitted. The per-hour MAX is insensitive to the
+    ordering of tied boundaries, which keeps it engine-deterministic.
+
+    Scale shape: sessionization is the lag+running-sum idiom (one
+    user_id shuffle); the sweep's global running sum — a single ORDER BY
+    window in the oracle — runs as the distributed two-phase prefix sum:
+    per-hour-bucket delta totals (one tiny frame) give each hour its
+    global starting concurrency, then per-hour running sums execute in
+    parallel partitioned by hour. Boundaries are 2 rows per SESSION, so
+    the sweep input is session-sized, not event-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > SESSION_GAP_SECONDS * 1_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    b = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("us"), F.lit(1).alias("delta")),
+                F.struct(F.col("e_us").alias("us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select("x.us", "x.delta", F.expr(f"x.us div {_US_PER_HOUR}").alias("bucket"))
+    bucket_tot = b.groupBy("bucket").agg(F.sum("delta").alias("bd"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bd").over(w_off), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("us"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = b.join(F.broadcast(offsets), "bucket").select(
+        "bucket",
+        "offset",
+        (F.col("offset") + F.sum("delta").over(w_in)).alias("conc"),
+    )
+    return (
+        swept.groupBy("bucket")
+        .agg(
+            F.greatest(F.first("offset"), F.max("conc"))
+            .cast("int")
+            .alias("max_concurrent")
+        )
+        .select(
+            (F.col("bucket") * _US_PER_HOUR).cast("bigint").alias("hour_us"),
+            "max_concurrent",
+        )
     )
