@@ -188,3 +188,71 @@ def test_training_data_manifest_detects_membership_change(spark, sf_dir):
         prepared.agg(F.sum("n_tokens")).collect()[0][0]
     )
     assert set(m1) <= set(range(16))
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent reference encoder: leftmost-first greedy fold, one merge
+    at a time in table order — NOT the string-replace formulation the
+    engine uses, so replace-vs-fold equivalence is what this test pins."""
+    syms = list(word)
+    for left, right in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_fold_reference(spark, sf_dir):
+    """Every corpus word's engine token count equals the pure-Python fold
+    encoder's — including cascaded merges ('m'+'er' consuming merge 0's
+    output) and repeated-pair words."""
+    from collections import Counter
+
+    from airflow_ml_pipeline_spark.functions.text import tokens as tok
+    from airflow_ml_pipeline_spark.operators.packing import (
+        BPE_FROZEN_MERGES,
+        bpe_encoded_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    expected = {}
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        expected[d.doc_id] = (
+            len(words),
+            sum(len(_ref_encode(w, BPE_FROZEN_MERGES)) for w in words),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encoded_corpus(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_encode_adversarial_words(spark):
+    """Repeated pairs merge non-overlappingly ('aaa' -> [aa, a] under
+    (a,a)); merged output does not cascade within the same merge; later
+    merges do consume earlier merges' symbols."""
+    merges = [("a", "a"), ("e", "r"), ("m", "er")]
+    cases = {
+        "aaa": ["aa", "a"],
+        "aaaa": ["aa", "aa"],
+        "merger": ["mer", "g", "er"],
+        "er": ["er"],
+        "mer": ["mer"],
+        "x": ["x"],
+    }
+    for word, want in cases.items():
+        assert _ref_encode(word, merges) == want, word
+    sdf = spark.createDataFrame([(w,) for w in cases], ["word"])
+    from airflow_ml_pipeline_spark.operators.packing import bpe_apply_merge
+
+    syms = F.split("word", "")
+    for left, right in merges:
+        syms = bpe_apply_merge(syms, left, right)
+    got = {r.word: r.syms for r in sdf.select("word", syms.alias("syms")).collect()}
+    assert got == cases
