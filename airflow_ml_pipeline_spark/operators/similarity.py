@@ -685,3 +685,48 @@ def embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not math.isnan(m[i][j]) and i not in constant and j not in constant
     ]
     return spark.createDataFrame(rows, "dim_i int, dim_j int, corr double")
+
+
+PCA_K = 8  # leading components reported by the variance profile
+
+
+@query("embedding_pca_variance")  # rows-only: eigendecomposition is not
+# SQL-expressible; numpy full-data parity + the trace identity are
+# asserted in tests/test_similarity.py
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance profile of the embedding space — the
+    dimensionality-reduction decision query (how many components carry
+    the signal? is the space whitened or collapsed onto a few axes?)
+    that precedes index compression, product quantization, and
+    projection-based dedup. Reports the leading components' variance
+    share and the cumulative curve.
+
+    Scale shape: MLlib's distributed ``pyspark.ml.feature.PCA`` — one
+    tree-aggregated pass builds the d x d covariance Gram (each task
+    folds its rows locally, merges are O(d^2)); the eigendecomposition
+    runs on the DRIVER over that d x d aggregate (d=64 here; bounded by
+    dimension, never by corpus size — the same driver-bounded-aggregate
+    class as ``embedding_corr_matrix``). The corpus is read exactly
+    once; nothing data-sized shuffles or collects.
+
+    Zero-vector/constant dims need no special casing: they contribute
+    zero variance and land in trailing components."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = PCA(k=PCA_K, inputCol="features", outputCol="pc").fit(vec)
+    ratios = [float(r) for r in model.explainedVariance]
+    cum = 0.0
+    rows = []
+    for i, r in enumerate(ratios):
+        cum += r
+        rows.append((i + 1, round(r, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, explained_ratio double, cum_ratio double"
+    )

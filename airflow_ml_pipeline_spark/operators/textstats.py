@@ -816,3 +816,62 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_s").isNotNull().cast("int").alias("in_sparse"),
         F.col("r_d").isNotNull().cast("int").alias("in_dense"),
     )
+
+
+HH_K = 10  # heavy hitters reported
+HH_SUPPORT = 0.01  # freqItems support threshold (fraction of the stream)
+
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t WHERE token != '' GROUP BY token
+    )
+    SELECT token, cnt, CAST(1 AS BIGINT) AS hh_guarantee
+    FROM tc ORDER BY cnt DESC, token LIMIT 10
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a STREAMING-SKETCH witness — the self-verifying
+    twin pattern of ``corpus_sketch_stats`` applied to frequent items:
+    the exact top-10 tokens (count desc, deterministic tiebreak) are
+    computed by the ordinary word-count aggregation, and each is checked
+    against Spark's ``freqItems`` sketch (a Misra-Gries-family one-pass
+    summary bounded by 1/support counters). The sketch guarantee is
+    one-directional — every item with frequency > support * N MUST
+    appear (false positives allowed, false negatives not) — so the
+    emitted flag is (not above-threshold) OR found-in-sketch, which the
+    oracle asserts as literal 1: a sketch dropping a true heavy hitter
+    flips the flag and fails the driver hash.
+
+    Scale shape: the exact side is the canonical word-count shuffle with
+    map-side partials + TakeOrderedAndProject top-k; the sketch side is
+    one pass with O(1/support) state per partition and a driver-side
+    merge of bounded summaries — the shape that still works when the
+    token stream is 100 TB and the exact aggregation is the thing you
+    are trying to avoid (here both run, because the exact twin IS the
+    verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = exact.agg(F.sum("cnt")).collect()[0][0]
+    sketch_items = set(
+        toks.stat.freqItems(["token"], HH_SUPPORT).collect()[0][0]
+    )
+    top = exact.orderBy(F.desc("cnt"), F.asc("token")).limit(HH_K)
+    above = F.col("cnt") > HH_SUPPORT * float(total)
+    found = F.col("token").isin(sketch_items) if sketch_items else F.lit(False)
+    return top.select(
+        "token",
+        "cnt",
+        F.when(~above | found, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("hh_guarantee"),
+    )

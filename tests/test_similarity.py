@@ -122,3 +122,29 @@ def test_semantic_dedup_zero_vector_does_not_crash(spark):
         if vid in out:
             assert out[vid].nn_cos == 0.0
             assert out[vid].pruned == 0
+
+
+def test_pca_variance_matches_numpy(spark, sf_dir):
+    """Distributed PCA's explained-variance curve equals numpy's
+    eigenvalues of the sample covariance on the collected vectors, and
+    ratios are normalized by the trace (sum of ALL eigenvalues)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        PCA_K,
+        embedding_pca_variance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    want = eig / eig.sum()
+    got = embedding_pca_variance(spark, sf_dir).collect()
+    assert [r.component for r in got] == list(range(1, PCA_K + 1))
+    for r in got:
+        assert abs(r.explained_ratio - want[r.component - 1]) < 1e-4
+    ratios = [r.explained_ratio for r in got]
+    assert ratios == sorted(ratios, reverse=True)
+    assert abs(got[-1].cum_ratio - sum(ratios)) < 1e-5
+    assert got[-1].cum_ratio <= 1.0 + 1e-9

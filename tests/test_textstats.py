@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_ml_pipeline_spark.operators import textstats
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -37,3 +39,27 @@ def test_langid_outputs_known_labels(spark, sf_dir):
     rows = textstats.langid_heuristic(spark, sf_dir).collect()
     allowed = set(textstats.LANG_MARKERS) | {"unknown"}
     assert all(r.predicted_lang in allowed for r in rows)
+
+
+def test_heavy_hitters_sketch_has_no_false_negatives(spark, sf_dir):
+    """freqItems' one-directional guarantee, asserted directly: every
+    token above the support threshold appears in the sketch result, and
+    the declared query's flags are all 1 (the same fact the oracle pins)."""
+    from airflow_ml_pipeline_spark.operators.textstats import (
+        HH_SUPPORT,
+        token_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = {r.token: r.cnt for r in toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(counts.values())
+    sketch = set(toks.stat.freqItems(["token"], HH_SUPPORT).collect()[0][0])
+    heavy = {t for t, c in counts.items() if c > HH_SUPPORT * total}
+    assert heavy <= sketch
+    out = token_heavy_hitters(spark, sf_dir).collect()
+    assert len(out) == min(10, len(counts))
+    assert all(r.hh_guarantee == 1 for r in out)
