@@ -9,14 +9,11 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-4 rotation (closing the evidence gap): the 11 registry queries that
-have never had a driver row in rounds 1-3 lead; then every query whose
-code path CHANGED this round (simhash tiny-doc filter, rollup cache
-re-keying, tz-independent NTZ normalization, cluster-CC restructure,
-entropy twin); then one green anchor per operator family; the remainder
-re-witnesses round 1's relational block, which has not had a driver row
-since r1. After this round every one of the registry entries has driver
-evidence in at least one CORRECTNESS_r0N.json.
+Round-5 rotation: no CORRECTNESS_r04.json reached the repo, so round 4's
+driver evidence is unconfirmed and this prefix assumes the worst — the
+round-5 additions lead, then round 4's additions, then the 11 queries
+that had no driver row in rounds 1-3, then one green anchor per operator
+family (the ordering contract lives in tests/test_registry_order.py).
 """
 
 from __future__ import annotations
@@ -60,77 +57,78 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Verification priority: the first ~50 names are the round-4 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # the 11 registry queries never driver-witnessed in rounds 1-3
-    # (round-3 VERDICT "Next round" item 1) — every one closes the
-    # evidence gap for its family's remaining plan twin
-    "simhash_fingerprints",
+    # ---- round-5 rotation ----
+    # No CORRECTNESS_r04.json reached the repo, so round 4's driver
+    # evidence is unconfirmed; this prefix assumes the worst: (A) the
+    # queries NEW this round, (B) round 4's additions, (C) the 11
+    # queries with no driver row in rounds 1-3, then (D) one green
+    # anchor per family (contract: tests/test_registry_order.py).
+    # -- (A) new this round --
+    "near_dup_pairs_simhash",  # NEW: pigeonhole-exact Hamming-band LSH
+    "doc_ngram_novelty",  # NEW: first-occurrence novelty fraction
+    "events_anomaly_zscore",  # NEW: trailing z-score tripwire
+    "customer_pareto_class",  # NEW: ABC cut via two-phase prefix sum
+    "session_concurrency_profile",  # NEW: sweep-line hourly peak
+    "bpe_encoded_corpus",  # NEW: frozen-tokenizer encode, oracle-checked
+    "token_heavy_hitters",  # NEW: freqItems-witnessed top-k
+    "embedding_pca_variance",  # NEW: distributed PCA (rows-only)
+    # -- (B) round-4 additions --
+    "user_distinct_values_salted",
+    "doc_containment_md5",
+    "dedup_source_priority",
+    "doc_dup_span_coverage",
+    "semantic_dedup_bucket_nn",
+    "near_dup_incremental",
+    "embedding_corr_matrix",
+    "doc_dup_span_scrubbed",
+    "stream_near_dup_ingest",
+    "stream_dedup_ingest_fps",
+    "bpe_trained_merges",
+    "training_data_manifest",
+    "split_leakage_audit",
+    "cdc_chunk_dedup",
+    "token_zipf_fit",
+    "doc_bigram_logprob",
+    "bm25_topk",
+    "retrieval_rrf_fused",
+    "event_transition_matrix",
+    "user_state_scd2",
+    "ab_conversion_ztest",
+    # -- (C) no driver row in rounds 1-3 (r4 evidence unconfirmed) --
     "errors_before_purchase",
     "returnflag_median_price_disc",
     "orders_by_weekday",
-    "events_gap_fill",
+    "events_gap_fill",  # also the temporal family anchor
     "doc_winnowing_fingerprints",
     "token_counts_bpeish",
     "lang_distribution",
     "doc_length_histogram",
     "dedup_exact_normalized",
-    "embedding_norms",
-    # code paths CHANGED this round — re-witness green
-    "simhash_md5",  # tiny-doc zero-gram filter (r3 ADVICE)
-    # (events_hourly_continuous dropped from the prefix: r3-green, and its
-    # r4 change was cache re-keying, not query semantics — follows in
-    # registry order)
-    "stream_events_hourly",  # tz-independent NTZ normalization (scan boundary)
-    "purchase_last_view_asof",  # same NTZ path, batch ts arithmetic
-    "near_dup_clusters",  # pointer-doubling checkpoint restructure
-    "doc_token_entropy",  # rewritten as built-in expression (was pandas_udf)
-    "doc_token_entropy_udf",  # the pandas_udf surface demo, kept declared
-    # queries NEW this round — zero driver evidence yet, so they outrank
-    # the (already r1-r3-witnessed) family anchors below
-    "user_distinct_values_salted",  # NEW: value-salted exact distinct count
-    "doc_containment_md5",  # NEW: asymmetric containment (quote) detection
-    "dedup_source_priority",  # NEW: source-priority keep policy
-    "doc_dup_span_coverage",  # NEW: substring-level duplication coverage
-    "semantic_dedup_bucket_nn",  # NEW: SemDeDup cluster-then-prune, oracle-checked
-    "near_dup_incremental",  # NEW: batch near-dedup vs the historical fp store
-    "embedding_corr_matrix",  # NEW: one-pass Gram correlation profile
-    "doc_dup_span_scrubbed",  # NEW: duplicated-span removal (apply step)
-    "stream_near_dup_ingest",  # NEW: containment suppression at ingest
-    "stream_dedup_ingest_fps",  # NEW: foreachBatch dedup-at-ingest store
-    "bpe_trained_merges",  # NEW: iterative BPE training loop (rows-only)
-    "training_data_manifest",  # NEW: per-shard handoff manifest w/ checksums
-    "split_leakage_audit",  # NEW: near-dup pairs crossing the train/eval split
-    "cdc_chunk_dedup",  # NEW: content-defined chunking storage dedup
-    "token_zipf_fit",  # NEW: corpus-level Zipf regression sanity gate
-    "doc_bigram_logprob",  # NEW: interpolated bigram LM quality score
-    "bm25_topk",  # NEW: sparse (lexical) retrieval beside the dense ANN path
-    "retrieval_rrf_fused",  # NEW: reciprocal-rank fusion of sparse + dense
-    "event_transition_matrix",  # NEW: Markov next-event matrix
-    "user_state_scd2",  # NEW: SCD2 validity intervals from the changelog
-    "ab_conversion_ztest",  # NEW: two-proportion experiment readout
-    # one green anchor per already-verified operator family
-    "user_eventtype_map_stats",  # semi-structured (map/JSON) family
-    "returnflag_priority_counts",  # conditional hash agg
-    "cube_revenue",  # rollup/cube/grouping-sets (also re-benched this round)
-    "corpus_sketch_stats",  # sketches / mergeable rollup
-    "corpus_prepared",  # composed LSH dedup pipeline
-    "doc_stats",  # text analysis
-    "lang_nchars_median_udaf",  # UDAF surface
-    "doc_chunks_udtf",  # UDTF surface
+    # -- (D) one green anchor per remaining family --
+    "returnflag_priority_counts",  # relational
+    "user_eventtype_map_stats",  # semi-structured
+    "corpus_sketch_stats",  # sketches
+    "doc_token_entropy",  # pandas-udf family twin
+    "doc_stats",  # textstats
+    "sequence_packing",  # serving
+    "corpus_prepared",  # dedup composition
+    "near_dup_clusters",  # curation
     "knn_cosine_bruteforce",  # similarity
-    "sequence_packing",  # serving ops
-    # (corpus_weighted_sample retired: curation is repped by
-    # near_dup_clusters in the changed-paths block)
-    # (dedup_incremental / embedding_decontamination anchors retired from
-    # the prefix: their families are re-witnessed via corpus_prepared and
-    # the round's new dedup/decontamination-adjacent queries above)
-    "multimodal_features",  # multimodal plumbing
-    "customer_drift_profile",  # ML-pipeline oracle anchor
-    "stream_stateful_running_totals",  # stateful streaming
-    "events_funnel",  # temporal/window family
-    "local_supplier_revenue",  # TPC-H join shapes (Q5)
-    "user_value_totals_salted",  # skew helpers (also skew-benched this round)
-    # remainder of the ~50 budget: re-witness round 1's relational block
-    # (green in r1, no driver row since)
+    "customer_drift_profile",  # ml-pipeline
+    "multimodal_features",  # multimodal
+    "stream_events_hourly",  # streaming
+    # --- tier 2: checked only if the driver budget exceeds the prefix ---
+    # (C)-block twins displaced for budget: their kernels are verified by
+    # simhash_md5/near_dup_pairs_simhash and embedding_dim_stats
+    "simhash_fingerprints",
+    "embedding_norms",
+    "simhash_md5",
+    "stream_stateful_running_totals",
+    "events_funnel",
+    "local_supplier_revenue",
+    "user_value_totals_salted",
+    "doc_token_entropy_udf",
+    "purchase_last_view_asof",
     "pricing_summary",
     "revenue_by_segment",
     "top_orders_by_revenue",
@@ -149,7 +147,6 @@ CHECK_PRIORITY = [
     "customer_moving_spend",
     "segment_price_quantiles",
     "monthly_order_stats",
-    # --- tier 2: checked only if the driver's budget exceeds the prefix ---
     "grouping_sets_revenue",
     "events_props_schema_parsed",
     "events_json_stats",

@@ -65,6 +65,9 @@ HEADLINE = [
     "events_sessionized",
     "event_transition_matrix",
     "user_state_scd2",
+    "events_anomaly_zscore",
+    "session_concurrency_profile",
+    "customer_pareto_class",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",
@@ -84,6 +87,9 @@ HEADLINE = [
     "sequence_packing",
     "bpe_merge_candidates",
     "bpe_trained_merges",
+    "bpe_encoded_corpus",
+    "doc_ngram_novelty",
+    "token_heavy_hitters",
     "doc_pii_scrub",
     "embedding_dim_stats",
     "local_supplier_revenue",
@@ -95,6 +101,7 @@ HEADLINE = [
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
     "simhash_fingerprints",
+    "near_dup_pairs_simhash",
     "doc_winnowing_fingerprints",
     "doc_winnowing_md5",
     "doc_containment_md5",
@@ -104,6 +111,7 @@ HEADLINE = [
     "semantic_dedup_bucket_nn",
     "near_dup_incremental",
     "embedding_corr_matrix",
+    "embedding_pca_variance",
     "bm25_topk",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",

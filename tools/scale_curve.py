@@ -79,6 +79,14 @@ QUERIES = [
     ("bpe_trained_merges", "documents"),
     ("training_data_manifest", "documents"),
     ("split_leakage_audit", "documents"),
+    ("near_dup_pairs_simhash", "documents"),
+    ("doc_ngram_novelty", "documents"),
+    ("events_anomaly_zscore", "events"),
+    ("customer_pareto_class", "orders"),
+    ("session_concurrency_profile", "events"),
+    ("bpe_encoded_corpus", "documents"),
+    ("token_heavy_hitters", "documents"),
+    ("embedding_pca_variance", "embeddings"),
 ]
 
 FOOTER = """
