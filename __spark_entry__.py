@@ -72,6 +72,8 @@ CHECK_PRIORITY = [
     "bpe_encoded_corpus",  # NEW: frozen-tokenizer encode, oracle-checked
     "token_heavy_hitters",  # NEW: freqItems-witnessed top-k
     "embedding_pca_variance",  # NEW: distributed PCA (rows-only)
+    "near_dup_pagerank",  # NEW: canonical-doc centrality, unrolled-CTE oracle
+    "orders_benford_deviation",  # NEW: first-digit forensic gate
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -99,11 +101,9 @@ CHECK_PRIORITY = [
     "returnflag_median_price_disc",
     "orders_by_weekday",
     "events_gap_fill",  # also the temporal family anchor
-    "doc_winnowing_fingerprints",
     "token_counts_bpeish",
     "lang_distribution",
     "doc_length_histogram",
-    "dedup_exact_normalized",
     # -- (D) one green anchor per remaining family --
     "returnflag_priority_counts",  # relational
     "user_eventtype_map_stats",  # semi-structured
@@ -119,7 +119,10 @@ CHECK_PRIORITY = [
     "stream_events_hourly",  # streaming
     # --- tier 2: checked only if the driver budget exceeds the prefix ---
     # (C)-block twins displaced for budget: their kernels are verified by
-    # simhash_md5/near_dup_pairs_simhash and embedding_dim_stats
+    # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
+    # and embedding_dim_stats
+    "doc_winnowing_fingerprints",
+    "dedup_exact_normalized",
     "simhash_fingerprints",
     "embedding_norms",
     "simhash_md5",

@@ -699,3 +699,144 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
             F.sum(novel.cast("long")).cast("double") / F.count(F.lit(1)), 6
         ).alias("novelty_ratio"),
     )
+
+
+PAGERANK_ITERS = 6
+PAGERANK_DAMPING = 0.85
+
+_SQL_JACCARD_EDGE_CTES = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shg AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+    jp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b FROM jp
+        JOIN sizes s1 ON s1.doc_id = doc_a
+        JOIN sizes s2 ON s2.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    ),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
+"""
+
+
+def _sql_pagerank() -> str:
+    """Unrolled power-iteration oracle: iteration k+1 is one aggregation
+    CTE over iteration k — the same chained-CTE unrolling trick as the
+    BPE encode oracle, extending the recursive-CTE pattern that checks
+    `near_dup_clusters` to a NUMERIC iterative algorithm. Per-node
+    contributions are rounded then decimal-summed so neighbor order
+    can't perturb the float result in either engine."""
+    d = PAGERANK_DAMPING
+    ctes = [
+        _SQL_JACCARD_EDGE_CTES.strip(),
+        """pr0 AS (SELECT id, deg,
+                CAST(round(1.0 / (SELECT n FROM nn), 10) AS DOUBLE) AS score
+           FROM deg)""",
+    ]
+    for k in range(PAGERANK_ITERS):
+        ctes.append(
+            f"""pr{k + 1} AS (
+            SELECT dd.id, dd.deg,
+                   round({1 - d:.2f} / (SELECT n FROM nn)
+                         + {d} * CAST(SUM(CAST(round(p.score / p.deg, 12)
+                                               AS DECIMAL(30,12)))
+                                      AS DOUBLE), 10) AS score
+            FROM pr{k} p
+            JOIN edges e ON e.src = p.id
+            JOIN deg dd ON dd.id = e.dst
+            GROUP BY dd.id, dd.deg)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT id AS doc_id, deg, round(score, 6) AS pagerank
+    FROM pr{PAGERANK_ITERS}"""
+    )
+
+
+@query("near_dup_pagerank", oracle=_sql_pagerank())
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph (exact-kernel
+    J >= 0.5 edges, undirected): the centrality signal for CANONICAL
+    DOCUMENT selection — inside a duplicate cluster the copy most
+    connected to other copies is the template/original, and `deg` alone
+    can't separate a hub bridging two clusters from a node inside one
+    dense clique. Six damped power iterations (d = 0.85), deterministic
+    spec: every node starts at 1/n and each step is
+    score' = (1-d)/n + d * sum(score_j / deg_j over in-neighbors).
+
+    Exactness: per-neighbor contributions are rounded to 12 dp and
+    accumulated as DECIMALS (order-independent — map-side partials keep
+    working), the new score is re-rounded to 10 dp, so both engines walk
+    the identical float lattice; the oracle unrolls the six iterations
+    as chained aggregation CTEs — the numeric-iteration counterpart of
+    `near_dup_clusters`' recursive-CTE structural oracle.
+
+    Scale shape: iterations run over EDGE-sized frames (bounded by
+    verified near-dup pairs, never the corpus); each step is one join +
+    one hash agg on the node key, the standard Pregel-as-joins form; the
+    edge list is lazily checkpointed once and reused; no dangling-mass
+    term is needed because every node of an undirected edge graph has
+    deg >= 1."""
+    from airflow_ml_pipeline_spark.operators.dedup import near_dup_pairs_jaccard
+
+    pairs = near_dup_pairs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = float(deg.count())
+    teleport = F.lit(1 - PAGERANK_DAMPING) / F.lit(n)
+    scores = deg.select(
+        "id", "deg", F.round(F.lit(1.0) / F.lit(n), 10).alias("score")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = scores.select(
+            F.col("id").alias("src"),
+            F.round(F.col("score") / F.col("deg"), 12)
+            .cast("decimal(30,12)")
+            .alias("c"),
+        )
+        incoming = (
+            edges.join(contrib, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = deg.join(incoming, "id").select(
+            "id",
+            "deg",
+            F.round(
+                teleport
+                + F.lit(PAGERANK_DAMPING) * F.col("s").cast("double"),
+                10,
+            ).alias("score"),
+        )
+    return scores.select(
+        F.col("id").alias("doc_id"), "deg", F.round("score", 6).alias("pagerank")
+    )

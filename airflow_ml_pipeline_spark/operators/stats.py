@@ -536,3 +536,78 @@ def segment_balance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(neg).alias("n_negative"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+#: log10(1 + 1/d) for d = 1..9, pre-rounded to 9 dp and embedded as
+#: LITERALS in both plans — neither engine evaluates log10 at query time,
+#: so libm rounding differences can't leak into the comparison.
+BENFORD_P = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.06694679,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+_BENFORD_SQL_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_P.items()
+) + " END AS DOUBLE)"
+
+
+@query(
+    "orders_benford_deviation",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           {_BENFORD_SQL_CASE} AS expected_p,
+           round((CAST(n AS DOUBLE) / total - {_BENFORD_SQL_CASE})
+                 * (CAST(n AS DOUBLE) / total - {_BENFORD_SQL_CASE})
+                 / {_BENFORD_SQL_CASE}, 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals — the forensic
+    data-quality gate: naturally occurring multi-magnitude amounts follow
+    P(first digit = d) = log10(1 + 1/d), and fabricated, truncated, or
+    unit-mangled feeds show up as per-digit chi-square outliers (the
+    per-digit terms localize WHICH digit is off; their sum is the
+    classic chi-square-by-n statistic). Synthetic TPC-H prices are
+    range-uniform, not Benford — the query's job is to REPORT the
+    deviation profile, and the test asserts the expected non-conformance
+    direction.
+
+    Engine neutrality: the first significant digit comes from the
+    DECIMAL's string rendering (no log10/pow on the data path), and the
+    expected probabilities are pre-rounded literals baked into both
+    plans, so no libm call happens in either engine. Scale shape: one
+    projection + a 9-key hash agg with map-side partials; the total
+    rides in as a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = orders.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_P.items() for x in kv]),
+        F.col("digit"),
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        expected.alias("expected_p"),
+        F.round((obs - expected) * (obs - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )

@@ -68,6 +68,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "session_concurrency_profile",
     "customer_pareto_class",
+    "orders_benford_deviation",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",
@@ -83,6 +84,7 @@ HEADLINE = [
     "embedding_quantization_error",
     "corpus_token_budget_fill",
     "near_dup_clusters",
+    "near_dup_pagerank",
     "corpus_shuffled_shards",
     "sequence_packing",
     "bpe_merge_candidates",

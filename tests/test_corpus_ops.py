@@ -289,3 +289,43 @@ def test_ngram_novelty_corpus_invariants(spark, sf_dir):
     )
     assert total_novel == n_distinct
     assert any(r.novelty_ratio < 0.5 for r in out)
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """The distributed Pregel-as-joins loop equals an independent
+    pure-Python power iteration with the same rounding lattice, scores
+    sum to ~1, and within a clique every node gets the same score."""
+    from collections import defaultdict
+
+    from airflow_ml_pipeline_spark.operators.corpus_ops import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        near_dup_pagerank,
+    )
+    from airflow_ml_pipeline_spark.operators.dedup import near_dup_pairs_jaccard
+
+    pairs = [(r.doc_a, r.doc_b) for r in near_dup_pairs_jaccard(spark, sf_dir).collect()]
+    assert pairs, "corpus plants near-dups"
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = len(adj)
+    score = {v: round(1.0 / n, 10) for v in adj}
+    for _ in range(PAGERANK_ITERS):
+        contrib = {v: round(score[v] / len(adj[v]), 12) for v in adj}
+        score = {
+            v: round(
+                (1 - PAGERANK_DAMPING) / n
+                + PAGERANK_DAMPING * sum(contrib[u] for u in adj[v]),
+                10,
+            )
+            for v in adj
+        }
+    got = {r.doc_id: (r.deg, r.pagerank) for r in near_dup_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v][0] == len(adj[v])
+        assert abs(got[v][1] - round(score[v], 6)) < 2e-6, v
+    total = sum(s for _, s in got.values())
+    assert abs(total - 1.0) < 1e-3

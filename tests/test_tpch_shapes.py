@@ -187,3 +187,26 @@ def test_dominant_part_suppliers_exceed_fair_share(spark, sf_dir):
     rows = tpch_extra3.dominant_part_suppliers(spark, sf_dir).collect()
     assert rows
     assert all(r.n_dominated_parts >= 1 for r in rows)
+
+
+def test_benford_reports_uniform_price_nonconformance(spark, sf_dir):
+    """Digits partition the orders; probabilities sum to 1 on each side;
+    TPC-H's range-uniform prices are NOT Benford and the query must report
+    that (low digits overrepresented relative to high digits is the
+    uniform-range signature within the generated magnitude span)."""
+    from airflow_ml_pipeline_spark.operators.stats import (
+        BENFORD_P,
+        orders_benford_deviation,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    rows = {r.digit: r for r in orders_benford_deviation(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 10))
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows.values()) == n_orders
+    assert abs(sum(r.observed_p for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert abs(r.expected_p - BENFORD_P[d]) < 1e-9
+        assert r.chi2_term >= 0
+    chi2 = sum(r.chi2_term for r in rows.values())
+    assert chi2 > 0.01, "uniform prices must not conform to Benford"

@@ -87,6 +87,8 @@ QUERIES = [
     ("bpe_encoded_corpus", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
+    ("near_dup_pagerank", "documents"),
+    ("orders_benford_deviation", "orders"),
 ]
 
 FOOTER = """
