@@ -69,6 +69,7 @@ HEADLINE = [
     "session_concurrency_profile",
     "customer_pareto_class",
     "orders_benford_deviation",
+    "customer_fuzzy_matches",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",

@@ -82,3 +82,69 @@ def test_asof_join_strictly_earlier(spark, sf_dir):
     for r in rows:
         earlier = [t for t in views[r.user_id] if t < r.ts]
         assert r.asof_ts == max(earlier)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_matches_blocking_is_exact(spark, sf_dir):
+    """FastSS deletion-neighborhood blocking misses no pair: the declared
+    query's result equals the brute-force all-pairs Levenshtein<=1 scan
+    (independent pure-Python distance), including insert/delete pairs —
+    not just same-length substitutions."""
+    from airflow_ml_pipeline_spark.operators.relational_ext import (
+        customer_fuzzy_matches,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    names = {
+        r.c_custkey: r.c_name
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    ids = sorted(names)
+    expected = {
+        (a, b): _lev(names[a], names[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _lev(names[a], names[b]) <= 1
+    }
+    got = {
+        (r.cust_a, r.cust_b): r.distance
+        for r in customer_fuzzy_matches(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "sequential TPC-H names must contain distance-1 pairs"
+
+
+def test_fuzzy_matches_insert_delete_pairs(spark):
+    """Adversarial shapes: insert/delete at the ends and middle, and a
+    distance-2 pair that must NOT match."""
+    from airflow_ml_pipeline_spark.operators.relational_ext import (
+        customer_fuzzy_matches,
+    )
+    import airflow_ml_pipeline_spark.operators.relational_ext as rx
+
+    rows = [
+        (1, "abcd"), (2, "abd"),      # delete middle -> 1
+        (3, "abcde"),                  # append -> 1 vs abcd
+        (4, "xbcd"),                   # substitute first -> 1 vs abcd
+        (5, "abXY"),                   # distance 2 vs abcd: must not pair
+    ]
+    cust = spark.createDataFrame(rows, ["c_custkey", "c_name"])
+    orig = rx.load_table
+    try:
+        rx.load_table = lambda spark, sf_dir, name: cust
+        got = {
+            (r.cust_a, r.cust_b): r.distance
+            for r in customer_fuzzy_matches(spark, "ignored").collect()
+        }
+    finally:
+        rx.load_table = orig
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1}

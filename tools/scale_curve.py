@@ -89,6 +89,7 @@ QUERIES = [
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
     ("orders_benford_deviation", "orders"),
+    ("customer_fuzzy_matches", "customer"),
 ]
 
 FOOTER = """
