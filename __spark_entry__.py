@@ -75,6 +75,7 @@ CHECK_PRIORITY = [
     "near_dup_pagerank",  # NEW: canonical-doc centrality, unrolled-CTE oracle
     "orders_benford_deviation",  # NEW: first-digit forensic gate
     "customer_fuzzy_matches",  # NEW: FastSS entity resolution
+    "stream_anomaly_zscore",  # NEW: stateful streaming anomaly twin
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -102,7 +103,6 @@ CHECK_PRIORITY = [
     "returnflag_median_price_disc",
     "orders_by_weekday",
     "events_gap_fill",  # also the temporal family anchor
-    "lang_distribution",
     "doc_length_histogram",
     # -- (D) one green anchor per remaining family --
     "returnflag_priority_counts",  # relational
@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (C)-block twins displaced for budget: their kernels are verified by
     # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
     # and embedding_dim_stats
+    "lang_distribution",
     "token_counts_bpeish",
     "doc_winnowing_fingerprints",
     "dedup_exact_normalized",

@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, SQL_TS
+from airflow_ml_pipeline_spark.operators.events import (
+    ANOMALY_BASELINE_ROWS,
+    ANOMALY_MIN_BASELINE,
+    ANOMALY_Z,
+)
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.streaming import windows
 from airflow_ml_pipeline_spark.streaming.sources import (
@@ -250,3 +255,42 @@ def stream_errors_before_purchase_pairs(spark: SparkSession, sf_dir: str) -> Dat
         F.round("e_value", 6).alias("error_value"),
     )
     return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle=f"""
+    WITH scored AS (
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOMALY_BASELINE_ROWS} PRECEDING
+                              AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, CAST(ts_us AS BIGINT) AS ts_us, value,
+           round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+    FROM scored
+    WHERE n >= {ANOMALY_MIN_BASELINE}
+      AND (ss - s * s / n) / (n - 1) > 0
+      AND abs((value - s / n) / sqrt((ss - s * s / n) / (n - 1)))
+          > {ANOMALY_Z}
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events_anomaly_zscore` batch plan as a STREAMING state
+    machine (applyInPandasWithState): per-event-type bounded trailing
+    buffer, anomalies appended as they are detected — the deployment
+    shape where the tripwire actually lives (you don't re-scan history
+    to notice a spike). The pandas kernel replicates the batch twin's
+    decimal/double lattice exactly, so the AvailableNow replay matches
+    the SAME windowed-SQL oracle that checks the batch query — stream
+    and batch are interchangeable by construction, with state bounded
+    at O(event_types x 50) floats regardless of stream length."""
+    from airflow_ml_pipeline_spark.streaming.stateful import anomaly_zscore_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(anomaly_zscore_stream(stream), output_mode="append")

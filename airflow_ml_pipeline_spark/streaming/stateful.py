@@ -110,3 +110,81 @@ def user_running_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+ANOMALY_OUT_SCHEMA = (
+    "event_id long, event_type string, ts_us long, value double, z double"
+)
+ANOMALY_STATE_SCHEMA = "buf array<double>"
+
+
+def _anomaly_zscores(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type rolling-baseline anomaly scorer. State is the raw
+    trailing value buffer (bounded at ANOMALY_BASELINE_ROWS); arithmetic
+    REPLICATES the batch twin's lattice exactly — trailing values are
+    quantized to DECIMAL(.,6) with HALF_UP (what Spark's decimal cast
+    does to a double), summed exactly, converted to double, and the z
+    expression/rounding mirror the batch plan — so an AvailableNow
+    replay's emitted anomalies equal `events_anomaly_zscore` row-for-row
+    and the same DuckDB oracle checks both."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from airflow_ml_pipeline_spark.operators.events import (
+        ANOMALY_BASELINE_ROWS,
+        ANOMALY_MIN_BASELINE,
+        ANOMALY_Z,
+    )
+
+    six = Decimal("0.000001")
+    buf: list[float] = list(state.get[0]) if state.exists else []
+    out: dict[str, list] = {k: [] for k in ("event_id", "event_type", "ts_us", "value", "z")}
+    for pdf in pdfs:
+        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
+            n = len(buf)
+            if n >= ANOMALY_MIN_BASELINE:
+                qs = [Decimal(v).quantize(six, ROUND_HALF_UP) for v in buf]
+                s = float(sum(qs))
+                ss = float(sum(q * q for q in qs))
+                nn = float(n)
+                var = (ss - s * s / nn) / (nn - 1)
+                if var > 0:
+                    z = (r.value - s / nn) / math.sqrt(var)
+                    if abs(z) > ANOMALY_Z:
+                        out["event_id"].append(r.event_id)
+                        out["event_type"].append(key[0])
+                        out["ts_us"].append(r.ts_us)
+                        out["value"].append(r.value)
+                        out["z"].append(
+                            float(Decimal(z).quantize(six, ROUND_HALF_UP))
+                        )
+            buf.append(r.value)
+            if len(buf) > ANOMALY_BASELINE_ROWS:
+                buf = buf[-ANOMALY_BASELINE_ROWS:]
+    state.update((buf,))
+    yield pd.DataFrame(out)
+
+
+def anomaly_zscore_stream(stream: DataFrame) -> DataFrame:
+    """Streaming anomaly detection: the `events_anomaly_zscore` batch
+    plan as a per-key state machine. Event time rides as unix MICROS
+    (integers are timezone-proof across the Arrow boundary); state per
+    event_type is one bounded float buffer, so store size is
+    O(types x baseline), independent of stream length."""
+    from pyspark.sql import functions as F
+
+    ev = stream.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        _anomaly_zscores,
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -127,6 +127,7 @@ HEADLINE = [
     "segment_value_salted_join",
     "stream_events_hourly",
     "stream_stateful_running_totals",
+    "stream_anomaly_zscore",
     "stream_static_enriched_segments",
     "stream_errors_before_purchase_pairs",
 ]

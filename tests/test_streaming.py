@@ -190,3 +190,20 @@ def test_transform_with_state_totals(spark, sf_dir):
     )
     rows = {r.user_id: (r.n_events, r.total_value) for r in result.collect()}
     assert rows
+
+
+def test_stream_anomaly_equals_batch_twin(spark, sf_dir):
+    """The stateful streaming anomaly detector reproduces the batch
+    windowed plan row-for-row (same ids, same 6-dp z) — stream/batch
+    interchangeability, the property the shared oracle also pins."""
+    from airflow_ml_pipeline_spark.operators.events import events_anomaly_zscore
+    from airflow_ml_pipeline_spark.streaming.queries import stream_anomaly_zscore
+
+    batch = {
+        r.event_id: r.z for r in events_anomaly_zscore(spark, sf_dir).collect()
+    }
+    stream = {
+        r.event_id: r.z for r in stream_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream, "the corpus produces tail anomalies"

@@ -90,6 +90,7 @@ QUERIES = [
     ("near_dup_pagerank", "documents"),
     ("orders_benford_deviation", "orders"),
     ("customer_fuzzy_matches", "customer"),
+    ("stream_anomaly_zscore", "events"),
 ]
 
 FOOTER = """
