@@ -183,3 +183,34 @@ def test_manifest_aggregation_is_partial(spark, sf_dir):
     plan = _plan(registry.QUERIES["training_data_manifest"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_round5_pair_kernels_never_cartesian(spark, sf_dir):
+    """Round-5 blocked self-joins (SimHash bands, FastSS deletion keys)
+    must join on their blocking keys — a CartesianProduct means the
+    candidate restriction was lost and the detector went quadratic."""
+    for name in ("near_dup_pairs_simhash", "customer_fuzzy_matches"):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_prefix_sum_windows_stay_bucketed(spark, sf_dir):
+    """The two-phase prefix-sum queries may window WITHOUT a partition key
+    only over the tiny bucket frame; the data-sized cumulative window must
+    be partitioned by bucket. The plan therefore contains a
+    partitionBy-bucket window, and the anomaly query's window partitions
+    by event_type (never a global sort of events)."""
+    plan = _plan(registry.QUERIES["customer_pareto_class"](spark, sf_dir))
+    assert "bucket" in plan, plan
+    plan = _plan(registry.QUERIES["events_anomaly_zscore"](spark, sf_dir))
+    assert "event_type" in plan.split("Window")[1][:400], plan
+
+
+def test_bpe_encode_is_replace_chain_over_vocab(spark, sf_dir):
+    """The encode stage must stay a literal string-replace chain (JVM
+    codegen) over the distinct-word vocab — no higher-order aggregate
+    lambdas (the two rejected formulations) and no Python UDF."""
+    plan = _plan(registry.QUERIES["bpe_encoded_corpus"](spark, sf_dir))
+    assert "replace" in plan, plan
+    assert "aggregate(" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
