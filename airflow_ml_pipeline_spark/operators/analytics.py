@@ -551,7 +551,15 @@ def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("e_us").alias("us"), F.lit(-1).alias("delta")),
             )
         ).alias("x")
-    ).select("x.us", "x.delta", F.expr(f"x.us div {_US_PER_HOUR}").alias("bucket"))
+    ).select(
+        "x.us",
+        "x.delta",
+        # floor division, matching DuckDB's `//`: Spark's `div` truncates
+        # toward zero, which disagrees for pre-1970 (negative-epoch)
+        # boundaries (review finding); us < 2^53 so the double round-trip
+        # inside floor() is exact
+        F.floor(F.col("x.us") / F.lit(_US_PER_HOUR)).cast("long").alias("bucket"),
+    )
     bucket_tot = b.groupBy("bucket").agg(F.sum("delta").alias("bd"))
     w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_tot.select(

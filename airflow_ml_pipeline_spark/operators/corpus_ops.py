@@ -755,10 +755,15 @@ def _sql_pagerank() -> str:
            FROM deg)""",
     ]
     for k in range(PAGERANK_ITERS):
+        # {1 - d!r}, not a formatted "0.15": Python's 1 - 0.85 is
+        # 0.15000000000000002, one ulp off the parsed literal 0.15 — the
+        # Spark plan uses F.lit(1 - d), so the oracle must state the SAME
+        # double or the two engines iterate from different teleports
+        # (review finding)
         ctes.append(
             f"""pr{k + 1} AS (
             SELECT dd.id, dd.deg,
-                   round({1 - d:.2f} / (SELECT n FROM nn)
+                   round({1 - d!r} / (SELECT n FROM nn)
                          + {d} * CAST(SUM(CAST(round(p.score / p.deg, 12)
                                                AS DECIMAL(30,12)))
                                       AS DOUBLE), 10) AS score

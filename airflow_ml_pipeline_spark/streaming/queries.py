@@ -15,6 +15,7 @@ from airflow_ml_pipeline_spark.operators.events import (
     ANOMALY_BASELINE_ROWS,
     ANOMALY_MIN_BASELINE,
     ANOMALY_Z,
+    _Z_SQL,
 )
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.streaming import windows
@@ -272,12 +273,11 @@ def stream_errors_before_purchase_pairs(spark: SparkSession, sf_dir: str) -> Dat
                               AND 1 PRECEDING)
     )
     SELECT event_id, event_type, CAST(ts_us AS BIGINT) AS ts_us, value,
-           round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+           round({_Z_SQL}, 6) AS z
     FROM scored
     WHERE n >= {ANOMALY_MIN_BASELINE}
       AND (ss - s * s / n) / (n - 1) > 0
-      AND abs((value - s / n) / sqrt((ss - s * s / n) / (n - 1)))
-          > {ANOMALY_Z}
+      AND abs({_Z_SQL}) > {ANOMALY_Z}
     """,
 )
 def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

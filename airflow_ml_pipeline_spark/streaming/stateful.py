@@ -130,7 +130,7 @@ def _anomaly_zscores(
     replay's emitted anomalies equal `events_anomaly_zscore` row-for-row
     and the same DuckDB oracle checks both."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     from airflow_ml_pipeline_spark.operators.events import (
         ANOMALY_BASELINE_ROWS,
@@ -141,28 +141,51 @@ def _anomaly_zscores(
     six = Decimal("0.000001")
     buf: list[float] = list(state.get[0]) if state.exists else []
     out: dict[str, list] = {k: [] for k in ("event_id", "event_type", "ts_us", "value", "z")}
-    for pdf in pdfs:
-        for r in pdf.sort_values(["ts_us", "event_id"]).itertuples():
-            n = len(buf)
-            if n >= ANOMALY_MIN_BASELINE:
-                qs = [Decimal(v).quantize(six, ROUND_HALF_UP) for v in buf]
+    # ONE sort over the whole micro-batch: applyInPandasWithState delivers a
+    # key's rows as multiple Arrow chunks in shuffle-arrival order, so
+    # sorting each chunk independently would feed the rolling buffer out of
+    # global time order whenever a batch spans >1 chunk (review finding)
+    chunks = [p for p in pdfs if len(p)]
+    batch = (
+        pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        if chunks
+        else pd.DataFrame()
+    )
+    for r in batch.itertuples():
+        n = len(buf)
+        if n >= ANOMALY_MIN_BASELINE:
+            # Decimal(repr(v)), NOT Decimal(v): Spark's double->decimal
+            # cast (and F.round) quantize the SHORTEST decimal rendering
+            # (BigDecimal.valueOf via Double.toString), not the exact
+            # binary expansion — repr() is Python's shortest rendering,
+            # so this walks the identical lattice (review finding; e.g.
+            # 5e-07: valueOf->0.000001, exact-binary->0.000000)
+            with localcontext() as ctx:
+                # the oracle/batch sums are DECIMAL(38,12)-exact; the
+                # default Python context (28 sig digits) could round a
+                # large sum-of-squares where Spark would not
+                ctx.prec = 50
+                qs = [
+                    Decimal(repr(float(v))).quantize(six, ROUND_HALF_UP)
+                    for v in buf
+                ]
                 s = float(sum(qs))
                 ss = float(sum(q * q for q in qs))
-                nn = float(n)
-                var = (ss - s * s / nn) / (nn - 1)
-                if var > 0:
-                    z = (r.value - s / nn) / math.sqrt(var)
-                    if abs(z) > ANOMALY_Z:
-                        out["event_id"].append(r.event_id)
-                        out["event_type"].append(key[0])
-                        out["ts_us"].append(r.ts_us)
-                        out["value"].append(r.value)
-                        out["z"].append(
-                            float(Decimal(z).quantize(six, ROUND_HALF_UP))
-                        )
-            buf.append(r.value)
-            if len(buf) > ANOMALY_BASELINE_ROWS:
-                buf = buf[-ANOMALY_BASELINE_ROWS:]
+            nn = float(n)
+            var = (ss - s * s / nn) / (nn - 1)
+            if var > 0:
+                z = (r.value - s / nn) / math.sqrt(var)
+                if abs(z) > ANOMALY_Z:
+                    out["event_id"].append(r.event_id)
+                    out["event_type"].append(key[0])
+                    out["ts_us"].append(r.ts_us)
+                    out["value"].append(r.value)
+                    out["z"].append(
+                        float(Decimal(repr(float(z))).quantize(six, ROUND_HALF_UP))
+                    )
+        buf.append(float(r.value))
+        if len(buf) > ANOMALY_BASELINE_ROWS:
+            buf = buf[-ANOMALY_BASELINE_ROWS:]
     state.update((buf,))
     yield pd.DataFrame(out)
 
