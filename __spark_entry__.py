@@ -76,6 +76,7 @@ CHECK_PRIORITY = [
     "orders_benford_deviation",  # NEW: first-digit forensic gate
     "customer_fuzzy_matches",  # NEW: FastSS entity resolution
     "stream_anomaly_zscore",  # NEW: stateful streaming anomaly twin
+    "embedding_hard_negatives",  # NEW: contrastive-pair mining
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -103,7 +104,6 @@ CHECK_PRIORITY = [
     "returnflag_median_price_disc",
     "orders_by_weekday",
     "events_gap_fill",  # also the temporal family anchor
-    "doc_length_histogram",
     # -- (D) one green anchor per remaining family --
     "returnflag_priority_counts",  # relational
     "user_eventtype_map_stats",  # semi-structured
@@ -121,6 +121,7 @@ CHECK_PRIORITY = [
     # (C)-block twins displaced for budget: their kernels are verified by
     # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
     # and embedding_dim_stats
+    "doc_length_histogram",
     "lang_distribution",
     "token_counts_bpeish",
     "doc_winnowing_fingerprints",

@@ -730,3 +730,116 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, explained_ratio double, cum_ratio double"
     )
+
+
+ANCHOR_MOD = 25  # deterministic anchor sample: vec_id % 25 == 0
+
+_SQL_PAIR_COS = """round(CASE WHEN b.nrm * a.anrm > 0 THEN
+                list_sum(list_transform(range(1, 65),
+                    i -> b.v[i] * a.av[i])) / (b.nrm * a.anrm)
+                ELSE 0.0 END, 6)"""
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id AS a_id, label AS a_label, v AS av, nrm AS anrm
+        FROM base WHERE vec_id % {ANCHOR_MOD} = 0
+    ),
+    scored AS (
+        SELECT a.a_id, a.a_label, b.vec_id, b.label,
+               {_SQL_PAIR_COS} AS cos_sim,
+               (b.label = a.a_label) AS same
+        FROM base b CROSS JOIN a
+        WHERE b.vec_id != a.a_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY a_id, same
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT a_id AS anchor_id, a_label AS anchor_label,
+           CASE WHEN same THEN 'positive' ELSE 'hard_negative' END AS role,
+           vec_id, label, cos_sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each anchor of
+    a deterministic sample, the nearest SAME-label vector (the positive)
+    and the nearest DIFFERENT-label vector (the HARD negative — the
+    near-miss that actually moves a contrastive/triplet loss; random
+    negatives are trivially separated and teach nothing). The op every
+    retrieval/embedding fine-tuning pipeline runs over its corpus.
+
+    Exactness: cosine is rounded to 6 dp BEFORE the argmax on both
+    sides with vec_id as the tiebreak (the `semantic_dedup_bucket_nn`
+    convention), and zero-norm vectors score 0 under the same guard as
+    the oracle.
+
+    Scale shape: anchors are sample-sized and BROADCAST; the corpus
+    streams past once and the per-(anchor, side) argmax is a map-side
+    partial MAX over a (cos, -vec_id, label) struct — each partition
+    collapses to |anchors| x 2 rows before the exchange, so nothing
+    pair-sized shuffles (the oracle's window formulation would shuffle
+    n x |anchors| rows; the struct-max is the distributed form). At
+    100 TB the anchor set is whatever fits a broadcast; beyond that the
+    LSH/IVF candidate structures bound the search the same way they do
+    for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    anchors = base.filter(F.col("vec_id") % ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    pairs = base.crossJoin(F.broadcast(anchors)).filter(
+        F.col("vec_id") != F.col("a_id")
+    )
+    cos = F.round(
+        F.when(
+            F.col("nrm") * F.col("anrm") > 0,
+            dot(F.col("v"), F.col("av")) / (F.col("nrm") * F.col("anrm")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = pairs.select(
+        "a_id",
+        "a_label",
+        "vec_id",
+        "label",
+        cos.alias("cos_sim"),
+        (F.col("label") == F.col("a_label")).alias("same"),
+    )
+    best = scored.groupBy("a_id", "a_label", "same").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim").alias("c"),
+                (-F.col("vec_id")).alias("ni"),
+                F.col("label").alias("lab"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("a_id").alias("anchor_id"),
+        F.col("a_label").alias("anchor_label"),
+        F.when(F.col("same"), F.lit("positive"))
+        .otherwise(F.lit("hard_negative"))
+        .alias("role"),
+        (-F.col("m.ni")).cast("long").alias("vec_id"),
+        F.col("m.lab").alias("label"),
+        F.col("m.c").alias("cos_sim"),
+    )

@@ -115,6 +115,7 @@ HEADLINE = [
     "near_dup_incremental",
     "embedding_corr_matrix",
     "embedding_pca_variance",
+    "embedding_hard_negatives",
     "bm25_topk",
     "knn_cosine_bruteforce",
     "ann_lsh_topk",

@@ -148,3 +148,43 @@ def test_pca_variance_matches_numpy(spark, sf_dir):
     assert ratios == sorted(ratios, reverse=True)
     assert abs(got[-1].cum_ratio - sum(ratios)) < 1e-5
     assert got[-1].cum_ratio <= 1.0 + 1e-9
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """For every anchor: the positive shares the anchor's label, the hard
+    negative does not, neither is the anchor itself, and each is the true
+    argmax of 6-dp cosine within its side (checked against a numpy
+    brute-force scan with the same rounding and tiebreak)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        ANCHOR_MOD,
+        embedding_hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    norms = {k: float(np.sqrt((v * v).sum())) for k, v in vecs.items()}
+
+    def best(a_id, want_same):
+        cands = []
+        for v_id in vecs:
+            if v_id == a_id or (labels[v_id] == labels[a_id]) != want_same:
+                continue
+            c = (
+                float(vecs[a_id] @ vecs[v_id]) / (norms[a_id] * norms[v_id])
+                if norms[a_id] * norms[v_id] > 0
+                else 0.0
+            )
+            cands.append((round(c, 6), -v_id, v_id))
+        return max(cands)[2] if cands else None
+
+    rows = embedding_hard_negatives(spark, sf_dir).collect()
+    anchors = {r.anchor_id for r in rows}
+    assert anchors == {k for k in vecs if k % ANCHOR_MOD == 0 and len(vecs) > 1}
+    for r in rows:
+        assert r.vec_id != r.anchor_id
+        same = r.role == "positive"
+        assert (r.label == r.anchor_label) == same
+        assert r.vec_id == best(r.anchor_id, same), (r.anchor_id, r.role)

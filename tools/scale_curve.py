@@ -91,6 +91,7 @@ QUERIES = [
     ("orders_benford_deviation", "orders"),
     ("customer_fuzzy_matches", "customer"),
     ("stream_anomaly_zscore", "events"),
+    ("embedding_hard_negatives", "embeddings"),
 ]
 
 FOOTER = """
