@@ -77,6 +77,8 @@ CHECK_PRIORITY = [
     "customer_fuzzy_matches",  # NEW: FastSS entity resolution
     "stream_anomaly_zscore",  # NEW: stateful streaming anomaly twin
     "embedding_hard_negatives",  # NEW: contrastive-pair mining
+    "basket_brand_pairs",  # NEW: market-basket association rules
+    "customer_rfm_segments",  # NEW: RFM quintile segmentation
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -101,8 +103,6 @@ CHECK_PRIORITY = [
     "ab_conversion_ztest",
     # -- (C) no driver row in rounds 1-3 (r4 evidence unconfirmed) --
     "errors_before_purchase",
-    "returnflag_median_price_disc",
-    "orders_by_weekday",
     "events_gap_fill",  # also the temporal family anchor
     # -- (D) one green anchor per remaining family --
     "returnflag_priority_counts",  # relational
@@ -121,6 +121,8 @@ CHECK_PRIORITY = [
     # (C)-block twins displaced for budget: their kernels are verified by
     # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
     # and embedding_dim_stats
+    "orders_by_weekday",
+    "returnflag_median_price_disc",
     "doc_length_histogram",
     "lang_distribution",
     "token_counts_bpeish",

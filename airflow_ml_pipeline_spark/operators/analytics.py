@@ -590,3 +590,213 @@ def session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_concurrent",
         )
     )
+
+
+BASKET_MIN_SUPPORT = 50  # pair must co-occur in at least this many orders
+
+
+@query(
+    "basket_brand_pairs",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_orders FROM ob),
+    singles AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY brand
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support,
+           round(CAST(support AS DOUBLE) / sa.s, 6) AS confidence_a_to_b,
+           round(CAST(support AS DOUBLE) / sb.s, 6) AS confidence_b_to_a,
+           round(CAST(support AS DOUBLE) * n.n_orders / (sa.s * sb.s), 6)
+               AS lift
+    FROM pairs
+    JOIN singles sa ON sa.brand = brand_a
+    JOIN singles sb ON sb.brand = brand_b
+    CROSS JOIN n
+    WHERE support >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand level: for every
+    brand pair co-purchased in >= 50 orders, the support, both
+    directional confidences, and the lift (observed co-occurrence vs
+    independence) — the cross-sell / co-location query behind "customers
+    who bought X also bought Y". Brand-grain keeps the statistics dense
+    (partkey-grain pairs at TPC-H scale co-occur once or twice — real
+    pipelines mine at category grain for exactly this reason).
+
+    Exactness: every metric is a ratio of integer counts computed with
+    the identical expression tree and rounded at 6 dp; no float
+    aggregation anywhere.
+
+    Scale shape: the basket build is one distinct on (order, brand);
+    pairs EXPLODE IN-PARTITION from each order's sorted brand set (the
+    posting-list shape — bounded by brands-per-order choose 2, never a
+    corpus self-join) and collapse through map-side partials onto a
+    |brands|^2-bounded pair domain; the singles/total frames are
+    |brands|-sized broadcasts. The lineitem->part brand lookup is the
+    only data-sized join and AQE picks its strategy."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("brands"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("brands"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("brands") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("brand_a"), y.alias("brand_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    singles = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+    n = ob.agg(F.count_distinct("okey").cast("double").alias("n_orders"))
+    sa = singles.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa"))
+    sb = singles.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb"))
+    sup = F.col("support").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(sup / F.col("sa"), 6).alias("confidence_a_to_b"),
+            F.round(sup / F.col("sb"), 6).alias("confidence_b_to_a"),
+            F.round(
+                sup * F.col("n_orders") / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def _rfm_score_sql(col: str, prefix: str, reverse: bool = False) -> str:
+    """1..5 quintile score by comparison against the four disc boundaries
+    (b named {prefix}1..{prefix}4); `reverse` flips so SMALLER raw values
+    score HIGHER (recency). Integer arithmetic only."""
+    ups = " + ".join(
+        f"(CASE WHEN {col} > {prefix}{i} THEN 1 ELSE 0 END)" for i in range(1, 5)
+    )
+    return f"(1 + {ups})" if not reverse else f"(6 - (1 + {ups}))"
+
+
+_RFM_BOUNDS_DUCK = ", ".join(
+    f"quantile_disc({c}, {q}) AS {p}{i}"
+    for c, p in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+    for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+)
+
+_RFM_BOUNDS_SPARK = ", ".join(
+    f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c}) AS {p}{i}"
+    for c, p in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+    for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+)
+
+_RFM_SELECT = f"""
+    SELECT custkey, recency_days, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           {_rfm_score_sql('recency_days', 'r', reverse=True)} AS r_score,
+           {_rfm_score_sql('frequency', 'f')} AS f_score,
+           {_rfm_score_sql('monetary', 'm')} AS m_score
+"""
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(last_order) AS refd FROM rfm),
+    r2 AS (
+        SELECT custkey,
+               CAST(date_diff('day', last_order, refd) AS INTEGER)
+                   AS recency_days,
+               frequency, monetary
+        FROM rfm CROSS JOIN ref
+    ),
+    b AS (SELECT {_RFM_BOUNDS_DUCK} FROM r2)
+    {_RFM_SELECT}
+    FROM r2 CROSS JOIN b
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM workhorse: each customer scored 1..5 on
+    Recency (days since last order, lower is better), Frequency (order
+    count), and Monetary (lifetime revenue), by quintile against the
+    whole customer base.
+
+    Exactness: quintile boundaries are DISCRETE percentiles (actual data
+    values — the `returnflag_median_price_disc` convention, no
+    interpolation), scores are integer comparisons against those
+    boundaries (monetary compared as exact DECIMAL), and the reference
+    date is the corpus's own max order date — every scored value is
+    engine-identical by construction.
+
+    Scale shape: one customer-grain hash agg; the 12 boundaries are ONE
+    tiny aggregate broadcast back over the customer frame — the
+    distributed replacement for a global NTILE window, whose total sort
+    would be a single-partition stage at 100 TB. Boundary-comparison
+    scoring differs from NTILE only on boundary TIES (NTILE splits equal
+    values across buckets by position — nondeterministic across engines;
+    comparison scoring is tie-stable, which is why it's the form that
+    can be oracle-checked at all)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__rfm_orders")
+    return spark.sql(
+        f"""
+        WITH rfm AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS monetary
+            FROM __rfm_orders GROUP BY o_custkey
+        ),
+        ref AS (SELECT MAX(last_order) AS refd FROM rfm),
+        r2 AS (
+            SELECT custkey,
+                   CAST(datediff(refd, last_order) AS INT) AS recency_days,
+                   frequency, monetary
+            FROM rfm CROSS JOIN ref
+        ),
+        b AS (SELECT {_RFM_BOUNDS_SPARK} FROM r2)
+        {_RFM_SELECT}
+        FROM r2 CROSS JOIN b
+        """
+    )

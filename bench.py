@@ -70,6 +70,8 @@ HEADLINE = [
     "customer_pareto_class",
     "orders_benford_deviation",
     "customer_fuzzy_matches",
+    "basket_brand_pairs",
+    "customer_rfm_segments",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",

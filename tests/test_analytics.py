@@ -68,3 +68,64 @@ def test_concurrency_profile_bounds(spark, sf_dir):
     # the synthetic stream keeps many users active in the same hour
     assert max(r.max_concurrent for r in rows) > 1
     assert all(r.hour_us % 3_600_000_000 == 0 for r in rows)
+
+
+def test_basket_pairs_metrics_are_consistent(spark, sf_dir):
+    """Association metrics satisfy their identities: support <= each
+    single count, confidences in (0,1], lift symmetric and equal to
+    confidence/expected, and pair ordering is canonical (brand_a <
+    brand_b)."""
+    from collections import Counter
+
+    from airflow_ml_pipeline_spark.operators.analytics import basket_brand_pairs
+    from pyspark.sql import functions as F
+
+    rows = basket_brand_pairs(spark, sf_dir).collect()
+    assert rows, "TPC-H orders share brands often enough at min support"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    singles = Counter(r.p_brand for r in ob)
+    n_orders = len({r.l_orderkey for r in ob})
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 < r.support <= min(singles[r.brand_a], singles[r.brand_b])
+        assert abs(r.confidence_a_to_b - round(r.support / singles[r.brand_a], 6)) < 1e-9
+        assert abs(r.confidence_b_to_a - round(r.support / singles[r.brand_b], 6)) < 1e-9
+        expect = singles[r.brand_a] * singles[r.brand_b] / n_orders
+        assert abs(r.lift - round(r.support / expect, 6)) < 1e-6
+
+
+def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
+    """Scores are 1..5 on every axis; each axis's score-1..k cumulative
+    share is >= k*20% (disc boundaries guarantee at least the quantile
+    mass at or below each boundary); monotone: higher frequency never
+    lowers f_score."""
+    from airflow_ml_pipeline_spark.operators.analytics import customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for axis, raw, rev in (
+        ("r_score", "recency_days", True),
+        ("f_score", "frequency", False),
+        ("m_score", "monetary", False),
+    ):
+        scores = [getattr(r, axis) for r in rows]
+        assert set(scores) <= {1, 2, 3, 4, 5}
+        pairs = sorted(
+            ((getattr(r, raw), getattr(r, axis)) for r in rows),
+            key=lambda p: (p[0] if not rev else -p[0]),
+        )
+        vals = [s for _, s in pairs]
+        assert vals == sorted(vals), axis  # monotone in the raw value
+        for k in range(1, 5):
+            share = sum(1 for s in scores if s <= k) / n
+            if rev:
+                share = sum(1 for s in scores if s >= 6 - k) / n
+            assert share >= 0.2 * k - 1e-9, (axis, k, share)

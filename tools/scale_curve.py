@@ -92,6 +92,8 @@ QUERIES = [
     ("customer_fuzzy_matches", "customer"),
     ("stream_anomaly_zscore", "events"),
     ("embedding_hard_negatives", "embeddings"),
+    ("basket_brand_pairs", "lineitem"),
+    ("customer_rfm_segments", "orders"),
 ]
 
 FOOTER = """
