@@ -452,9 +452,61 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = BPE_N_MERGES):
     return merges
 
 
-@query("bpe_trained_merges")  # rows-only: N-round iterative training is not
-# SQL-expressible; exact parity vs a pure-Python reference trainer is
-# asserted in tests/test_packing.py
+def _sql_bpe_training() -> str:
+    """Unrolled-CTE oracle for the N-round BPE trainer (the same chained
+    per-iteration-CTE pattern as the PageRank oracle, applied to the
+    tokenizer-training loop): round k's CTEs are (pk) the argmax adjacent
+    pair with weighted count >= 2 under the (count DESC, left, right)
+    tiebreak, and (v{k+1}) the vocab with that merge applied as a
+    delimited-string replace (the formulation whose equivalence to the
+    engine's array fold is pinned by the encode parity tests). An empty
+    pk round leaves the vocab unchanged via LEFT JOIN ... ON TRUE, so
+    every later round is empty too — matching the trainer's break."""
+    base_s = (
+        "'|' || array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> substr(word, i, 1)), '||') || '|'"
+    )
+    ctes = [
+        f"""v0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, {base_s} AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word)"""
+    ]
+    for k in range(BPE_N_MERGES):
+        ctes.append(
+            f"""p{k} AS (
+            SELECT l, r, c FROM (
+                SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
+                FROM (
+                    SELECT cnt,
+                           unnest(list_transform(range(1, len(syms)),
+                               i -> struct_pack(l := syms[i],
+                                                r := syms[i + 1]))) AS p
+                    FROM (SELECT cnt,
+                                 string_split(trim(s, '|'), '||') AS syms
+                          FROM v{k})
+                ) GROUP BY p.l, p.r
+            ) WHERE c >= 2
+            ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS (
+            SELECT word, cnt,
+                   CASE WHEN p{k}.l IS NOT NULL
+                        THEN replace(s, '|' || p{k}.l || '||' || p{k}.r || '|',
+                                     '|' || p{k}.l || p{k}.r || '|')
+                        ELSE s END AS s
+            FROM v{k} LEFT JOIN p{k} ON TRUE)"""
+        )
+    steps = "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS step, l AS "left", r AS "right",'
+        f" c AS pair_count FROM p{k}"
+        for k in range(BPE_N_MERGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n    " + steps
+
+
+@query("bpe_trained_merges", oracle=_sql_bpe_training())
 def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer-training loop itself (upgrade of the single-round
     ``bpe_merge_candidates`` statistic): N greedy character-BPE merges
