@@ -79,6 +79,8 @@ CHECK_PRIORITY = [
     "embedding_hard_negatives",  # NEW: contrastive-pair mining
     "basket_brand_pairs",  # NEW: market-basket association rules
     "customer_rfm_segments",  # NEW: RFM quintile segmentation
+    "brand_discount_qty_slope",  # NEW: grouped OLS regression
+    "events_funnel_windowed",  # NEW: time-boxed funnel
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -97,12 +99,10 @@ CHECK_PRIORITY = [
     "token_zipf_fit",
     "doc_bigram_logprob",
     "bm25_topk",
-    "retrieval_rrf_fused",
     "event_transition_matrix",
     "user_state_scd2",
     "ab_conversion_ztest",
     # -- (C) no driver row in rounds 1-3 (r4 evidence unconfirmed) --
-    "errors_before_purchase",
     "events_gap_fill",  # also the temporal family anchor
     # -- (D) one green anchor per remaining family --
     "returnflag_priority_counts",  # relational
@@ -118,16 +118,22 @@ CHECK_PRIORITY = [
     "multimodal_features",  # multimodal
     "stream_events_hourly",  # streaming
     # --- tier 2: checked only if the driver budget exceeds the prefix ---
+    # displaced for budget, immediately after the prefix:
+    # errors_before_purchase (range-join shape re-witnessed via its
+    # streaming twin), retrieval_rrf_fused (its two constituent rankings
+    # are independently checked; the fusion is O(top_k) integer ranks)
+    "errors_before_purchase",
+    "retrieval_rrf_fused",
     # (C)-block twins displaced for budget: their kernels are verified by
     # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
     # and embedding_dim_stats
     "orders_by_weekday",
     "returnflag_median_price_disc",
     "doc_length_histogram",
-    "lang_distribution",
-    "token_counts_bpeish",
     "doc_winnowing_fingerprints",
     "dedup_exact_normalized",
+    "lang_distribution",
+    "token_counts_bpeish",
     "simhash_fingerprints",
     "embedding_norms",
     "simhash_md5",

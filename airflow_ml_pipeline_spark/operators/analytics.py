@@ -800,3 +800,88 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r2 CROSS JOIN b
         """
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS s0 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    t1 AS (
+        SELECT e.user_id, MIN(e.ts) AS s1
+        FROM events e JOIN t0 ON e.user_id = t0.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t0.s0
+        GROUP BY e.user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS s2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t1.s1
+        GROUP BY e.user_id
+    ),
+    j AS (
+        SELECT t0.user_id, s0, s1, s2,
+               (s1 IS NOT NULL AND epoch_us(s1) - epoch_us(s0)
+                    <= {FUNNEL_WINDOW_HOURS} * 3600000000) AS c1
+        FROM t0 LEFT JOIN t1 ON t0.user_id = t1.user_id
+                LEFT JOIN t2 ON t0.user_id = t2.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_step1,
+           CAST(COUNT(*) FILTER (WHERE c1) AS BIGINT) AS n_step2_24h,
+           CAST(COUNT(*) FILTER (WHERE c1 AND s2 IS NOT NULL
+                AND epoch_us(s2) - epoch_us(s1)
+                    <= {FUNNEL_WINDOW_HOURS} * 3600000000) AS BIGINT)
+               AS n_step3_24h
+    FROM j
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOXED funnel: signup → first later view WITHIN 24h → first
+    later purchase within 24h of that view. The conversion-window
+    variant every growth team actually reports (an unbounded funnel
+    counts a purchase a month later as converted); unlike the
+    single-aggregation `events_funnel`, the step-k timestamp depends on
+    step k-1's, so each stage is its own per-user MIN with a join back —
+    all three aggregations and joins share the user_id partitioning, so
+    EnsureRequirements inserts ONE exchange and the funnel depth adds no
+    extra shuffles. Step predicates compare epoch micros (engine-neutral
+    integers)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros
+    win = FUNNEL_WINDOW_HOURS * 3_600_000_000
+    t0 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s0"))
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t0, "user_id")
+        .filter(F.col("ts") > F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("s1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s2"))
+    )
+    j = t0.join(t1, "user_id", "left").join(t2, "user_id", "left")
+    c1 = F.col("s1").isNotNull() & (us(F.col("s1")) - us(F.col("s0")) <= win)
+    c2 = (
+        c1
+        & F.col("s2").isNotNull()
+        & (us(F.col("s2")) - us(F.col("s1")) <= win)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_step1"),
+        F.sum(c1.cast("long")).alias("n_step2_24h"),
+        F.sum(c2.cast("long")).alias("n_step3_24h"),
+    )

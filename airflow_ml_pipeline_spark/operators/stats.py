@@ -611,3 +611,76 @@ def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+_DEC = "DECIMAL(25,6)"
+
+
+@query(
+    "brand_discount_qty_slope",
+    oracle=f"""
+    WITH m AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l.l_discount AS {_DEC})) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l.l_quantity AS {_DEC})) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l.l_discount AS {_DEC})
+                        * CAST(l.l_discount AS {_DEC})) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l.l_discount AS {_DEC})
+                        * CAST(l.l_quantity AS {_DEC})) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l.l_quantity AS {_DEC})
+                        * CAST(l.l_quantity AS {_DEC})) AS DOUBLE) AS syy
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_items,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                ELSE 0.0 END AS slope,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                ELSE 0.0 END AS r2
+    FROM m
+    """,
+)
+def brand_discount_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression: per-brand OLS slope (and R²) of
+    quantity on discount — the price-sensitivity profile a merchandising
+    team reads per product line, and the GROUPED form of the
+    `token_zipf_fit` regression pattern: one hash aggregation computes
+    the five moment sums as DECIMAL-exact accumulators (order-free, so
+    map-side partials survive), the slope/R² arithmetic runs in double
+    over identical expression trees in both engines, and zero-variance
+    groups (all-equal discounts) are guarded to 0 by the same predicate.
+    Scale shape: ONE pass over lineitem, output |brands| rows; the part
+    join's strategy is AQE's call."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_discount").cast("decimal(25,6)")
+    y = F.col("l_quantity").cast("decimal(25,6)")
+    m = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.when(vx > 0, F.round(cov / vx, 6)).otherwise(F.lit(0.0)).alias("slope"),
+        F.when((vx * vy) > 0, F.round(cov * cov / (vx * vy), 6))
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )

@@ -72,6 +72,8 @@ HEADLINE = [
     "customer_fuzzy_matches",
     "basket_brand_pairs",
     "customer_rfm_segments",
+    "brand_discount_qty_slope",
+    "events_funnel_windowed",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",

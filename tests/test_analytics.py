@@ -129,3 +129,45 @@ def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
             if rev:
                 share = sum(1 for s in scores if s >= 6 - k) / n
             assert share >= 0.2 * k - 1e-9, (axis, k, share)
+
+
+def test_windowed_funnel_is_tighter_than_unbounded(spark, sf_dir):
+    """The 24h-boxed counts are bounded above by the unbounded funnel's
+    and below by zero; monotone within itself."""
+    from airflow_ml_pipeline_spark.operators.analytics import (
+        events_funnel,
+        events_funnel_windowed,
+    )
+
+    unbounded = events_funnel(spark, sf_dir).collect()[0]
+    boxed = events_funnel_windowed(spark, sf_dir).collect()[0]
+    assert boxed.n_step1 == unbounded.n_step1
+    assert 0 <= boxed.n_step3_24h <= boxed.n_step2_24h <= boxed.n_step1
+    assert boxed.n_step2_24h <= unbounded.n_step2
+
+
+def test_grouped_regression_moments(spark, sf_dir):
+    """Slope/R2 per brand equal a numpy OLS on the same rows, R2 in [0,1],
+    and every brand appears exactly once."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.stats import brand_discount_qty_slope
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append((r.l_discount, r.l_quantity))
+    got = {r.brand: r for r in brand_discount_qty_slope(spark, sf_dir).collect()}
+    assert set(got) == set(by_brand)
+    for b, xy in by_brand.items():
+        x = np.array([p[0] for p in xy])
+        y = np.array([p[1] for p in xy])
+        assert got[b].n_items == len(xy)
+        assert 0.0 <= got[b].r2 <= 1.0
+        if np.var(x) > 0:
+            slope = np.polyfit(x, y, 1)[0]
+            assert abs(got[b].slope - slope) < 1e-3, b

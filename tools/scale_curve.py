@@ -94,6 +94,8 @@ QUERIES = [
     ("embedding_hard_negatives", "embeddings"),
     ("basket_brand_pairs", "lineitem"),
     ("customer_rfm_segments", "orders"),
+    ("brand_discount_qty_slope", "lineitem"),
+    ("events_funnel_windowed", "events"),
 ]
 
 FOOTER = """
