@@ -124,9 +124,19 @@ CHECK_PRIORITY = [
     # are independently checked; the fusion is O(top_k) integer ranks)
     "errors_before_purchase",
     "retrieval_rrf_fused",
-    # (C)-block twins displaced for budget: their kernels are verified by
-    # simhash_md5/near_dup_pairs_simhash, doc_winnowing_md5, dedup_exact,
-    # and embedding_dim_stats
+    # remaining (C)-block members displaced for budget, each with its
+    # re-witnessing argument:
+    # - orders_by_weekday / returnflag_median_price_disc /
+    #   doc_length_histogram / lang_distribution / token_counts_bpeish:
+    #   single-pass projection+hash-agg plan twins of prefix-checked
+    #   queries (ship_delay_profile, segment_price_quantiles, doc_stats)
+    # - doc_winnowing_fingerprints / simhash_fingerprints: xxhash64 fast
+    #   paths whose full algebra is value-checked by the md5 twins
+    #   (doc_winnowing_md5, simhash_md5, near_dup_pairs_simhash)
+    # - dedup_exact_normalized: dedup_exact + a projection, family
+    #   re-witnessed via corpus_prepared and the round's dedup block
+    # - embedding_norms: the norm kernel is inside every checked cosine
+    #   query and embedding_dim_stats
     "orders_by_weekday",
     "returnflag_median_price_disc",
     "doc_length_histogram",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from airflow_ml_pipeline_spark.operators.events import SESSION_GAP_SECONDS
+from airflow_ml_pipeline_spark.functions.pairs import sorted_pairs
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -52,10 +53,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.col("t0").isNotNull()
     s2 = s1 & (F.col("t1") > F.col("t0"))
     s3 = s2 & (F.col("t2") > F.col("t1"))
+    # coalesce: on an empty events table the oracle's COUNT FILTER yields
+    # 0 while SUM over zero rows yields NULL (review finding)
+    zero = F.lit(0).cast("bigint")
     return firsts.agg(
-        F.sum(s1.cast("long")).alias("n_step1"),
-        F.sum(s2.cast("long")).alias("n_step2"),
-        F.sum(s3.cast("long")).alias("n_step3"),
+        F.coalesce(F.sum(s1.cast("long")), zero).alias("n_step1"),
+        F.coalesce(F.sum(s2.cast("long")), zero).alias("n_step2"),
+        F.coalesce(F.sum(s3.cast("long")), zero).alias("n_step3"),
     )
 
 
@@ -637,51 +641,38 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical expression tree and rounded at 6 dp; no float
     aggregation anywhere.
 
-    Scale shape: the basket build is one distinct on (order, brand);
-    pairs EXPLODE IN-PARTITION from each order's sorted brand set (the
-    posting-list shape — bounded by brands-per-order choose 2, never a
-    corpus self-join) and collapse through map-side partials onto a
-    |brands|^2-bounded pair domain; the singles/total frames are
-    |brands|-sized broadcasts. The lineitem->part brand lookup is the
-    only data-sized join and AQE picks its strategy."""
+    Scale shape: ONE pass builds the baskets (the lineitem->part brand
+    lookup join + a distinct-set aggregation on the order key — the only
+    data-sized work, lazily checkpointed so the three consumers read it
+    once instead of re-running the fact join per frame); pairs EXPLODE
+    IN-PARTITION from each order's sorted brand set (the posting-list
+    shape — bounded by brands-per-order choose 2, never a corpus
+    self-join) and collapse through map-side partials onto a
+    |brands|^2-bounded pair domain; singles and the order total are
+    derived FROM the baskets frame as |brands|-sized / 1-row broadcasts."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    baskets = ob.groupBy("okey").agg(
-        F.sort_array(F.collect_set("brand")).alias("brands")
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("brands"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("brands"),
-                                i + 2,
-                                F.greatest(
-                                    F.size("brands") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("brand_a"), y.alias("brand_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+            F.explode(sorted_pairs(F.col("brands"), "brand_a", "brand_b")).alias("p")
         )
         .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
     )
-    singles = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
-    n = ob.agg(F.count_distinct("okey").cast("double").alias("n_orders"))
+    singles = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     sa = singles.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa"))
     sb = singles.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb"))
     sup = F.col("support").cast("double")
@@ -846,11 +837,15 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant every growth team actually reports (an unbounded funnel
     counts a purchase a month later as converted); unlike the
     single-aggregation `events_funnel`, the step-k timestamp depends on
-    step k-1's, so each stage is its own per-user MIN with a join back —
-    all three aggregations and joins share the user_id partitioning, so
-    EnsureRequirements inserts ONE exchange and the funnel depth adds no
-    extra shuffles. Step predicates compare epoch micros (engine-neutral
-    integers)."""
+    step k-1's, so each stage is its own per-user MIN with a join back.
+    All stages key on user_id; at benchmark scale Catalyst broadcasts
+    the small step frames and re-derives them per consumer (PLANS.md
+    shows the actual exchanges), while at 100 TB AQE's sort-merge path
+    would reuse the shared user_id partitioning across the chain — and
+    a production pipeline would materialize each step frame once.
+    Step predicates compare epoch micros (engine-neutral integers), and
+    the final counts coalesce to 0 so an empty step-1 cohort matches
+    the oracle's COUNT FILTER instead of returning NULL sums."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros
     win = FUNNEL_WINDOW_HOURS * 3_600_000_000
@@ -880,8 +875,9 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("s2").isNotNull()
         & (us(F.col("s2")) - us(F.col("s1")) <= win)
     )
+    zero = F.lit(0).cast("bigint")
     return j.agg(
         F.count(F.lit(1)).alias("n_step1"),
-        F.sum(c1.cast("long")).alias("n_step2_24h"),
-        F.sum(c2.cast("long")).alias("n_step3_24h"),
+        F.coalesce(F.sum(c1.cast("long")), zero).alias("n_step2_24h"),
+        F.coalesce(F.sum(c2.cast("long")), zero).alias("n_step3_24h"),
     )

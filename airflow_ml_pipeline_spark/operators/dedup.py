@@ -26,6 +26,7 @@ from airflow_ml_pipeline_spark.functions.text import (
     ngrams,
     tokens,
 )
+from airflow_ml_pipeline_spark.functions.pairs import sorted_pairs
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
@@ -73,19 +74,7 @@ def _pair_shared_counts(sh: DataFrame) -> DataFrame:
         .filter(F.size("ids") >= 2)
     )
     pairs = lists.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(sorted_pairs(F.col("ids"), "doc_a", "doc_b")).alias("p")
     )
     return pairs.groupBy(
         F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")

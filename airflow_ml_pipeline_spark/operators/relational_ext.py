@@ -18,6 +18,7 @@ from airflow_ml_pipeline_spark.functions.compare import (
     davg,
     dsum,
 )
+from airflow_ml_pipeline_spark.functions.pairs import sorted_pairs
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -481,23 +482,7 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") >= 2)
     )
     pairs = lists.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + 2,
-                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(
-                            x.alias("cust_a"), y.alias("cust_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(sorted_pairs(F.col("ids"), "cust_a", "cust_b")).alias("p")
     )
     cand = pairs.select("p.cust_a", "p.cust_b").distinct()
     na = cust.select(

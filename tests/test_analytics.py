@@ -131,9 +131,14 @@ def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
             assert share >= 0.2 * k - 1e-9, (axis, k, share)
 
 
-def test_windowed_funnel_is_tighter_than_unbounded(spark, sf_dir):
-    """The 24h-boxed counts are bounded above by the unbounded funnel's
-    and below by zero; monotone within itself."""
+def test_windowed_funnel_is_internally_monotone(spark, sf_dir):
+    """Step-1 cohorts agree between the funnels (both are users with a
+    signup) and the boxed funnel is monotone within itself. NB the boxed
+    step-2 count is NOT comparable to the unbounded funnel's: the
+    unbounded funnel tests the GLOBAL first view (> t0), while the boxed
+    one takes the first view AFTER signup — a user who viewed before
+    signing up and again within 24h converts only in the boxed funnel
+    (review finding; 261 such users at sf0.1)."""
     from airflow_ml_pipeline_spark.operators.analytics import (
         events_funnel,
         events_funnel_windowed,
@@ -143,7 +148,6 @@ def test_windowed_funnel_is_tighter_than_unbounded(spark, sf_dir):
     boxed = events_funnel_windowed(spark, sf_dir).collect()[0]
     assert boxed.n_step1 == unbounded.n_step1
     assert 0 <= boxed.n_step3_24h <= boxed.n_step2_24h <= boxed.n_step1
-    assert boxed.n_step2_24h <= unbounded.n_step2
 
 
 def test_grouped_regression_moments(spark, sf_dir):
