@@ -65,3 +65,31 @@ def test_tfidf_pipeline_shapes(spark, sf_dir):
         assert v.size == 1 << 12
         norm = sum(x * x for x in v.values) ** 0.5
         assert abs(norm - 1.0) < 1e-6  # L2-normalized
+
+
+def test_sorted_pairs_matches_itertools(spark):
+    """The shared in-partition pair-explosion kernel (functions/pairs.py)
+    equals itertools.combinations for every list — the index arithmetic
+    (i+2 / size-i-1) is exactly what a off-by-one would silently break,
+    and three operators now share this kernel (review finding)."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from airflow_ml_pipeline_spark.functions.pairs import sorted_pairs
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50), max_size=12, unique=True
+        )
+    )
+    def check(ids):
+        ids = sorted(ids)
+        df = spark.createDataFrame([(ids,)], "ids: array<bigint>")
+        got = df.select(sorted_pairs(F.col("ids")).alias("p")).collect()[0].p
+        assert [(r.a, r.b) for r in got] == list(combinations(ids, 2))
+
+    check()
