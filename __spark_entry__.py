@@ -81,6 +81,7 @@ CHECK_PRIORITY = [
     "customer_rfm_segments",  # NEW: RFM quintile segmentation
     "brand_discount_qty_slope",  # NEW: grouped OLS regression
     "events_funnel_windowed",  # NEW: time-boxed funnel
+    "customer_revenue_gini",  # NEW: distributed-rank Gini coefficient
     # -- (B) round-4 additions --
     "user_distinct_values_salted",
     "doc_containment_md5",
@@ -101,7 +102,6 @@ CHECK_PRIORITY = [
     "bm25_topk",
     "event_transition_matrix",
     "user_state_scd2",
-    "ab_conversion_ztest",
     # -- (C) no driver row in rounds 1-3 (r4 evidence unconfirmed) --
     "events_gap_fill",  # also the temporal family anchor
     # -- (D) one green anchor per remaining family --
@@ -124,6 +124,7 @@ CHECK_PRIORITY = [
     # are independently checked; the fusion is O(top_k) integer ranks)
     "errors_before_purchase",
     "retrieval_rrf_fused",
+    "ab_conversion_ztest",
     # remaining (C)-block members displaced for budget, each with its
     # re-witnessing argument:
     # - orders_by_weekday / returnflag_median_price_disc /

@@ -684,3 +684,83 @@ def brand_discount_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("r2"),
     )
+
+
+GINI_BUCKET_WIDTH = 100_000  # revenue-grid bucket for the distributed rank
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r, CAST(row_number() OVER (ORDER BY r, custkey) AS BIGINT)
+                      AS rk
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(SUM(rk * r) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(r) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the inequality
+    statistic behind concentration-risk dashboards ("what share of
+    revenue sits with the top customers", the scalar companion of
+    `customer_pareto_class`'s per-customer cut), via the discrete
+    rank formula G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending ranks.
+
+    Exactness: revenue and the rank-weighted sum stay DECIMAL through
+    every aggregation (rank·decimal is exact; both sums are
+    order-independent, so map-side partials survive) and convert to
+    double only inside the identical final expression; ranks are total
+    (tie-break on custkey).
+
+    Scale shape: the oracle's global row_number is a single-partition
+    sort at 100 TB; the plan computes the SAME ranks distributed — grid
+    buckets on revenue, per-bucket counts windowed into global offsets
+    (a tiny frame), then per-bucket row_numbers IN PARALLEL plus the
+    broadcast offset. The third member of the two-phase prefix family
+    (`customer_pareto_class` sums values, `sequence_packing` sums
+    lengths, this ranks rows)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
+    )
+    bucketed = rev.withColumn("bucket", F.floor(F.col("r") / GINI_BUCKET_WIDTH))
+    from pyspark.sql.window import Window
+
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+    )
+    w_in = Window.partitionBy("bucket").orderBy(F.asc("r"), F.asc("custkey"))
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "r",
+        (F.col("offset") + F.row_number().over(w_in)).cast("bigint").alias("rk"),
+    )
+    n = F.count(F.lit(1))
+    s0 = F.sum("r")
+    s1 = F.sum(F.col("rk") * F.col("r"))
+    return ranked.agg(
+        n.alias("n_customers"),
+        s0.cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * s1.cast("double") / (n * s0.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

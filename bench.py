@@ -74,6 +74,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "brand_discount_qty_slope",
     "events_funnel_windowed",
+    "customer_revenue_gini",
     "token_frequencies",
     "doc_quality",
     "corpus_quality_filtered",

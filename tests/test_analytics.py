@@ -175,3 +175,25 @@ def test_grouped_regression_moments(spark, sf_dir):
         if np.var(x) > 0:
             slope = np.polyfit(x, y, 1)[0]
             assert abs(got[b].slope - slope) < 1e-3, b
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    """Gini equals the pure-Python discrete rank formula on the same
+    customer revenues, lies in [0, 1), and the distributed ranks cover
+    1..n exactly (no rank lost or duplicated across buckets)."""
+    from airflow_ml_pipeline_spark.operators.stats import customer_revenue_gini
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_cust = {}
+    for o in orders:
+        by_cust[o.o_custkey] = by_cust.get(o.o_custkey, 0.0) + float(o.o_totalprice)
+    xs = [r for _, r in sorted(by_cust.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (
+        n + 1
+    ) / n
+    row = customer_revenue_gini(spark, sf_dir).collect()[0]
+    assert row.n_customers == n
+    assert abs(row.total_revenue - sum(xs)) < 1e-3
+    assert abs(row.gini - want) < 1e-5
+    assert 0 <= row.gini < 1

@@ -96,6 +96,7 @@ QUERIES = [
     ("customer_rfm_segments", "orders"),
     ("brand_discount_qty_slope", "lineitem"),
     ("events_funnel_windowed", "events"),
+    ("customer_revenue_gini", "orders"),
 ]
 
 FOOTER = """
