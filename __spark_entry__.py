@@ -121,7 +121,10 @@ CHECK_PRIORITY = [
     # displaced for budget, immediately after the prefix:
     # errors_before_purchase (range-join shape re-witnessed via its
     # streaming twin), retrieval_rrf_fused (its two constituent rankings
-    # are independently checked; the fusion is O(top_k) integer ranks)
+    # are independently checked; the fusion is O(top_k) integer ranks),
+    # ab_conversion_ztest (integer-count z arithmetic over a per-user
+    # aggregation shape the prefix witnesses via the transition matrix
+    # and SCD2)
     "errors_before_purchase",
     "retrieval_rrf_fused",
     "ab_conversion_ztest",

@@ -686,7 +686,56 @@ def brand_discount_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GINI_BUCKET_WIDTH = 100_000  # revenue-grid bucket for the distributed rank
+GINI_BUCKETS = 64  # equi-depth rank buckets (adaptive cut points)
+
+
+def gini_ranked_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, rk): each customer's exact-decimal revenue with its GLOBAL
+    ascending rank, computed distributed — the intermediate the Gini
+    aggregate (and its rank-coverage test) consume. Buckets are
+    EQUI-DEPTH: cut points come from approx percentiles of the revenue
+    distribution (a bounded driver-side array), so bucket sizes track
+    n/GINI_BUCKETS whatever the value distribution — unlike a fixed
+    value grid, whose densest cell grows linearly with data and caps
+    the per-bucket row_number parallelism at the grid size (review
+    finding). Bucket assignment only needs MONOTONICITY in r (equal
+    revenues always compare identically against every cut, so ties
+    never split), which is why approximate cut points still yield
+    exact global ranks."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
+    )
+    qs = [i / GINI_BUCKETS for i in range(1, GINI_BUCKETS)]
+    cuts = sorted(
+        set(
+            rev.agg(
+                F.percentile_approx(F.col("r").cast("double"), qs, 1000)
+            ).collect()[0][0]
+        )
+    )
+    cuts_lit = F.lit([float(c) for c in cuts]).cast("array<double>")
+    bucketed = rev.withColumn(
+        "bucket",
+        F.size(F.filter(cuts_lit, lambda c: c <= F.col("r").cast("double"))),
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+    )
+    w_in = Window.partitionBy("bucket").orderBy(F.asc("r"), F.asc("custkey"))
+    return bucketed.join(F.broadcast(offsets), "bucket").select(
+        "r",
+        (F.col("offset") + F.row_number().over(w_in)).cast("bigint").alias("rk"),
+    )
 
 
 @query(
@@ -724,34 +773,16 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tie-break on custkey).
 
     Scale shape: the oracle's global row_number is a single-partition
-    sort at 100 TB; the plan computes the SAME ranks distributed — grid
-    buckets on revenue, per-bucket counts windowed into global offsets
-    (a tiny frame), then per-bucket row_numbers IN PARALLEL plus the
-    broadcast offset. The third member of the two-phase prefix family
-    (`customer_pareto_class` sums values, `sequence_packing` sums
-    lengths, this ranks rows)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice"
-    )
-    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
-    )
-    bucketed = rev.withColumn("bucket", F.floor(F.col("r") / GINI_BUCKET_WIDTH))
-    from pyspark.sql.window import Window
-
-    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0).cast("bigint")).alias(
-            "offset"
-        ),
-    )
-    w_in = Window.partitionBy("bucket").orderBy(F.asc("r"), F.asc("custkey"))
-    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
-        "r",
-        (F.col("offset") + F.row_number().over(w_in)).cast("bigint").alias("rk"),
-    )
+    sort at 100 TB; the plan computes the SAME ranks distributed via
+    EQUI-DEPTH buckets (see ``gini_ranked_revenue``) — per-bucket
+    counts windowed into global offsets (a tiny frame), then per-bucket
+    row_numbers IN PARALLEL plus the broadcast offset. The two-phase
+    prefix family's rank member (`customer_pareto_class` sums values on
+    a fixed value grid — at extreme scale its bucketing should adopt
+    the same quantile cut points; `sequence_packing` and
+    `corpus_token_budget_fill` carry the pattern's other variants —
+    a shared extraction is the standing cleanup)."""
+    ranked = gini_ranked_revenue(spark, sf_dir)
     n = F.count(F.lit(1))
     s0 = F.sum("r")
     s1 = F.sum(F.col("rk") * F.col("r"))

@@ -181,7 +181,15 @@ def test_gini_matches_python_and_bounds(spark, sf_dir):
     """Gini equals the pure-Python discrete rank formula on the same
     customer revenues, lies in [0, 1), and the distributed ranks cover
     1..n exactly (no rank lost or duplicated across buckets)."""
-    from airflow_ml_pipeline_spark.operators.stats import customer_revenue_gini
+    from airflow_ml_pipeline_spark.operators.stats import (
+        customer_revenue_gini,
+        gini_ranked_revenue,
+    )
+
+    ranks = sorted(
+        r.rk for r in gini_ranked_revenue(spark, sf_dir).collect()
+    )
+    assert ranks == list(range(1, len(ranks) + 1))
 
     orders = load_table(spark, sf_dir, "orders").collect()
     by_cust = {}
