@@ -9,11 +9,11 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-5 rotation: no CORRECTNESS_r04.json reached the repo, so round 4's
-driver evidence is unconfirmed and this prefix assumes the worst — the
-round-5 additions lead, then round 4's additions, then the 11 queries
-that had no driver row in rounds 1-3, then one green anchor per operator
-family (the ordering contract lives in tests/test_registry_order.py).
+Round-6 rotation: the declared surface is FROZEN this round (no new
+queries) so nothing jumps the queue — the 13 queries that have never had
+a driver row in any round lead, followed by the 37 queries whose last
+driver row is round 1 (the oldest evidence). The ordering contract lives
+in tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -57,90 +57,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Verification priority: the first ~50 names are the round-5 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # ---- round-5 rotation ----
-    # No CORRECTNESS_r04.json reached the repo, so round 4's driver
-    # evidence is unconfirmed; this prefix assumes the worst: (A) the
-    # queries NEW this round, (B) round 4's additions, (C) the 11
-    # queries with no driver row in rounds 1-3, then (D) one green
-    # anchor per family (contract: tests/test_registry_order.py).
-    # -- (A) new this round --
-    "near_dup_pairs_simhash",  # NEW: pigeonhole-exact Hamming-band LSH
-    "doc_ngram_novelty",  # NEW: first-occurrence novelty fraction
-    "events_anomaly_zscore",  # NEW: trailing z-score tripwire
-    "customer_pareto_class",  # NEW: ABC cut via two-phase prefix sum
-    "session_concurrency_profile",  # NEW: sweep-line hourly peak
-    "bpe_encoded_corpus",  # NEW: frozen-tokenizer encode, oracle-checked
-    "token_heavy_hitters",  # NEW: freqItems-witnessed top-k
-    "embedding_pca_variance",  # NEW: distributed PCA (rows-only)
-    "near_dup_pagerank",  # NEW: canonical-doc centrality, unrolled-CTE oracle
-    "orders_benford_deviation",  # NEW: first-digit forensic gate
-    "customer_fuzzy_matches",  # NEW: FastSS entity resolution
-    "stream_anomaly_zscore",  # NEW: stateful streaming anomaly twin
-    "embedding_hard_negatives",  # NEW: contrastive-pair mining
-    "basket_brand_pairs",  # NEW: market-basket association rules
-    "customer_rfm_segments",  # NEW: RFM quintile segmentation
-    "brand_discount_qty_slope",  # NEW: grouped OLS regression
-    "events_funnel_windowed",  # NEW: time-boxed funnel
-    "customer_revenue_gini",  # NEW: distributed-rank Gini coefficient
-    # -- (B) round-4 additions --
-    "user_distinct_values_salted",
-    "doc_containment_md5",
-    "dedup_source_priority",
-    "doc_dup_span_coverage",
-    "semantic_dedup_bucket_nn",
-    "near_dup_incremental",
-    "embedding_corr_matrix",
-    "doc_dup_span_scrubbed",
-    "stream_near_dup_ingest",
-    "stream_dedup_ingest_fps",
-    "bpe_trained_merges",
-    "training_data_manifest",
-    "split_leakage_audit",
-    "cdc_chunk_dedup",
-    "token_zipf_fit",
-    "doc_bigram_logprob",
-    "bm25_topk",
-    "event_transition_matrix",
-    "user_state_scd2",
-    # -- (C) no driver row in rounds 1-3 (r4 evidence unconfirmed) --
-    "events_gap_fill",  # also the temporal family anchor
-    # -- (D) one green anchor per remaining family --
-    "returnflag_priority_counts",  # relational
-    "user_eventtype_map_stats",  # semi-structured
-    "corpus_sketch_stats",  # sketches
-    "doc_token_entropy",  # pandas-udf family twin
-    "doc_stats",  # textstats
-    "sequence_packing",  # serving
-    "corpus_prepared",  # dedup composition
-    "near_dup_clusters",  # curation
-    "knn_cosine_bruteforce",  # similarity
-    "customer_drift_profile",  # ml-pipeline
-    "multimodal_features",  # multimodal
-    "stream_events_hourly",  # streaming
-    # --- tier 2: checked only if the driver budget exceeds the prefix ---
-    # displaced for budget, immediately after the prefix:
-    # errors_before_purchase (range-join shape re-witnessed via its
-    # streaming twin), retrieval_rrf_fused (its two constituent rankings
-    # are independently checked; the fusion is O(top_k) integer ranks),
-    # ab_conversion_ztest (integer-count z arithmetic over a per-user
-    # aggregation shape the prefix witnesses via the transition matrix
-    # and SCD2)
+    # ---- round-6 rotation (surface FROZEN: no new queries this round) ----
+    # Round 5's artifacts landed (commit 619bcc8), so witness history is
+    # now complete: r1/r2/r3/r5 rows on disk, no r4. The 50-row prefix is
+    # (A) the 13 queries with NO driver row in any round, then (B) the 37
+    # oldest re-witness candidates — queries whose last driver row is r1.
+    # Ordering contract: tests/test_registry_order.py.
+    # -- (A) never driver-witnessed (judge round-5 ask #1) --
     "errors_before_purchase",
     "retrieval_rrf_fused",
     "ab_conversion_ztest",
-    # remaining (C)-block members displaced for budget, each with its
-    # re-witnessing argument:
-    # - orders_by_weekday / returnflag_median_price_disc /
-    #   doc_length_histogram / lang_distribution / token_counts_bpeish:
-    #   single-pass projection+hash-agg plan twins of prefix-checked
-    #   queries (ship_delay_profile, segment_price_quantiles, doc_stats)
-    # - doc_winnowing_fingerprints / simhash_fingerprints: xxhash64 fast
-    #   paths whose full algebra is value-checked by the md5 twins
-    #   (doc_winnowing_md5, simhash_md5, near_dup_pairs_simhash)
-    # - dedup_exact_normalized: dedup_exact + a projection, family
-    #   re-witnessed via corpus_prepared and the round's dedup block
-    # - embedding_norms: the norm kernel is inside every checked cosine
-    #   query and embedding_dim_stats
     "orders_by_weekday",
     "returnflag_median_price_disc",
     "doc_length_histogram",
@@ -150,21 +76,12 @@ CHECK_PRIORITY = [
     "token_counts_bpeish",
     "simhash_fingerprints",
     "embedding_norms",
-    "simhash_md5",
-    "stream_stateful_running_totals",
-    "events_funnel",
-    "local_supplier_revenue",
-    "user_value_totals_salted",
     "doc_token_entropy_udf",
-    "purchase_last_view_asof",
+    # -- (B) last witnessed in round 1 (oldest evidence) --
     "pricing_summary",
-    "revenue_by_segment",
-    "top_orders_by_revenue",
     "regional_customer_revenue",
     "priority_returned_orders",
-    "customers_no_open_orders",
     "rollup_revenue",
-    "lineitem_distinct_stats",
     "custkeys_both_statuses",
     "brand_revenue",
     "order_gap_days",
@@ -175,12 +92,9 @@ CHECK_PRIORITY = [
     "customer_moving_spend",
     "segment_price_quantiles",
     "monthly_order_stats",
-    "grouping_sets_revenue",
     "events_props_schema_parsed",
     "events_json_stats",
     "user_event_profile",
-    "events_trailing_burst",
-    "events_sessionized",
     "custkeys_only_finished",
     "supplier_volume",
     "nation_acctbal_profile",
@@ -191,45 +105,44 @@ CHECK_PRIORITY = [
     "promo_revenue_ratio",
     "top_revenue_suppliers",
     "returned_revenue_by_customer",
-    "priority_order_counts",
     "customer_order_distribution",
-    "small_quantity_revenue",
     "disjunctive_brand_revenue",
     "sole_supplier_returns",
     "idle_rich_customers",
     "nation_pair_volume",
     "nation_profit_by_year",
-    "event_value_hour_stats",
     "events_hourly",
     "events_sliding_daily",
-    "stream_events_sessionized",
-    "stream_dedup_user_event_keys",
-    "stream_events_sliding",
-    "stream_errors_before_purchase_pairs",
+    "cube_revenue",
+    "doc_chunks_udtf",
+    # --- tier 2: checked only if the driver budget exceeds the prefix ---
+    # 8 r1-only queries displaced for budget, each with a shape twin
+    # inside the prefix or standing per-round coverage:
+    # - revenue_by_segment: IS entry(); driver smoke-runs it every round,
+    #   and its groupBy-agg plan shape is hash-checked via brand_revenue
+    # - top_orders_by_revenue: global sort-limit; windowed/grouped top-k
+    #   twins in prefix (segment_top_orders, top_revenue_suppliers)
+    # - small_quantity_revenue: filtered-agg twin of large_quantity_orders
+    # - priority_order_counts: count-by-key twin of priority_returned_orders
+    #   and customer_order_distribution
+    # - lineitem_distinct_stats: distinct-agg twin of
+    #   user_distinct_values_salted (green r5)
+    # - event_value_hour_stats: hour-bucket agg twin of events_hourly
+    # - grouping_sets_revenue: plan union of rollup_revenue + cube_revenue,
+    #   both in prefix
+    # - customers_no_open_orders: anti-join twin of idle_rich_customers +
+    #   sole_supplier_returns (both in prefix)
+    "revenue_by_segment",
+    "top_orders_by_revenue",
+    "small_quantity_revenue",
+    "priority_order_counts",
+    "lineitem_distinct_stats",
+    "event_value_hour_stats",
+    "grouping_sets_revenue",
+    "customers_no_open_orders",
+    # remaining queries, oldest evidence first (last round: r2, r3, r5)
     "stream_user_value_totals",
     "stream_static_enriched_segments",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "part_best_supplier",
-    "nation_value_concentration",
-    "brand_supplier_counts",
-    "dominant_part_suppliers",
-    "orders_retention_cohort",
-    "events_latest_by_key",
-    "segment_value_salted_join",
-    "part_type_edit_distance",
-    "segment_acctbal_top_decile",
-    "nation_eventtype_matrix",
-    "ship_delay_profile",
-    "segment_balance_flags",
-    "embedding_activation_stats",
-    "customer_pseudonymized",
-    "embedding_dim_stats",
-    "corpus_decontaminated",
-    "langid_heuristic",
-    "doc_unigram_logprob",
-    "doc_pii_scrub",
-    "multimodal_frame_samples",
     "churn_train_eval",
     "multimodal_decode_stats",
     "custkeys_multiset_diff",
@@ -259,7 +172,96 @@ CHECK_PRIORITY = [
     "ann_ivf_topk",
     "synthetic_customers",
     "engineered_customer_features",
+    "simhash_md5",
+    "stream_stateful_running_totals",
+    "events_funnel",
+    "local_supplier_revenue",
+    "user_value_totals_salted",
+    "purchase_last_view_asof",
+    "events_trailing_burst",
+    "events_sessionized",
+    "stream_events_sessionized",
+    "stream_dedup_user_event_keys",
+    "stream_events_sliding",
+    "stream_errors_before_purchase_pairs",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_best_supplier",
+    "nation_value_concentration",
+    "brand_supplier_counts",
+    "dominant_part_suppliers",
+    "orders_retention_cohort",
+    "events_latest_by_key",
+    "segment_value_salted_join",
+    "part_type_edit_distance",
+    "segment_acctbal_top_decile",
+    "nation_eventtype_matrix",
+    "ship_delay_profile",
+    "segment_balance_flags",
+    "embedding_activation_stats",
+    "customer_pseudonymized",
+    "embedding_dim_stats",
+    "corpus_decontaminated",
+    "langid_heuristic",
+    "doc_unigram_logprob",
+    "doc_pii_scrub",
+    "multimodal_frame_samples",
     "embedding_near_dup_pairs",
+    "events_hourly_continuous",
+    "embedding_decontamination",
+    "dedup_incremental",
+    "lang_nchars_median_udaf",
+    "corpus_weighted_sample",
+    "near_dup_pairs_simhash",
+    "doc_ngram_novelty",
+    "events_anomaly_zscore",
+    "customer_pareto_class",
+    "session_concurrency_profile",
+    "bpe_encoded_corpus",
+    "token_heavy_hitters",
+    "embedding_pca_variance",
+    "near_dup_pagerank",
+    "orders_benford_deviation",
+    "customer_fuzzy_matches",
+    "stream_anomaly_zscore",
+    "embedding_hard_negatives",
+    "basket_brand_pairs",
+    "customer_rfm_segments",
+    "brand_discount_qty_slope",
+    "events_funnel_windowed",
+    "customer_revenue_gini",
+    "user_distinct_values_salted",
+    "doc_containment_md5",
+    "dedup_source_priority",
+    "doc_dup_span_coverage",
+    "semantic_dedup_bucket_nn",
+    "near_dup_incremental",
+    "embedding_corr_matrix",
+    "doc_dup_span_scrubbed",
+    "stream_near_dup_ingest",
+    "stream_dedup_ingest_fps",
+    "bpe_trained_merges",
+    "training_data_manifest",
+    "split_leakage_audit",
+    "cdc_chunk_dedup",
+    "token_zipf_fit",
+    "doc_bigram_logprob",
+    "bm25_topk",
+    "event_transition_matrix",
+    "user_state_scd2",
+    "events_gap_fill",
+    "returnflag_priority_counts",
+    "user_eventtype_map_stats",
+    "corpus_sketch_stats",
+    "doc_token_entropy",
+    "doc_stats",
+    "sequence_packing",
+    "corpus_prepared",
+    "near_dup_clusters",
+    "knn_cosine_bruteforce",
+    "customer_drift_profile",
+    "multimodal_features",
+    "stream_events_hourly",
 ]
 
 

@@ -1,47 +1,95 @@
 """Verification-ordering contract: the driver checks a prefix of
-``__spark_entry__.queries()``, so the prefix must stay family-complete."""
+``__spark_entry__.queries()``, so the prefix must spend its budget where
+evidence is thinnest, without ever leaving an operator family unwitnessed.
+
+Round-6 form of the contract (VERDICT r5 ask #1): the surface is frozen,
+the prefix leads with every query that has NEVER had a driver row, and
+family coverage is measured CUMULATIVELY — a family is covered if a
+representative is either in the current prefix or already has a green row
+in a committed ``CORRECTNESS_r0N.json``. This replaces the round-5 rule
+(one live anchor per family inside the prefix), which is what kept
+displacing the never-witnessed queries for three rounds running.
+"""
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
 
 import __spark_entry__ as entry
 from airflow_ml_pipeline_spark.plans import registry
 
+REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: every operator family must land AT LEAST ONE of its representatives in
-#: the checked prefix (rounds rotate which one: families go green via a
-#: full-representative sweep, then keep a single anchor so regressions in
-#: verified families are still witnessed while never-checked queries get
-#: driver rows)
+#: queries with no driver row in any committed CORRECTNESS_r0N.json as of
+#: round-6 start (VERDICT r5 "What's missing" #1) — these MUST lead the
+#: prefix until each has evidence
+NEVER_WITNESSED = {
+    "errors_before_purchase", "retrieval_rrf_fused", "ab_conversion_ztest",
+    "orders_by_weekday", "returnflag_median_price_disc",
+    "doc_length_histogram", "doc_winnowing_fingerprints",
+    "dedup_exact_normalized", "lang_distribution", "token_counts_bpeish",
+    "simhash_fingerprints", "embedding_norms", "doc_token_entropy_udf",
+}
+
+#: every operator family must have at least one representative with driver
+#: evidence — in the live prefix or in committed correctness history
 FAMILY_REPRESENTATIVES = {
     "relational": {"custkeys_multiset_diff", "nation_balance_unpivot",
-                   "returnflag_priority_counts", "local_supplier_revenue"},
-    "semi_structured": {"events_variant_stats", "user_eventtype_map_stats"},
+                   "returnflag_priority_counts", "local_supplier_revenue",
+                   "pricing_summary", "brand_revenue"},
+    "semi_structured": {"events_variant_stats", "user_eventtype_map_stats",
+                        "events_json_stats", "events_props_schema_parsed"},
     "sketches": {"corpus_sketch_stats", "events_daily_rollup_merge"},
     "pandas_udf": {"doc_length_zscore_by_lang", "doc_token_entropy",
-                   "lang_nchars_median_udaf"},
+                   "lang_nchars_median_udaf", "doc_token_entropy_udf",
+                   "doc_chunks_udtf"},
     "textstats": {"doc_stats", "doc_quality", "token_frequencies",
-                  "doc_top_tfidf_term"},
+                  "doc_top_tfidf_term", "lang_distribution",
+                  "doc_length_histogram", "token_counts_bpeish"},
     "serving": {"corpus_shuffled_shards", "sequence_packing",
                 "bpe_merge_candidates", "customer_pseudonymized"},
     "dedup": {"dedup_exact", "dedup_corpus", "near_dup_pairs_jaccard",
-              "near_dup_pairs_minhash", "corpus_prepared"},
+              "near_dup_pairs_minhash", "corpus_prepared",
+              "dedup_exact_normalized", "simhash_fingerprints",
+              "doc_winnowing_fingerprints"},
     "curation": {"benchmark_contamination", "corpus_stratified_sample",
                  "near_dup_clusters", "corpus_token_budget_fill",
                  "corpus_decontaminated"},
     "similarity": {"knn_cosine_bruteforce", "label_centroids", "ann_lsh_topk",
-                   "ann_ivf_topk", "embedding_near_dup_pairs"},
+                   "ann_ivf_topk", "embedding_near_dup_pairs",
+                   "embedding_norms"},
     "ml_pipeline": {"synthetic_customers", "engineered_customer_features",
-                    "customer_drift_profile", "churn_train_eval"},
+                    "customer_drift_profile", "churn_train_eval",
+                    "ab_conversion_ztest"},
     "multimodal": {"multimodal_decode_stats", "multimodal_features"},
     "temporal": {"purchase_last_view_asof", "events_trailing_burst",
-                 "events_sessionized", "events_gap_fill"},
+                 "events_sessionized", "events_gap_fill",
+                 "errors_before_purchase", "orders_by_weekday"},
+    "retrieval": {"bm25_topk", "retrieval_rrf_fused"},
     "streaming": {f"stream_{s}" for s in (
         "events_hourly", "events_sessionized", "dedup_user_event_keys",
         "stateful_running_totals", "user_value_totals",
         "static_enriched_segments", "events_sliding",
         "errors_before_purchase_pairs")},
 }
+
+
+def _committed_witnessed() -> set[str]:
+    """Names with a row in any CORRECTNESS_r0N.json tracked by git."""
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    names: set[str] = set()
+    for path in tracked:
+        with open(os.path.join(REPO, path)) as f:
+            names.update(json.load(f))
+    return names
 
 
 def test_priority_names_exist_and_are_unique():
@@ -51,10 +99,23 @@ def test_priority_names_exist_and_are_unique():
     assert missing == []
 
 
-def test_prefix_covers_every_family():
-    prefix = set(list(entry.queries())[:PREFIX])
+def test_never_witnessed_lead_the_prefix():
+    """Until every declared query has a driver row, the unwitnessed ones
+    outrank everything else — they cannot be displaced by new queries."""
+    ordered = list(entry.queries())
+    still_unwitnessed = NEVER_WITNESSED - _committed_witnessed()
+    head = set(ordered[: len(NEVER_WITNESSED)])
+    assert still_unwitnessed <= head, (
+        f"unwitnessed queries displaced from prefix head: "
+        f"{sorted(still_unwitnessed - head)}"
+    )
+
+
+def test_every_family_has_driver_evidence():
+    """Family coverage is cumulative: live prefix OR committed green row."""
+    covered = set(list(entry.queries())[:PREFIX]) | _committed_witnessed()
     for family, reps in FAMILY_REPRESENTATIVES.items():
-        assert reps & prefix, f"family {family} missing from checked prefix"
+        assert reps & covered, f"family {family} has no driver evidence"
 
 
 def test_ordering_preserves_full_registry():
@@ -64,3 +125,42 @@ def test_ordering_preserves_full_registry():
     assert sorted(oracles) == sorted(registry.ORACLES)
     # every oracled name is a declared query
     assert set(oracles) <= set(ordered)
+
+
+def test_round_artifacts_are_committed():
+    """Recurrence guard (VERDICT r5 "What's wrong" #1): three rounds
+    running, the driver-evidence artifacts (CORRECTNESS_r0N.json /
+    BENCH_r0N.json) sat untracked in the working tree, so the repo's
+    verification claims had no in-git evidence. Fail the suite when a
+    STALE round artifact is untracked — i.e. one with a newer round
+    present on disk. The newest round's files may legitimately be
+    untracked for the moment between the driver writing them and the
+    round-end commit, so only strictly-older rounds fire the guard.
+    """
+    paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")) + glob.glob(
+        os.path.join(REPO, "BENCH_r*.json")
+    )
+    rounds = {}
+    for p in paths:
+        m = re.search(r"_r0*(\d+)\.json$", p)
+        if m:
+            rounds.setdefault(int(m.group(1)), []).append(p)
+    if not rounds:
+        return
+    newest = max(rounds)
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json", "BENCH_r*.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    )
+    stale_untracked = [
+        os.path.basename(p)
+        for rnd, ps in rounds.items() if rnd < newest
+        for p in ps
+        if os.path.basename(p) not in tracked
+    ]
+    assert stale_untracked == [], (
+        f"stale round artifacts exist but are not committed: "
+        f"{stale_untracked} — commit the evidence snapshot"
+    )
