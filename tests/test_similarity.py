@@ -157,8 +157,10 @@ def test_hard_negatives_semantics(spark, sf_dir):
     brute-force scan with the same rounding and tiebreak)."""
     import numpy as np
 
+    import hashlib
+
     from airflow_ml_pipeline_spark.operators.similarity import (
-        ANCHOR_MOD,
+        ANCHOR_K,
         embedding_hard_negatives,
     )
 
@@ -166,6 +168,13 @@ def test_hard_negatives_semantics(spark, sf_dir):
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
     labels = {r.vec_id: r.label for r in emb}
     norms = {k: float(np.sqrt((v * v).sum())) for k, v in vecs.items()}
+    # fixed-K anchor sample: the K smallest md5(vec_id) digests
+    want_anchors = {
+        k
+        for _, k in sorted(
+            (hashlib.md5(str(k).encode()).hexdigest(), k) for k in vecs
+        )[:ANCHOR_K]
+    }
 
     def best(a_id, want_same):
         cands = []
@@ -182,7 +191,7 @@ def test_hard_negatives_semantics(spark, sf_dir):
 
     rows = embedding_hard_negatives(spark, sf_dir).collect()
     anchors = {r.anchor_id for r in rows}
-    assert anchors == {k for k in vecs if k % ANCHOR_MOD == 0 and len(vecs) > 1}
+    assert anchors == (want_anchors if len(vecs) > 1 else set())
     for r in rows:
         assert r.vec_id != r.anchor_id
         same = r.role == "positive"
