@@ -74,6 +74,7 @@ def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
     shuffle_partitions: int = 8,
+    skip_no_data_batch: bool = False,
 ) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow) into a memory sink and return the result table.
@@ -86,12 +87,27 @@ def run_available_now(
     means 32 store instances per stateful operator per micro-batch, pure
     overhead on replay-sized input, so the conf is scoped down for the
     stream's duration and restored after (results are partitioning-
-    independent; at production throughput this is set to cluster width)."""
+    independent; at production throughput this is set to cluster width).
+
+    ``skip_no_data_batch``: AvailableNow appends one empty micro-batch
+    after the data is consumed so watermark advancement can evict state
+    and emit watermark-gated results (outer-join nulls, closed session
+    windows). A stateless sink or an INNER stream-stream join in append
+    mode emits every row in the data batches — the trailing batch only
+    evicts state the terminating query discards anyway — so callers
+    whose output provably doesn't depend on final-watermark eviction can
+    skip it (a full state reload + commit per store: ~1s/query here).
+    Leave False for ANY watermark-emitting shape."""
     spark = stream_df.sparkSession
     _COUNTER["n"] += 1
     name = f"stream_result_{_COUNTER['n']}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if skip_no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         query = (
             stream_df.writeStream.format("memory")
@@ -103,4 +119,7 @@ def run_available_now(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
