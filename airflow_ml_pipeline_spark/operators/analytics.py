@@ -360,7 +360,7 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PARETO_BUCKET_WIDTH = 100_000  # revenue-grid bucket for the two-phase cumsum
+PARETO_BUCKETS = 64  # equi-depth buckets for the two-phase cumsum
 
 
 @query(
@@ -400,12 +400,17 @@ def customer_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the revenue rollup is one hash agg; the global cumulative
     sum is the DISTRIBUTED TWO-PHASE PREFIX SUM (same pattern as
     ``corpus_token_budget_fill``/``sequence_packing``): bucket customers
-    on a revenue grid, aggregate per-bucket totals (tiny frame), window
-    once over the buckets for each bucket's global offset, then run
-    per-bucket cumulative windows IN PARALLEL partitioned by bucket —
-    bit-identical to the oracle's single global window without its
-    single-partition stage. The revenue total rides in as a broadcast
-    1-row frame."""
+    EQUI-DEPTH on the revenue distribution (the shared
+    ``functions/prefix.py`` kernel, also the Gini ranks' bucketing — a
+    fixed value grid concentrated dense revenue bands into one bucket
+    and capped per-bucket parallelism at the grid; round-5 ADVICE),
+    aggregate per-bucket totals (tiny frame), window once over the
+    buckets for each bucket's global offset, then run per-bucket
+    cumulative windows IN PARALLEL partitioned by bucket — bit-identical
+    to the oracle's single global window without its single-partition
+    stage. The revenue total rides in as a broadcast 1-row frame."""
+    from airflow_ml_pipeline_spark.functions.prefix import equi_depth_bucket
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -414,7 +419,7 @@ def customer_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(F.sum("r").alias("t"))
     bucketed = rev.withColumn(
-        "bucket", F.floor(F.col("r") / PARETO_BUCKET_WIDTH)
+        "bucket", equi_depth_bucket(rev, "r", PARETO_BUCKETS)
     )
     bucket_tot = bucketed.groupBy("bucket").agg(F.sum("r").alias("br"))
     w_off = Window.orderBy(F.desc("bucket")).rowsBetween(

@@ -465,8 +465,14 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs scan, which at 100 TB of customers is not a plan at all."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     n = F.length("c_name")
+    # guard n=0: sequence(1, 0) defaults to step -1 and yields [1, 0],
+    # diverging from the oracle's empty range — an empty name contributes
+    # only its identity key (round-5 ADVICE; latent on non-TPC-H inputs)
+    positions = F.when(
+        n >= 1, F.sequence(F.lit(1), n)
+    ).otherwise(F.lit([]).cast("array<int>"))
     dels = F.transform(
-        F.sequence(F.lit(1), n),
+        positions,
         lambda i: F.concat(
             F.col("c_name").substr(F.lit(1), i - 1),
             F.col("c_name").substr(i + 1, n),

@@ -710,18 +710,10 @@ def gini_ranked_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
     )
-    qs = [i / GINI_BUCKETS for i in range(1, GINI_BUCKETS)]
-    cuts = sorted(
-        set(
-            rev.agg(
-                F.percentile_approx(F.col("r").cast("double"), qs, 1000)
-            ).collect()[0][0]
-        )
-    )
-    cuts_lit = F.lit([float(c) for c in cuts]).cast("array<double>")
+    from airflow_ml_pipeline_spark.functions.prefix import equi_depth_bucket
+
     bucketed = rev.withColumn(
-        "bucket",
-        F.size(F.filter(cuts_lit, lambda c: c <= F.col("r").cast("double"))),
+        "bucket", equi_depth_bucket(rev, "r", GINI_BUCKETS)
     )
     counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
     w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -776,12 +768,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at 100 TB; the plan computes the SAME ranks distributed via
     EQUI-DEPTH buckets (see ``gini_ranked_revenue``) — per-bucket
     counts windowed into global offsets (a tiny frame), then per-bucket
-    row_numbers IN PARALLEL plus the broadcast offset. The two-phase
-    prefix family's rank member (`customer_pareto_class` sums values on
-    a fixed value grid — at extreme scale its bucketing should adopt
-    the same quantile cut points; `sequence_packing` and
-    `corpus_token_budget_fill` carry the pattern's other variants —
-    a shared extraction is the standing cleanup)."""
+    row_numbers IN PARALLEL plus the broadcast offset. The equi-depth
+    bucketing is the shared ``functions/prefix.py`` kernel, reused by
+    `customer_pareto_class`'s prefix-sum variant (`sequence_packing`
+    and `corpus_token_budget_fill` carry the pattern's other
+    variants)."""
     ranked = gini_ranked_revenue(spark, sf_dir)
     n = F.count(F.lit(1))
     s0 = F.sum("r")

@@ -860,7 +860,16 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # checkpoint the exact counts so the corpus token stream aggregates
+    # ONCE: the total collect below materializes it, and the returned
+    # top-k plan reuses the checkpointed RDD instead of re-running the
+    # word-count shuffle (round-5 ADVICE: the uncached form aggregated
+    # the stream twice per invocation)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = exact.agg(F.sum("cnt")).collect()[0][0]
     sketch_items = set(
         toks.stat.freqItems(["token"], HH_SUPPORT).collect()[0][0]
