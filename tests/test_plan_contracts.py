@@ -214,3 +214,43 @@ def test_bpe_encode_is_replace_chain_over_vocab(spark, sf_dir):
     assert "replace" in plan, plan
     assert "aggregate(" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hard_negatives_anchor_set_is_fixed_k(spark, sf_dir):
+    """Round-6 scale fix: the contrastive-anchor set is a FIXED-K hash
+    top-K (TakeOrderedAndProject in the plan, never a full Sort+Limit),
+    so total compute is O(n*K) however large the corpus — the previous
+    vec_id-modulus policy grew anchors with n and was O(n^2/25). The
+    result side re-asserts the cap: at most ANCHOR_K anchors appear."""
+    from airflow_ml_pipeline_spark.operators.similarity import ANCHOR_K
+
+    df = registry.QUERIES["embedding_hard_negatives"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    anchors = {r.anchor_id for r in df.select("anchor_id").distinct().collect()}
+    assert 0 < len(anchors) <= ANCHOR_K
+
+
+def test_equi_depth_buckets_balance_dense_bands(spark):
+    """The shared prefix kernel must spread a value distribution with a
+    dense band across buckets by population (equi-depth), where a fixed
+    value grid would pile the band into one bucket: 10k rows, 90% of
+    them drawn from one narrow band, must land no more than ~3x the
+    ideal n/buckets rows in the largest bucket, and bucket ids must be
+    monotone non-decreasing in the value."""
+    from airflow_ml_pipeline_spark.functions.prefix import equi_depth_bucket
+
+    df = spark.range(10_000).selectExpr(
+        # 90% in [1000, 1010) (dense band), 10% spread over [0, 100000)
+        "CASE WHEN id % 10 < 9 THEN 1000 + (id % 100) / 10.0 "
+        "ELSE (id * 7919) % 100000 END AS r"
+    )
+    n_buckets = 16
+    b = df.withColumn("bucket", equi_depth_bucket(df, "r", n_buckets))
+    counts = {r.bucket: r.c for r in b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert max(counts.values()) <= 3 * (10_000 // n_buckets), counts
+    # monotone: bucket of sorted values never decreases
+    rows = b.orderBy("r").select("bucket").collect()
+    seq = [r.bucket for r in rows]
+    assert seq == sorted(seq)

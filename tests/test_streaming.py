@@ -207,3 +207,59 @@ def test_stream_anomaly_equals_batch_twin(spark, sf_dir):
     }
     assert stream == batch
     assert stream, "the corpus produces tail anomalies"
+
+
+def test_skip_no_data_batch_changes_nothing_for_inner_join(spark, sf_dir):
+    """The round-6 no-data-batch skip is an optimization, not a semantics
+    change: the inner interval join emits the identical pair set with the
+    trailing watermark-eviction batch enabled or skipped (nothing in an
+    inner join's output is watermark-gated). Runs the query's own builder
+    (skip on) against a manual replica with the flag off."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.streaming.queries import (
+        _WM,
+        stream_errors_before_purchase_pairs,
+    )
+    from airflow_ml_pipeline_spark.streaming.sources import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    skipped = {
+        (r.purchase_id, r.error_id)
+        for r in stream_errors_before_purchase_pairs(spark, sf_dir).collect()
+    }
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _WM)
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", _WM)
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"
+        ),
+    ).select("purchase_id", "error_id")
+    full = {
+        (r.purchase_id, r.error_id)
+        for r in run_available_now(joined, output_mode="append").collect()
+    }
+    assert skipped == full
+    assert skipped, "the corpus produces error-before-purchase pairs"
