@@ -54,7 +54,7 @@ import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification priority: the first ~50 names are the round-5 target set.
+#: Verification priority: the first 50 names are the round-6 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
     # ---- round-6 rotation (surface FROZEN: no new queries this round) ----

@@ -39,13 +39,14 @@ def equi_depth_bucket(
     needs only monotonicity, the quantile estimate just balances bucket
     sizes."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(
-        set(
-            df.agg(
-                F.percentile_approx(F.col(value).cast("double"), qs, accuracy)
-            ).collect()[0][0]
-        )
-    )
+    raw = df.agg(
+        F.percentile_approx(F.col(value).cast("double"), qs, accuracy)
+    ).collect()[0][0]
+    # empty input / all-null values: percentile_approx yields NULL — every
+    # row (there are none, or their casts are null) lands in bucket 0
+    # instead of crashing the builder (review finding: the fixed-grid
+    # predecessor tolerated empty input)
+    cuts = sorted(set(raw)) if raw is not None else []
     cuts_lit = F.lit([float(c) for c in cuts]).cast("array<double>")
     return F.size(
         F.filter(cuts_lit, lambda c: c <= F.col(value).cast("double"))

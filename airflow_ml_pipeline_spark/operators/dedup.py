@@ -870,6 +870,22 @@ MAX_FP_DF = 10  # stop-fingerprint cutoff: fps in more docs carry no signal
 MIN_FP_COUNT = 5  # inner doc needs this many discriminative fps to score
 
 
+def stop_fps(postings: DataFrame) -> DataFrame:
+    """The stop-fingerprint list for a (doc_id, fp) postings frame: fps
+    occurring in more than MAX_FP_DF documents carry no containment
+    signal (boilerplate/chrome) and cap candidate fan-out. ONE
+    definition for every consumer — the batch incremental near-dedup,
+    the streaming ingester's standing stop artifact, and the ingest
+    scale bench (review finding: the cutoff rule lived in three
+    places)."""
+    return (
+        postings.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_FP_DF)
+        .select("fp")
+    )
+
+
 def winnow_md5_postings(
     docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
@@ -1257,12 +1273,7 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "store": winnowed postings of the historical corpus + its df
     # stats; materialized once (in production: a parquet artifact)
     hist_fps = winnow_md5_postings(hist).localCheckpoint(eager=True)
-    stop = (
-        hist_fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_FP_DF)
-        .select("fp")
-    )
+    stop = stop_fps(hist_fps)
     hist_d = hist_fps.join(stop, "fp", "left_anti")
     # feeds sizes AND the candidate join: the lazy checkpoint still
     # computes the batch postings exactly once (RDD-level reuse on first

@@ -307,7 +307,7 @@ def run_near_dedup_ingest(spark: SparkSession, sf_dir: str) -> str:
     offline from corpus stats (like a stopword list), so per-batch
     suppression stays deterministic and order-independent."""
     from airflow_ml_pipeline_spark.operators.dedup import (
-        MAX_FP_DF,
+        stop_fps,
         winnow_md5_postings,
     )
 
@@ -315,14 +315,8 @@ def run_near_dedup_ingest(spark: SparkSession, sf_dir: str) -> str:
     stage_mod_batches(spark, sf_dir)
     if not os.path.isdir(stop_dir):
         docs = load_table(spark, sf_dir, "documents")
-        (
-            winnow_md5_postings(docs)
-            .groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > MAX_FP_DF)
-            .select("fp")
-            .write.mode("overwrite")
-            .parquet(f"{stop_dir}.build")
+        stop_fps(winnow_md5_postings(docs)).write.mode("overwrite").parquet(
+            f"{stop_dir}.build"
         )
         os.rename(f"{stop_dir}.build", stop_dir)
     schema = spark.read.parquet(arrivals).schema

@@ -79,17 +79,42 @@ FAMILY_REPRESENTATIVES = {
 }
 
 
-def _committed_witnessed() -> set[str]:
-    """Names with a row in any CORRECTNESS_r0N.json tracked by git."""
+def _committed_rows() -> dict[str, list[dict]]:
+    """name -> rows across every CORRECTNESS_r0N.json tracked by git."""
     tracked = subprocess.run(
         ["git", "ls-files", "CORRECTNESS_r*.json"],
         cwd=REPO, capture_output=True, text=True, check=True,
     ).stdout.split()
-    names: set[str] = set()
+    rows: dict[str, list[dict]] = {}
     for path in tracked:
         with open(os.path.join(REPO, path)) as f:
-            names.update(json.load(f))
-    return names
+            for name, row in json.load(f).items():
+                rows.setdefault(name, []).append(row)
+    return rows
+
+
+def _committed_witnessed() -> set[str]:
+    """Names with ANY driver row (the 'never witnessed' ledger counts
+    rows-only and even red rows as witnessed — the driver ran it)."""
+    return set(_committed_rows())
+
+
+def _committed_green() -> set[str]:
+    """Names with a fully-green driver row: rows/schema/hash all matched
+    and no error. Rows-only rows (err='no_oracle') and historical
+    hash-fails do NOT count (review finding: the family-evidence guard
+    must enforce the 'green row' contract it documents)."""
+    return {
+        name
+        for name, rows in _committed_rows().items()
+        if any(
+            r.get("rows_match")
+            and r.get("schema_match")
+            and r.get("hash_match")
+            and not r.get("err")
+            for r in rows
+        )
+    }
 
 
 def test_priority_names_exist_and_are_unique():
@@ -112,8 +137,10 @@ def test_never_witnessed_lead_the_prefix():
 
 
 def test_every_family_has_driver_evidence():
-    """Family coverage is cumulative: live prefix OR committed green row."""
-    covered = set(list(entry.queries())[:PREFIX]) | _committed_witnessed()
+    """Family coverage is cumulative: live prefix OR committed GREEN row
+    (a rows-only or errored row is not evidence the family's results
+    match the oracle)."""
+    covered = set(list(entry.queries())[:PREFIX]) | _committed_green()
     for family, reps in FAMILY_REPRESENTATIVES.items():
         assert reps & covered, f"family {family} has no driver evidence"
 

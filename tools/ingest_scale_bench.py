@@ -39,7 +39,7 @@ from airflow_ml_pipeline_spark.streaming.ingest import (  # noqa: E402
     upsert_near_batch,
 )
 from airflow_ml_pipeline_spark.operators.dedup import (  # noqa: E402
-    MAX_FP_DF,
+    stop_fps,
     winnow_md5_postings,
 )
 
@@ -48,25 +48,11 @@ WORK = "/tmp/spark-graft-ingest-scale"
 REPLICAS = [1, 10, 100]
 
 
-def build_exact_store(spark, docs, replicas: int, path: str) -> int:
-    """batch_id=0 partition holding `replicas` salted copies of the
-    corpus's exact-dedup fingerprint store."""
-    base = docs.select(F.md5(F.col("text")).alias("fp0"), "doc_id")
-    rep = spark.range(replicas).select(F.col("id").alias("r"))
-    store = base.crossJoin(rep).select(
-        F.when(F.col("r") == 0, F.col("fp0"))
-        .otherwise(F.md5(F.concat_ws(":", F.col("fp0"), F.col("r"))))
-        .alias("fp"),
-        (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
-    )
-    store.write.mode("overwrite").parquet(os.path.join(path, "batch_id=0"))
-    return spark.read.parquet(path).count()
-
-
-def build_near_store(spark, docs, replicas: int, path: str) -> int:
-    """batch_id=0 partition holding `replicas` salted copies of the
-    corpus's winnowing postings store (the containment anti-base)."""
-    base = winnow_md5_postings(docs)
+def build_store(spark, base, replicas: int, path: str) -> int:
+    """batch_id=0 partition holding `replicas` copies of a (doc_id, fp)
+    frame; replica 0 is the genuine corpus, later replicas carry offset
+    doc_ids and salted fingerprints (accumulated-novel-content model —
+    one builder for both ingesters, review finding)."""
     rep = spark.range(replicas).select(F.col("id").alias("r"))
     store = base.crossJoin(rep).select(
         (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
@@ -87,14 +73,8 @@ def main() -> None:
     stop_dir = os.path.join(WORK, "stop_fps")
     if os.path.isdir(stop_dir):
         shutil.rmtree(stop_dir)
-    (
-        winnow_md5_postings(docs)
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_FP_DF)
-        .select("fp")
-        .write.mode("overwrite")
-        .parquet(stop_dir)
+    stop_fps(winnow_md5_postings(docs)).write.mode("overwrite").parquet(
+        stop_dir
     )
 
     rows = []
@@ -105,8 +85,11 @@ def main() -> None:
         for d in (exact_store, near_store, out_dir):
             if os.path.isdir(d):
                 shutil.rmtree(d)
-        n_exact = build_exact_store(spark, docs, replicas, exact_store)
-        n_near = build_near_store(spark, docs, replicas, near_store)
+        exact_base = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        n_exact = build_store(spark, exact_base, replicas, exact_store)
+        n_near = build_store(
+            spark, winnow_md5_postings(docs), replicas, near_store
+        )
 
         # warm once, then min-of-3 steady state (shared-tenancy host)
         te, tn = [], []
@@ -160,7 +143,7 @@ def main() -> None:
         nxt = text.find("\n## ", start)
         nxt2 = text.find("\n### ", start + len(marker))
         cut = min(x for x in (nxt, nxt2, len(text)) if x >= 0)
-        text = text[: start - 1] + text[cut:]
+        text = text[:start].rstrip("\n") + "\n" + text[cut:]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(text.rstrip("\n") + "\n" + block)
     print("SCALING.md updated")
