@@ -90,9 +90,13 @@ def stream_dedup_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only key columns are emitted (the representative row is order-dependent
     and deliberately not part of the contract)."""
     stream = read_events_stream(spark, sf_dir)
+    # dedup emits each first-seen key ON ARRIVAL; the trailing no-data
+    # batch only evicts state the terminating replay discards (see
+    # run_available_now) — skipping it is output-identical
     return run_available_now(
         windows.dedup_keys_within_watermark(stream, ["user_id", "event_type"], _WM),
         output_mode="append",
+        skip_no_data_batch=True,
     )
 
 
@@ -298,4 +302,11 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_ml_pipeline_spark.streaming.stateful import anomaly_zscore_stream
 
     stream = read_events_stream(spark, sf_dir)
-    return run_available_now(anomaly_zscore_stream(stream), output_mode="append")
+    # NoTimeout state machine: anomalies emit inline on data batches,
+    # nothing is timeout- or watermark-gated — the trailing no-data
+    # batch is a pure state reload+commit and is skipped
+    return run_available_now(
+        anomaly_zscore_stream(stream),
+        output_mode="append",
+        skip_no_data_batch=True,
+    )
