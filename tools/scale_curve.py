@@ -253,8 +253,21 @@ def main() -> None:
             f"| {name} | {r[0][0]} | {r[0][1]:.2f} | {r[1][0]} | {r[1][1]:.2f} "
             f"| {r[2][0]} | {r[2][1]:.2f} | {ratio:.1f}x |"
         )
+    # preserve the prose sections (scale-out strategies, regression
+    # attributions, the ingest-store curve) from the CURRENT file — the
+    # hardcoded FOOTER is only the first-run fallback; round notes are
+    # edited in SCALING.md directly and must survive regeneration
+    tail = FOOTER
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            current = f.read()
+        idx = current.find("\n## ")
+        if idx >= 0:
+            tail = current[idx:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n" + FOOTER)
+        f.write("\n".join(lines) + tail)
     print("wrote SCALING.md")
 
 
