@@ -267,7 +267,7 @@ def main() -> None:
     except FileNotFoundError:
         pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + tail)
+        f.write("\n".join(lines) + "\n" + tail)
     print("wrote SCALING.md")
 
 
