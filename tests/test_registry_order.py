@@ -181,13 +181,25 @@ def test_round_artifacts_are_committed():
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.split()
     )
-    stale_untracked = [
+    # tracked files with uncommitted modifications are the same failure
+    # mode: the in-git evidence no longer matches what's on disk
+    modified = set(
+        line[3:].strip()
+        for line in subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "CORRECTNESS_r*.json", "BENCH_r*.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        if line[:2].strip() == "M"
+    )
+    stale_unclean = [
         os.path.basename(p)
         for rnd, ps in rounds.items() if rnd < newest
         for p in ps
         if os.path.basename(p) not in tracked
+        or os.path.basename(p) in modified
     ]
-    assert stale_untracked == [], (
-        f"stale round artifacts exist but are not committed: "
-        f"{stale_untracked} — commit the evidence snapshot"
+    assert stale_unclean == [], (
+        f"stale round artifacts are untracked or modified vs git: "
+        f"{stale_unclean} — commit the evidence snapshot"
     )
