@@ -701,33 +701,20 @@ def gini_ranked_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding). Bucket assignment only needs MONOTONICITY in r (equal
     revenues always compare identically against every cut, so ties
     never split), which is why approximate cut points still yield
-    exact global ranks."""
-    from pyspark.sql.window import Window
-
+    exact global ranks. The two-phase bucketed window itself is the
+    shared ``functions/prefix.py::global_row_number`` kernel (also
+    ranking the Zipf vocabulary in ``textstats.py::token_zipf_fit``)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("r")
     )
-    from airflow_ml_pipeline_spark.functions.prefix import equi_depth_bucket
+    from airflow_ml_pipeline_spark.functions.prefix import global_row_number
 
-    bucketed = rev.withColumn(
-        "bucket", equi_depth_bucket(rev, "r", GINI_BUCKETS)
-    )
-    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0).cast("bigint")).alias(
-            "offset"
-        ),
-    )
-    w_in = Window.partitionBy("bucket").orderBy(F.asc("r"), F.asc("custkey"))
-    return bucketed.join(F.broadcast(offsets), "bucket").select(
-        "r",
-        (F.col("offset") + F.row_number().over(w_in)).cast("bigint").alias("rk"),
-    )
+    return global_row_number(
+        rev, "r", [F.asc("custkey")], GINI_BUCKETS
+    ).select("r", "rk")
 
 
 @query(

@@ -437,6 +437,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_BUCKETS = 64  # equi-depth rank buckets for the vocabulary window
+
+
 @query(
     "token_zipf_fit",
     oracle="""
@@ -467,23 +470,30 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributional sanity gate that runs beside per-doc quality
     filters.
 
-    Scale shape: the word-count shuffle (map-side partials), one global
-    rank over the TYPE table (vocabulary-sized, orders of magnitude
-    smaller than the corpus — the same bounded-frame global window the
-    prefix-sum ops justify), then single-pass moment aggregates
-    (covar/var/corr) — identical estimator stated on both engines, so the
-    regression itself is value-checked, not just the counts."""
+    Scale shape: the word-count shuffle (map-side partials), then the
+    vocabulary rank via the TIE-HEAVY two-phase bucketed window
+    (``functions/prefix.py::global_row_number_tied`` — a web-scale
+    corpus has 10^8+ types, too many for the single-partition global
+    window this used before round 6, and frequencies are exactly the
+    tie-heavy case where plain equi-depth bucketing degenerates: the
+    hapax class at freq=1 is ~half the vocabulary and ties can never
+    split across buckets, so it splits WITHIN the class on a
+    byte-prefix surrogate of the token instead), then single-pass
+    moment aggregates (covar/var/corr) — identical estimator stated on
+    both engines, so the regression itself is value-checked, not just
+    the counts."""
+    from airflow_ml_pipeline_spark.functions.prefix import global_row_number_tied
+
     docs = load_table(spark, sf_dir, "documents")
     freqs = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    ranked = freqs.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = global_row_number_tied(
+        freqs, "freq", "tok", ZIPF_BUCKETS, descending=True
+    ).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
     slope = F.covar_pop("x", "y") / F.var_pop("x")

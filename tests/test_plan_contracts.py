@@ -254,3 +254,98 @@ def test_equi_depth_buckets_balance_dense_bands(spark):
     rows = b.orderBy("r").select("bucket").collect()
     seq = [r.bucket for r in rows]
     assert seq == sorted(seq)
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """The two-phase bucketed rank must be bit-identical to the global
+    window it replaces, ascending and descending, on a tie-heavy skewed
+    fixture (the exact shape that splits ties across buckets if cut
+    monotonicity is ever broken)."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.functions.prefix import global_row_number
+
+    df = spark.range(5_000).selectExpr(
+        "id AS k",
+        # heavy ties (id % 7) for 80% of rows, a dense band for the rest
+        "CASE WHEN id % 5 < 4 THEN CAST(id % 7 AS DOUBLE) "
+        "ELSE 100.0 + (id % 50) / 10.0 END AS v",
+    )
+    for descending in (False, True):
+        order = F.desc("v") if descending else F.asc("v")
+        expected = {
+            (r.k, r.rk)
+            for r in df.withColumn(
+                "rk",
+                F.row_number()
+                .over(Window.orderBy(order, F.asc("k")))
+                .cast("bigint"),
+            ).collect()
+        }
+        got = {
+            (r.k, r.rk)
+            for r in global_row_number(
+                df, "v", [F.asc("k")], 16, descending=descending
+            ).collect()
+        }
+        assert got == expected, f"descending={descending}"
+
+
+def test_global_row_number_tied_splits_hapax_class(spark):
+    """The tie-heavy rank kernel must (a) reproduce the single-partition
+    global window exactly on a Zipf-shaped fixture where ~70% of rows
+    share value=1 (the hapax class plain equi-depth cannot split), and
+    (b) actually split that dominant tie class across sub-buckets — the
+    whole point of the two-level design."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.functions.prefix import (
+        _str_prefix_surrogate,
+        global_row_number_tied,
+    )
+
+    df = spark.range(4_000).selectExpr(
+        "concat('tok_', md5(CAST(id AS STRING))) AS tok",
+        # 70% hapax (freq=1), the rest a handful of heavier tie classes
+        "CASE WHEN id % 10 < 7 THEN 1 ELSE CAST(2 + id % 5 AS BIGINT) "
+        "END AS freq",
+    )
+    expected = {
+        (r.tok, r.rk)
+        for r in df.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+            .cast("bigint"),
+        ).collect()
+    }
+    n_sub = 16
+    ranked = global_row_number_tied(df, "freq", "tok", n_sub, descending=True)
+    got = {(r.tok, r.rk) for r in ranked.collect()}
+    assert got == expected
+
+    # the hapax class must spread: no sub-bucket holds more than ~3x the
+    # ideal share of the 2800 freq=1 rows
+    hapax = df.filter(F.col("freq") == 1)
+    sur = _str_prefix_surrogate(F.col("tok"))
+    qs = [i / n_sub for i in range(1, n_sub)]
+    cuts = hapax.agg(F.percentile_approx(sur, qs, 1000)).collect()[0][0]
+    sub_counts = (
+        hapax.withColumn("sur", sur)
+        .withColumn(
+            "sub",
+            F.size(
+                F.filter(
+                    F.lit([float(c) for c in cuts]).cast("array<double>"),
+                    lambda c: c < F.col("sur"),
+                )
+            ),
+        )
+        .groupBy("sub")
+        .count()
+        .collect()
+    )
+    assert len(sub_counts) >= n_sub // 2, sub_counts
+    assert max(r["count"] for r in sub_counts) <= 3 * (2_800 // n_sub), (
+        sub_counts
+    )
