@@ -15,9 +15,13 @@ Everything is pure column expressions (no UDFs). Two grid strategies:
   aggregate broadcast to the scan, ZERO window stages. Heavy skew can
   crowd cells (pruning degrades toward a plain sort on the skewed column
   but never below it).
-- ``"rank"``: exact equi-depth cells via ``ntile`` — skew-immune, but each
-  column costs a global-order window (single-partition at the extreme), so
-  reserve it for bounded relayouts or pre-sampled cut points.
+- ``"rank"``: equi-depth cells via pre-sampled per-column quantile cuts
+  (``functions/prefix.py::equi_depth_bucket``) — skew-immune like the
+  exact-``ntile`` formulation this replaced in round 6, but with ZERO
+  window stages: one bounded percentile aggregate per column at build
+  time, then cell assignment is a broadcast-literal array scan inside
+  the projection. Cell *boundaries* are approximate; cell assignment is
+  still monotone, which is all a space-filling-curve grid needs.
 
 The layout cost is paid once per OPTIMIZE pass and amortized over every
 later pruned read — the same economics as bucketing (functions/bucketing.py).
@@ -27,8 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 #: grid resolution per dimension; 12 bits x up to 5 cols stays inside int64
 DEFAULT_BITS = 12
 
@@ -80,13 +82,14 @@ def zorder_key(
             # width_bucket returns 1..top for in-range, top+1 at x == hi
             cells.append(F.least(cell, F.lit(top - 1)))
     elif strategy == "rank":
+        from airflow_ml_pipeline_spark.functions.prefix import (
+            equi_depth_bucket,
+        )
+
         for name in cols:
-            cell_name = f"__zcell_{name}"
-            out = out.withColumn(
-                cell_name, F.ntile(top).over(Window.orderBy(F.col(name))) - 1
-            )
-            cells.append(F.col(cell_name))
-            helper_cols.append(cell_name)
+            # bounded eager aggregate per column (the cut array), paid
+            # once per OPTIMIZE pass; assignment itself is windowless
+            cells.append(equi_depth_bucket(df, name, top))
     else:
         raise ValueError(f"unknown zorder strategy: {strategy}")
     out = out.withColumn("zorder", interleave_bits(cells, bits))

@@ -97,6 +97,47 @@ QUERIES = [
     ("brand_discount_qty_slope", "lineitem"),
     ("events_funnel_windowed", "events"),
     ("customer_revenue_gini", "orders"),
+    # round-6 completion: every remaining benched headline query gets a
+    # curve row (previously covered only by prose in the FOOTER)
+    ("ann_lsh_topk", "embeddings"),
+    ("ann_ivf_topk", "embeddings"),
+    ("label_centroids", "embeddings"),
+    ("dedup_exact", "documents"),
+    ("dedup_corpus", "documents"),
+    ("simhash_md5", "documents"),
+    ("doc_chunks_udtf", "documents"),
+    ("doc_length_zscore_by_lang", "documents"),
+    ("doc_quality", "documents"),
+    ("doc_repetition_stats", "documents"),
+    ("doc_token_entropy", "documents"),
+    ("doc_token_entropy_udf", "documents"),
+    ("doc_top_tfidf_term", "documents"),
+    ("corpus_quality_filtered", "documents"),
+    ("corpus_stratified_sample", "documents"),
+    ("brand_revenue", "lineitem"),
+    ("cube_revenue", "lineitem"),
+    ("grouping_sets_revenue", "lineitem"),
+    ("supplier_volume", "lineitem"),
+    ("top_orders_by_revenue", "lineitem"),
+    ("priority_returned_orders", "orders"),
+    ("customer_moving_spend", "orders"),
+    ("monthly_order_stats", "orders"),
+    ("running_customer_revenue", "orders"),
+    ("order_gap_days", "orders"),
+    ("segment_price_quantiles", "orders"),
+    ("segment_status_pivot", "orders"),
+    ("segment_top_orders", "orders"),
+    ("segment_value_salted_join", "events"),
+    ("user_distinct_values_salted", "events"),
+    ("user_value_totals_salted", "events"),
+    ("events_hourly", "events"),
+    ("events_sliding_daily", "events"),
+    ("events_gap_fill", "events"),
+    ("events_json_stats", "events"),
+    ("nation_balance_unpivot", "nation"),
+    ("stream_errors_before_purchase_pairs", "events"),
+    ("stream_stateful_running_totals", "events"),
+    ("stream_static_enriched_segments", "events"),
 ]
 
 FOOTER = """
