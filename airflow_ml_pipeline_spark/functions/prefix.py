@@ -112,9 +112,12 @@ def _str_prefix_surrogate(col: Column) -> Column:
     bytes keeps the value inside the positive signed-64 range so `conv`
     never wraps; the double cast is monotone non-strictly, and UTF-8
     byte order equals Spark's (and DuckDB's) string comparison order —
-    so s1 <= s2 implies surrogate(s1) <= surrogate(s2), with equal
-    surrogates only for strings sharing a 7-byte prefix (which then
-    simply stay in one sub-bucket)."""
+    so s1 <= s2 implies surrogate(s1) <= surrogate(s2). Surrogates
+    collide for strings sharing a 7-byte prefix AND for 56-bit prefix
+    integers that round to the same 53-bit double mantissa (≈ strings
+    equal through the first ~6.6 bytes); either way colliding strings
+    simply stay in one sub-bucket and re-order exactly on the full
+    string inside it."""
     return F.conv(
         F.hex(F.rpad(col.cast("binary"), 7, bytes([0]))), 16, 10
     ).cast("double")

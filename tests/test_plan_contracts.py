@@ -349,3 +349,57 @@ def test_global_row_number_tied_splits_hapax_class(spark):
     assert max(r["count"] for r in sub_counts) <= 3 * (2_800 // n_sub), (
         sub_counts
     )
+
+
+def test_str_prefix_surrogate_monotone_on_adversarial_strings(spark):
+    """The tied-rank kernel's exactness argument rests on: s1 <= s2 (in
+    Spark/DuckDB byte order) implies surrogate(s1) <= surrogate(s2), with
+    equality only for shared 7-byte prefixes. Check the nasty cases:
+    empty strings, embedded NULs, multi-byte UTF-8 (2- and 4-byte
+    sequences), strings equal through byte 7 diverging at byte 8, and
+    prefix-of-each-other pairs."""
+    from airflow_ml_pipeline_spark.functions.prefix import (
+        _str_prefix_surrogate,
+    )
+
+    toks = [
+        "",
+        "\x00",
+        "\x00a",
+        "a",
+        "a\x00",
+        "ab",
+        "abcdefg",
+        "abcdefg\x00",
+        "abcdefgh",
+        "abcdefgz",
+        "abcdefh",
+        "abé",        # 2-byte UTF-8 (C3 A9)
+        "abéx",
+        "z",
+        "é",          # starts multi-byte
+        "\U0001f600",      # 4-byte UTF-8 (F0 9F 98 80)
+        "\U0001f600a",
+        "￿",          # EF BF BF
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.s
+        for r in df.select(
+            "tok", _str_prefix_surrogate(F.col("tok")).alias("s")
+        ).collect()
+    }
+    # exact reference semantics: first-7-bytes big-endian through the
+    # same 53-bit double rounding (float(int) rounds half-even, as does
+    # Spark's decimal-string -> double cast)
+    def model(t: str) -> float:
+        return float(int.from_bytes(t.encode("utf-8")[:7].ljust(7, b"\x00"), "big"))
+
+    for t in toks:
+        assert got[t] == model(t), (t, got[t], model(t))
+    # Spark's string order is UTF-8 byte order; the surrogate must be
+    # monotone non-decreasing along it (collisions merge sub-buckets,
+    # they never reorder — the kernel's exactness argument)
+    ordered = sorted(toks, key=lambda t: t.encode("utf-8"))
+    for a, b in zip(ordered, ordered[1:]):
+        assert got[a] <= got[b], (a, b, got[a], got[b])
