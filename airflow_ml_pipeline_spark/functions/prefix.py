@@ -17,7 +17,8 @@ the Gini ranks; round-5 ADVICE asked for this shared extraction so
 
 Consumers: ``operators/stats.py::gini_ranked_revenue`` (global ranks),
 ``operators/analytics.py::customer_pareto_class`` (global prefix sum),
-``operators/textstats.py::token_zipf_fit`` (global frequency ranks).
+``operators/textstats.py::token_zipf_fit`` (global frequency ranks),
+``functions/zorder.py`` (equi-depth grid cells, all columns in one scan).
 """
 
 from __future__ import annotations
@@ -25,6 +26,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def bucket_by_cuts(value: str, cuts: list[float]) -> Column:
+    """Bucket id (0..len(cuts), monotone non-decreasing in ``value``) for
+    a pre-computed ascending cut array: the count of cuts <= value, as a
+    map-side scan of one broadcast array literal (a single array Literal,
+    not per-element ``F.lit``s — the Janino-compile gotcha). NULL values
+    compare NULL against every cut and land in bucket 0, which matches
+    the single-partition window's default null placement (NULLS FIRST
+    ascending, NULLS LAST descending — descending offsets run backwards,
+    so bucket 0 is last)."""
+    cuts_lit = F.lit([float(c) for c in cuts]).cast("array<double>")
+    return F.size(
+        F.filter(cuts_lit, lambda c: c <= F.col(value).cast("double"))
+    )
+
+
+def equi_depth_cuts(
+    df: DataFrame, cols: list[str], n_buckets: int, accuracy: int = 1000
+) -> dict[str, list[float]]:
+    """Approximate equi-depth cut points for every column of ``cols`` in
+    ONE bounded aggregate scan (< n_buckets doubles per column collected
+    to the driver). ``accuracy`` trades memory for quantile rank error
+    (~n/accuracy rows); callers asking for many buckets must scale it,
+    or adjacent cuts collide (are deduped here) and the effective bucket
+    count silently drops below ``n_buckets``."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, accuracy).alias(
+                f"__cuts_{i}"
+            )
+            for i, c in enumerate(cols)
+        ]
+    ).collect()[0]
+    # empty input / all-null values: percentile_approx yields NULL — every
+    # row (there are none, or their casts are null) lands in bucket 0
+    # instead of crashing the builder (review finding: the fixed-grid
+    # predecessor tolerated empty input)
+    return {
+        c: (sorted(set(row[i])) if row[i] is not None else [])
+        for i, c in enumerate(cols)
+    }
 
 
 def equi_depth_bucket(
@@ -40,18 +84,45 @@ def equi_depth_bucket(
     Approximate cuts still yield EXACT downstream windows: correctness
     needs only monotonicity, the quantile estimate just balances bucket
     sizes."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    raw = df.agg(
-        F.percentile_approx(F.col(value).cast("double"), qs, accuracy)
-    ).collect()[0][0]
-    # empty input / all-null values: percentile_approx yields NULL — every
-    # row (there are none, or their casts are null) lands in bucket 0
-    # instead of crashing the builder (review finding: the fixed-grid
-    # predecessor tolerated empty input)
-    cuts = sorted(set(raw)) if raw is not None else []
-    cuts_lit = F.lit([float(c) for c in cuts]).cast("array<double>")
-    return F.size(
-        F.filter(cuts_lit, lambda c: c <= F.col(value).cast("double"))
+    return bucket_by_cuts(
+        value, equi_depth_cuts(df, [value], n_buckets, accuracy)[value]
+    )
+
+
+def _bucketed_row_number(
+    b: DataFrame,
+    bucket_cols: list[str],
+    offset_order: list[Column],
+    in_order: list[Column],
+    out: str,
+) -> DataFrame:
+    """Phase 2 of the two-phase global window, shared by both rank
+    kernels: one tiny per-bucket count frame, a bounded window over it
+    for cumulative global offsets (broadcast back), then ``row_number``
+    WITHIN buckets in parallel. ``offset_order`` must walk the buckets in
+    global output order; ``in_order`` orders rows inside one bucket."""
+    counts = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy(*offset_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        *bucket_cols,
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0).cast("bigint")).alias(
+            "__offset"
+        ),
+    )
+    return (
+        b.join(F.broadcast(offsets), bucket_cols)
+        .withColumn(
+            out,
+            (
+                F.col("__offset")
+                + F.row_number().over(
+                    Window.partitionBy(*bucket_cols).orderBy(*in_order)
+                )
+            ).cast("bigint"),
+        )
+        .drop("__offset")
     )
 
 
@@ -65,12 +136,11 @@ def global_row_number(
 ) -> DataFrame:
     """``df`` plus an ``out`` BIGINT column holding the exact global
     ``row_number() OVER (ORDER BY value [DESC], *tiebreak)``, computed as
-    the two-phase bucketed window: equi-depth bucket on ``value``, one
-    tiny per-bucket count frame windowed for global offsets (broadcast
-    back), then ``row_number`` WITHIN buckets in parallel. Bit-identical
-    to the single-partition global window because bucket assignment is
-    monotone in ``value`` (ties never split across buckets — the
-    tiebreak columns only ever order rows inside one bucket).
+    the two-phase bucketed window: equi-depth bucket on ``value``, then
+    the shared offsets/row_number phase (:func:`_bucketed_row_number`).
+    Bit-identical to the single-partition global window because bucket
+    assignment is monotone in ``value`` (ties never split across buckets
+    — the tiebreak columns only ever order rows inside one bucket).
 
     ``value`` is bucketed through a double cast: monotone for every
     numeric type (decimal ties collapse to equal doubles and stay
@@ -83,27 +153,13 @@ def global_row_number(
     makes the largest tie class one bucket — one serial window again —
     so use :func:`global_row_number_tied` instead."""
     b = df.withColumn("__bucket", equi_depth_bucket(df, value, n_buckets))
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    w_off = Window.orderBy(
-        F.desc("__bucket") if descending else F.asc("__bucket")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__bucket",
-        F.coalesce(F.sum("__bn").over(w_off), F.lit(0).cast("bigint")).alias(
-            "__offset"
-        ),
-    )
-    w_in = Window.partitionBy("__bucket").orderBy(
-        F.desc(value) if descending else F.asc(value), *tiebreak
-    )
-    return (
-        b.join(F.broadcast(offsets), "__bucket")
-        .withColumn(
-            out,
-            (F.col("__offset") + F.row_number().over(w_in)).cast("bigint"),
-        )
-        .drop("__bucket", "__offset")
-    )
+    return _bucketed_row_number(
+        b,
+        ["__bucket"],
+        [F.desc("__bucket") if descending else F.asc("__bucket")],
+        [F.desc(value) if descending else F.asc(value), *tiebreak],
+        out,
+    ).drop("__bucket")
 
 
 def _str_prefix_surrogate(col: Column) -> Column:
@@ -143,19 +199,30 @@ def global_row_number_tied(
     (the distinct-value frame is small — O(sqrt(corpus)) classes for
     count data), the second level splits inside each class by equi-depth
     cuts on an order-preserving byte-prefix surrogate of ``tie_col``,
-    computed per class with one grouped percentile_approx aggregation
-    (deterministic, so it can stay lazy and be re-executed safely —
-    unlike sampling-based range partitioning, which draws different
-    boundaries per execution and would need a checkpoint barrier).
+    computed per class with one grouped percentile_approx aggregation.
+    The cuts frame is pinned with a lazy ``localCheckpoint`` because the
+    plan references it (through ``b``) on both the probe side and the
+    counts/offsets side: percentile_approx merges partial GK summaries
+    in shuffle-arrival order, so a RE-EXECUTION could legally return
+    different per-class cut arrays, and two divergent evaluations would
+    assign the same row different ``__sub`` values and corrupt the join
+    (review finding — exchange reuse usually deduplicates the two
+    evaluations, but rank integrity must not hang on an optimizer
+    cache hit). The checkpoint materializes the tiny class-level frame
+    exactly once; sampling-based range partitioning has the same
+    re-execution hazard with no comparably small thing to pin.
     Offsets then come from one tiny (class, sub) count frame, and
     row_number runs per (class, sub) partition — parallelism ~n/n_sub
-    regardless of tie mass. Exactness: inside a class only ``tie_col``
-    orders rows, sub is monotone in the surrogate which is monotone in
-    ``tie_col``, and equal surrogates never split."""
+    regardless of tie mass (:func:`_bucketed_row_number`). Exactness:
+    inside a class only ``tie_col`` orders rows, sub is monotone in the
+    surrogate which is monotone in ``tie_col``, and equal surrogates
+    never split."""
     qs = [i / n_sub for i in range(1, n_sub)]
     sur = _str_prefix_surrogate(F.col(tie_col))
-    cuts = df.groupBy(value).agg(
-        F.percentile_approx(sur, qs, accuracy).alias("__cuts")
+    cuts = (
+        df.groupBy(value)
+        .agg(F.percentile_approx(sur, qs, accuracy).alias("__cuts"))
+        .localCheckpoint(eager=False)
     )
     b = (
         df.withColumn("__sur", sur)
@@ -166,23 +233,10 @@ def global_row_number_tied(
         )
         .drop("__cuts", "__sur")
     )
-    counts = b.groupBy(value, "__sub").agg(F.count(F.lit(1)).alias("__bn"))
-    w_off = Window.orderBy(
-        F.desc(value) if descending else F.asc(value), F.asc("__sub")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        value,
-        "__sub",
-        F.coalesce(F.sum("__bn").over(w_off), F.lit(0).cast("bigint")).alias(
-            "__offset"
-        ),
-    )
-    w_in = Window.partitionBy(value, "__sub").orderBy(F.asc(tie_col))
-    return (
-        b.join(F.broadcast(offsets), [value, "__sub"])
-        .withColumn(
-            out,
-            (F.col("__offset") + F.row_number().over(w_in)).cast("bigint"),
-        )
-        .drop("__sub", "__offset")
-    )
+    return _bucketed_row_number(
+        b,
+        [value, "__sub"],
+        [F.desc(value) if descending else F.asc(value), F.asc("__sub")],
+        [F.asc(tie_col)],
+        out,
+    ).drop("__sub")

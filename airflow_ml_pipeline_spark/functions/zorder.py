@@ -16,12 +16,13 @@ Everything is pure column expressions (no UDFs). Two grid strategies:
   crowd cells (pruning degrades toward a plain sort on the skewed column
   but never below it).
 - ``"rank"``: equi-depth cells via pre-sampled per-column quantile cuts
-  (``functions/prefix.py::equi_depth_bucket``) — skew-immune like the
+  (``functions/prefix.py::equi_depth_cuts``) — skew-immune like the
   exact-``ntile`` formulation this replaced in round 6, but with ZERO
-  window stages: one bounded percentile aggregate per column at build
-  time, then cell assignment is a broadcast-literal array scan inside
-  the projection. Cell *boundaries* are approximate; cell assignment is
-  still monotone, which is all a space-filling-curve grid needs.
+  window stages: ONE bounded percentile aggregate covering every column
+  at build time, then cell assignment is a broadcast-literal array scan
+  inside the projection. Cell *boundaries* are approximate; cell
+  assignment is still monotone, which is all a space-filling-curve grid
+  needs.
 
 The layout cost is paid once per OPTIMIZE pass and amortized over every
 later pruned read — the same economics as bucketing (functions/bucketing.py).
@@ -83,13 +84,22 @@ def zorder_key(
             cells.append(F.least(cell, F.lit(top - 1)))
     elif strategy == "rank":
         from airflow_ml_pipeline_spark.functions.prefix import (
-            equi_depth_bucket,
+            bucket_by_cuts,
+            equi_depth_cuts,
         )
 
+        # ONE bounded eager aggregate scan covers every column's cut
+        # array (review finding: per-column equi_depth_bucket calls cost
+        # N sequential full scans at plan-build time), paid once per
+        # OPTIMIZE pass; assignment itself is windowless. The sketch
+        # accuracy must exceed the cell count or adjacent cuts collide
+        # (rank error ~n/accuracy vs quantile spacing n/top) and the
+        # effective grid silently coarsens toward `accuracy` cells.
+        cut_map = equi_depth_cuts(
+            df, cols, top, accuracy=max(10_000, 4 * top)
+        )
         for name in cols:
-            # bounded eager aggregate per column (the cut array), paid
-            # once per OPTIMIZE pass; assignment itself is windowless
-            cells.append(equi_depth_bucket(df, name, top))
+            cells.append(bucket_by_cuts(name, cut_map[name]))
     else:
         raise ValueError(f"unknown zorder strategy: {strategy}")
     out = out.withColumn("zorder", interleave_bits(cells, bits))

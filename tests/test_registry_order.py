@@ -181,16 +181,18 @@ def test_round_artifacts_are_committed():
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.split()
     )
-    # tracked files with uncommitted modifications are the same failure
-    # mode: the in-git evidence no longer matches what's on disk
+    # files that differ from HEAD are the same failure mode: the
+    # COMMITTED evidence no longer matches what's on disk. `git diff
+    # HEAD` catches every divergence state in one shot — unstaged edits
+    # ("M "), staged edits ("M "/"MM"/"AM"), and staged-but-never-
+    # committed adds ("A ") — where the porcelain-letter filter this
+    # replaced missed the two-letter and add states (review finding)
     modified = set(
-        line[3:].strip()
-        for line in subprocess.run(
-            ["git", "status", "--porcelain", "--",
+        subprocess.run(
+            ["git", "diff", "--name-only", "HEAD", "--",
              "CORRECTNESS_r*.json", "BENCH_r*.json"],
             cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.splitlines()
-        if line[:2].strip() == "M"
+        ).stdout.split()
     )
     stale_unclean = [
         os.path.basename(p)
