@@ -96,3 +96,50 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     assert z_a < N_FILES
     # and the sort layout's own strength still holds there
     assert sorted_a <= z_a
+
+
+def test_zorder_rank_builds_all_cuts_in_one_scan(spark, sf_dir, monkeypatch):
+    """The rank strategy's build cost is ONE bounded aggregate collect
+    covering every column's cut array (review finding: the per-column
+    equi_depth_bucket formulation ran N sequential full scans before the
+    plan even executed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # patch the CONCRETE class (pyspark 4's classic.dataframe.DataFrame
+    # overrides collect, so the pyspark.sql.DataFrame base never fires)
+    cls = type(orders)
+    calls: list[int] = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    out = zorder_key(orders, COLS + ["o_orderkey"], bits=6, strategy="rank")
+    assert len(calls) == 1, f"rank build ran {len(calls)} eager jobs, not 1"
+    # and the key is still produced for every row
+    assert out.where(F.col("zorder").isNull()).count() == 0
+
+
+def test_zorder_rank_scales_sketch_accuracy_to_cell_count(spark, monkeypatch):
+    """percentile_approx rank error is ~n/accuracy; with 2^bits cells the
+    cuts are n/2^bits apart, so accuracy must exceed the cell count or
+    adjacent cuts collide and the effective grid silently coarsens
+    (review finding). The rank strategy must request accuracy >= 4x the
+    cell count."""
+    import airflow_ml_pipeline_spark.functions.prefix as prefix_mod
+
+    captured: dict[str, int] = {}
+
+    def spy(df, cols, n_buckets, accuracy=1000):
+        captured["n_buckets"] = n_buckets
+        captured["accuracy"] = accuracy
+        return {c: [] for c in cols}
+
+    monkeypatch.setattr(prefix_mod, "equi_depth_cuts", spy)
+    # plan construction alone must trigger the (spied) cuts build
+    df = spark.range(4).select(F.col("id").alias("a"))
+    zorder_key(df, ["a"], bits=12, strategy="rank")
+    top = 2**12
+    assert captured["n_buckets"] == top
+    assert captured["accuracy"] >= 4 * top
