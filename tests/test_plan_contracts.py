@@ -8,6 +8,8 @@ output is stable enough for substring checks on operator names.
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from airflow_ml_pipeline_spark.operators import dedup
@@ -403,3 +405,56 @@ def test_str_prefix_surrogate_monotone_on_adversarial_strings(spark):
     ordered = sorted(toks, key=lambda t: t.encode("utf-8"))
     for a, b in zip(ordered, ordered[1:]):
         assert got[a] <= got[b], (a, b, got[a], got[b])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.sampled_from(
+                # adversarial token alphabet: NUL, multi-byte UTF-8 (2/3/4
+                # bytes), and a shared-prefix-prone ASCII core
+                list("ab_0\x00é€") + ["\U0001f600"]
+            ),
+            min_size=0,
+            max_size=10,
+        ),
+        st.integers(min_value=1, max_value=4),  # heavy ties by construction
+        min_size=1,
+        max_size=60,
+    ),
+    st.booleans(),
+)
+def test_global_row_number_tied_random_parity(freq_by_tok, descending):
+    """Randomized parity: on arbitrary unique tokens (incl. NULs,
+    multi-byte UTF-8, shared prefixes beyond the 7-byte surrogate) with
+    tie-heavy frequencies, the two-level kernel must reproduce the
+    single-partition window exactly, both directions."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.functions.prefix import (
+        global_row_number_tied,
+    )
+    from airflow_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("prop", master="local[4]")
+    df = spark.createDataFrame(
+        [(t, f) for t, f in freq_by_tok.items()], ["tok", "freq"]
+    ).repartition(4)
+    order = F.desc("freq") if descending else F.asc("freq")
+    expected = {
+        (r.tok, r.rk)
+        for r in df.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(order, F.asc("tok")))
+            .cast("bigint"),
+        ).collect()
+    }
+    got = {
+        (r.tok, r.rk)
+        for r in global_row_number_tied(
+            df, "freq", "tok", 4, descending=descending
+        ).collect()
+    }
+    assert got == expected
