@@ -119,7 +119,17 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from airflow_ml_pipeline_spark.streaming.stateful import user_running_totals
 
     stream = read_events_stream(spark, sf_dir)
-    return run_available_now(user_running_totals(stream), output_mode="update")
+    # NoTimeout on-arrival state machine: the state function is invoked
+    # only for keys with input rows, so the trailing no-data micro-batch
+    # emits nothing — skipping it is output-identical (result-equality
+    # test: tests/test_streaming.py::
+    # test_skip_no_data_batch_changes_nothing_for_stateful_totals). Same
+    # class as the anomaly state machine / streaming dedup skips (r6).
+    return run_available_now(
+        user_running_totals(stream),
+        output_mode="update",
+        skip_no_data_batch=True,
+    )
 
 
 @query(

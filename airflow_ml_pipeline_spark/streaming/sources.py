@@ -97,7 +97,16 @@ def run_available_now(
     evicts state the terminating query discards anyway — so callers
     whose output provably doesn't depend on final-watermark eviction can
     skip it (a full state reload + commit per store: ~1s/query here).
-    Leave False for ANY watermark-emitting shape."""
+    Leave False for ANY watermark-emitting shape.
+
+    NB the skip toggles the SESSION-wide
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` conf for this
+    stream's duration (restored in the ``finally``). A stream started
+    CONCURRENTLY on the same session would inherit the disabled setting
+    and could lose watermark-gated output. Every caller in this engine
+    runs streams sequentially (one `run_available_now` at a time); if
+    concurrent streams ever become a supported pattern, scope this
+    per-query instead (ADVICE r6)."""
     spark = stream_df.sparkSession
     _COUNTER["n"] += 1
     name = f"stream_result_{_COUNTER['n']}"
