@@ -9,11 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-6 rotation: the declared surface is FROZEN this round (no new
-queries) so nothing jumps the queue — the 13 queries that have never had
-a driver row in any round lead, followed by the 37 queries whose last
-driver row is round 1 (the oldest evidence). The ordering contract lives
-in tests/test_registry_order.py.
+Round-7 rotation: the freeze is lifted (round-6 closed the evidence
+gap). The prefix leads with multimodal_decode_stats — the only
+oracle-backed query whose lone driver row predates its oracle (VERDICT
+r6 ask #2) — then the three queries declared this round, then the
+round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
+(including the two queries whose CODE changed this round), and the
+changed pareto kernel. The ordering contract lives in
+tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -49,221 +52,213 @@ import airflow_ml_pipeline_spark.operators.corpus_ops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.packing  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.manifest  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.quality_model  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification priority: the first 50 names are the round-6 target set.
+#: Verification priority: the first 50 names are the round-7 target set.
 #: Anything not listed follows in registry (module/line) order.
 CHECK_PRIORITY = [
-    # ---- round-6 rotation (surface FROZEN: no new queries this round) ----
-    # Round 5's artifacts landed (commit 619bcc8), so witness history is
-    # now complete: r1/r2/r3/r5 rows on disk, no r4. The 50-row prefix is
-    # (A) the 13 queries with NO driver row in any round, then (B) the 37
-    # oldest re-witness candidates — queries whose last driver row is r1.
-    # Ordering contract: tests/test_registry_order.py.
-    # -- (A) never driver-witnessed (judge round-5 ask #1) --
-    "errors_before_purchase",
-    "retrieval_rrf_fused",
-    "ab_conversion_ztest",
-    "orders_by_weekday",
-    "returnflag_median_price_disc",
-    "doc_length_histogram",
-    "doc_winnowing_fingerprints",
-    "dedup_exact_normalized",
-    "lang_distribution",
-    "token_counts_bpeish",
-    "simhash_fingerprints",
-    "embedding_norms",
-    "doc_token_entropy_udf",
-    # -- (B) last witnessed in round 1 (oldest evidence) --
-    "pricing_summary",
-    "regional_customer_revenue",
-    "priority_returned_orders",
-    "rollup_revenue",
-    "custkeys_both_statuses",
-    "brand_revenue",
-    "order_gap_days",
-    "running_customer_revenue",
-    "segment_top_orders",
-    "segment_status_pivot",
-    "above_average_orders",
-    "customer_moving_spend",
-    "segment_price_quantiles",
-    "monthly_order_stats",
-    "events_props_schema_parsed",
-    "events_json_stats",
-    "user_event_profile",
-    "custkeys_only_finished",
-    "supplier_volume",
-    "nation_acctbal_profile",
-    "nation_order_coverage",
-    "customer_supplier_nations",
-    "part_type_tokens",
-    "large_quantity_orders",
-    "promo_revenue_ratio",
-    "top_revenue_suppliers",
-    "returned_revenue_by_customer",
-    "customer_order_distribution",
-    "disjunctive_brand_revenue",
-    "sole_supplier_returns",
-    "idle_rich_customers",
-    "nation_pair_volume",
-    "nation_profit_by_year",
-    "events_hourly",
-    "events_sliding_daily",
-    "cube_revenue",
-    "doc_chunks_udtf",
-    # --- tier 2: checked only if the driver budget exceeds the prefix ---
-    # 8 r1-only queries displaced for budget, each with a shape twin
-    # inside the prefix or standing per-round coverage:
-    # - revenue_by_segment: IS entry(); driver smoke-runs it every round,
-    #   and its groupBy-agg plan shape is hash-checked via brand_revenue
-    # - top_orders_by_revenue: global sort-limit; windowed/grouped top-k
-    #   twins in prefix (segment_top_orders, top_revenue_suppliers)
-    # - small_quantity_revenue: filtered-agg twin of large_quantity_orders
-    # - priority_order_counts: count-by-key twin of priority_returned_orders
-    #   and customer_order_distribution
-    # - lineitem_distinct_stats: distinct-agg twin of
-    #   user_distinct_values_salted (green r5)
-    # - event_value_hour_stats: hour-bucket agg twin of events_hourly
-    # - grouping_sets_revenue: plan union of rollup_revenue + cube_revenue,
-    #   both in prefix
-    # - customers_no_open_orders: anti-join twin of idle_rich_customers +
-    #   sole_supplier_returns (both in prefix)
-    "revenue_by_segment",
-    "top_orders_by_revenue",
-    "small_quantity_revenue",
-    "priority_order_counts",
-    "lineitem_distinct_stats",
-    "event_value_hour_stats",
-    "grouping_sets_revenue",
-    "customers_no_open_orders",
-    # remaining queries, oldest evidence first (last round: r2, r3, r5)
-    "stream_user_value_totals",
-    "stream_static_enriched_segments",
-    "churn_train_eval",
+    # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
+    # Head: the one oracle-backed query whose only driver row (r2)
+    # PREDATES its oracle — its hash-match claim needs a driver proof —
+    # followed by the three queries declared this round (zero driver
+    # rows). Ordering contract: tests/test_registry_order.py.
     "multimodal_decode_stats",
-    "custkeys_multiset_diff",
-    "events_variant_stats",
-    "nation_balance_unpivot",
-    "events_daily_rollup_merge",
+    "doc_quality_model_scores",
+    "doc_quality_model_train",
+    "bpe_decoded_roundtrip",
+    # -- last witnessed in round 2 (the oldest remaining evidence; the
+    # r1 cohort was fully re-witnessed in r6) --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "benchmark_contamination",
-    "corpus_stratified_sample",
-    "doc_repetition_stats",
-    "embedding_quantization_error",
-    "corpus_token_budget_fill",
-    "corpus_mixture_weights",
-    "doc_length_zscore_by_lang",
-    "token_frequencies",
-    "doc_quality",
-    "corpus_quality_filtered",
-    "doc_top_tfidf_term",
-    "corpus_shuffled_shards",
     "bpe_merge_candidates",
-    "dedup_exact",
+    "churn_train_eval",
+    "corpus_mixture_weights",
+    "corpus_quality_filtered",
+    "corpus_shuffled_shards",
+    "corpus_stratified_sample",
+    "corpus_token_budget_fill",
+    "custkeys_multiset_diff",
     "dedup_corpus",
+    "dedup_exact",
+    "doc_length_zscore_by_lang",
+    "doc_quality",
+    "doc_repetition_stats",
+    "doc_top_tfidf_term",
+    "doc_winnowing_md5",
+    "embedding_quantization_error",
+    "engineered_customer_features",
+    "events_daily_rollup_merge",
+    "events_variant_stats",
+    "label_centroids",
+    "nation_balance_unpivot",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
-    "doc_winnowing_md5",
-    "label_centroids",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "stream_static_enriched_segments",
+    "stream_user_value_totals",
     "synthetic_customers",
-    "engineered_customer_features",
-    "simhash_md5",
+    "token_frequencies",
+    # -- round-3 cohort picks (next-oldest evidence): the streaming set
+    # (stream_stateful_running_totals' code CHANGED this round — the
+    # no-data-batch skip — so its r3 row predates the code), temporal
+    # shapes, and the text/PII family --
     "stream_stateful_running_totals",
+    "stream_dedup_user_event_keys",
+    "stream_errors_before_purchase_pairs",
+    "stream_events_sessionized",
+    "stream_events_sliding",
+    "events_sessionized",
     "events_funnel",
+    "events_trailing_burst",
+    "purchase_last_view_asof",
     "local_supplier_revenue",
     "user_value_totals_salted",
-    "purchase_last_view_asof",
-    "events_trailing_burst",
-    "events_sessionized",
-    "stream_events_sessionized",
-    "stream_dedup_user_event_keys",
-    "stream_events_sliding",
-    "stream_errors_before_purchase_pairs",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "part_best_supplier",
-    "nation_value_concentration",
-    "brand_supplier_counts",
-    "dominant_part_suppliers",
-    "orders_retention_cohort",
-    "events_latest_by_key",
-    "segment_value_salted_join",
-    "part_type_edit_distance",
-    "segment_acctbal_top_decile",
-    "nation_eventtype_matrix",
-    "ship_delay_profile",
-    "segment_balance_flags",
-    "embedding_activation_stats",
     "customer_pseudonymized",
-    "embedding_dim_stats",
-    "corpus_decontaminated",
     "langid_heuristic",
     "doc_unigram_logprob",
     "doc_pii_scrub",
-    "multimodal_frame_samples",
+    # -- changed-code re-witness: the pareto kernel gained the pinned
+    # revenue-rollup checkpoint this round; its r5 row predates it --
+    "customer_pareto_class",
+    # --- tier 2: checked only if the driver budget exceeds the prefix,
+    # oldest evidence first (remaining r3, then r1->r6 re-witnessed) ---
+    "brand_supplier_counts",
+    "corpus_decontaminated",
+    "corpus_weighted_sample",
+    "dedup_incremental",
+    "dominant_part_suppliers",
+    "embedding_activation_stats",
+    "embedding_decontamination",
+    "embedding_dim_stats",
     "embedding_near_dup_pairs",
     "events_hourly_continuous",
-    "embedding_decontamination",
-    "dedup_incremental",
+    "events_latest_by_key",
+    "forecast_revenue_change",
     "lang_nchars_median_udaf",
-    "corpus_weighted_sample",
-    "near_dup_pairs_simhash",
-    "doc_ngram_novelty",
-    "events_anomaly_zscore",
-    "customer_pareto_class",
-    "session_concurrency_profile",
-    "bpe_encoded_corpus",
-    "token_heavy_hitters",
-    "embedding_pca_variance",
-    "near_dup_pagerank",
-    "orders_benford_deviation",
-    "customer_fuzzy_matches",
-    "stream_anomaly_zscore",
-    "embedding_hard_negatives",
+    "multimodal_frame_samples",
+    "nation_eventtype_matrix",
+    "nation_market_share",
+    "nation_value_concentration",
+    "orders_retention_cohort",
+    "part_best_supplier",
+    "part_type_edit_distance",
+    "segment_acctbal_top_decile",
+    "segment_balance_flags",
+    "segment_value_salted_join",
+    "ship_delay_profile",
+    "simhash_md5",
+    "customers_no_open_orders",
+    "event_value_hour_stats",
+    "grouping_sets_revenue",
+    "lineitem_distinct_stats",
+    "priority_order_counts",
+    "revenue_by_segment",
+    "small_quantity_revenue",
+    "top_orders_by_revenue",
     "basket_brand_pairs",
-    "customer_rfm_segments",
-    "brand_discount_qty_slope",
-    "events_funnel_windowed",
-    "customer_revenue_gini",
-    "user_distinct_values_salted",
-    "doc_containment_md5",
-    "dedup_source_priority",
-    "doc_dup_span_coverage",
-    "semantic_dedup_bucket_nn",
-    "near_dup_incremental",
-    "embedding_corr_matrix",
-    "doc_dup_span_scrubbed",
-    "stream_near_dup_ingest",
-    "stream_dedup_ingest_fps",
-    "bpe_trained_merges",
-    "training_data_manifest",
-    "split_leakage_audit",
-    "cdc_chunk_dedup",
-    "token_zipf_fit",
-    "doc_bigram_logprob",
     "bm25_topk",
-    "event_transition_matrix",
-    "user_state_scd2",
-    "events_gap_fill",
-    "returnflag_priority_counts",
-    "user_eventtype_map_stats",
-    "corpus_sketch_stats",
-    "doc_token_entropy",
-    "doc_stats",
-    "sequence_packing",
+    "bpe_encoded_corpus",
+    "bpe_trained_merges",
+    "brand_discount_qty_slope",
+    "cdc_chunk_dedup",
     "corpus_prepared",
-    "near_dup_clusters",
-    "knn_cosine_bruteforce",
+    "corpus_sketch_stats",
     "customer_drift_profile",
+    "customer_fuzzy_matches",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "dedup_source_priority",
+    "doc_bigram_logprob",
+    "doc_containment_md5",
+    "doc_dup_span_coverage",
+    "doc_dup_span_scrubbed",
+    "doc_ngram_novelty",
+    "doc_stats",
+    "doc_token_entropy",
+    "embedding_corr_matrix",
+    "embedding_hard_negatives",
+    "embedding_pca_variance",
+    "event_transition_matrix",
+    "events_anomaly_zscore",
+    "events_funnel_windowed",
+    "events_gap_fill",
+    "knn_cosine_bruteforce",
     "multimodal_features",
+    "near_dup_clusters",
+    "near_dup_incremental",
+    "near_dup_pagerank",
+    "near_dup_pairs_simhash",
+    "orders_benford_deviation",
+    "returnflag_priority_counts",
+    "semantic_dedup_bucket_nn",
+    "sequence_packing",
+    "session_concurrency_profile",
+    "split_leakage_audit",
+    "stream_anomaly_zscore",
+    "stream_dedup_ingest_fps",
     "stream_events_hourly",
+    "stream_near_dup_ingest",
+    "token_heavy_hitters",
+    "token_zipf_fit",
+    "training_data_manifest",
+    "user_distinct_values_salted",
+    "user_eventtype_map_stats",
+    "user_state_scd2",
+    "ab_conversion_ztest",
+    "above_average_orders",
+    "brand_revenue",
+    "cube_revenue",
+    "custkeys_both_statuses",
+    "custkeys_only_finished",
+    "customer_moving_spend",
+    "customer_order_distribution",
+    "customer_supplier_nations",
+    "dedup_exact_normalized",
+    "disjunctive_brand_revenue",
+    "doc_chunks_udtf",
+    "doc_length_histogram",
+    "doc_token_entropy_udf",
+    "doc_winnowing_fingerprints",
+    "embedding_norms",
+    "errors_before_purchase",
+    "events_hourly",
+    "events_json_stats",
+    "events_props_schema_parsed",
+    "events_sliding_daily",
+    "idle_rich_customers",
+    "lang_distribution",
+    "large_quantity_orders",
+    "monthly_order_stats",
+    "nation_acctbal_profile",
+    "nation_order_coverage",
+    "nation_pair_volume",
+    "nation_profit_by_year",
+    "order_gap_days",
+    "orders_by_weekday",
+    "part_type_tokens",
+    "pricing_summary",
+    "priority_returned_orders",
+    "promo_revenue_ratio",
+    "regional_customer_revenue",
+    "retrieval_rrf_fused",
+    "returned_revenue_by_customer",
+    "returnflag_median_price_disc",
+    "rollup_revenue",
+    "running_customer_revenue",
+    "segment_price_quantiles",
+    "segment_status_pivot",
+    "segment_top_orders",
+    "simhash_fingerprints",
+    "sole_supplier_returns",
+    "supplier_volume",
+    "token_counts_bpeish",
+    "top_revenue_suppliers",
+    "user_event_profile",
 ]
-
 
 def _ordered_names() -> list[str]:
     missing = [n for n in CHECK_PRIORITY if n not in registry.QUERIES]

@@ -216,17 +216,28 @@ def global_row_number_tied(
     regardless of tie mass (:func:`_bucketed_row_number`). Exactness:
     inside a class only ``tie_col`` orders rows, sub is monotone in the
     surrogate which is monotone in ``tie_col``, and equal surrogates
-    never split."""
+    never split.
+
+    NULL ``value`` rows SURVIVE and rank where the single global window
+    puts them (NULLS FIRST ascending, NULLS LAST descending): the class
+    key is carried as a single-field STRUCT, so the equi-joins against
+    the cuts and offsets frames compare the wrapped field null-safely
+    (a struct is never null even when its field is) and struct ordering
+    equals the bare column's — where a bare-column join would silently
+    drop the NULL class (ADVICE r6)."""
     qs = [i / n_sub for i in range(1, n_sub)]
     sur = _str_prefix_surrogate(F.col(tie_col))
+    cls = F.struct(F.col(value).alias("v"))
     cuts = (
-        df.groupBy(value)
-        .agg(F.percentile_approx(sur, qs, accuracy).alias("__cuts"))
+        df.select(cls.alias("__cls"), sur.alias("__sur"))
+        .groupBy("__cls")
+        .agg(F.percentile_approx(F.col("__sur"), qs, accuracy).alias("__cuts"))
         .localCheckpoint(eager=False)
     )
     b = (
-        df.withColumn("__sur", sur)
-        .join(F.broadcast(cuts), value)
+        df.withColumn("__cls", cls)
+        .withColumn("__sur", sur)
+        .join(F.broadcast(cuts), "__cls")
         .withColumn(
             "__sub",
             F.size(F.filter(F.col("__cuts"), lambda c: c < F.col("__sur"))),
@@ -235,8 +246,8 @@ def global_row_number_tied(
     )
     return _bucketed_row_number(
         b,
-        [value, "__sub"],
-        [F.desc(value) if descending else F.asc(value), F.asc("__sub")],
+        ["__cls", "__sub"],
+        [F.desc("__cls") if descending else F.asc("__cls"), F.asc("__sub")],
         [F.asc(tie_col)],
         out,
-    ).drop("__sub")
+    ).drop("__sub", "__cls")

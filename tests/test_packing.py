@@ -256,3 +256,60 @@ def test_bpe_encode_adversarial_words(spark):
         syms = bpe_apply_merge(syms, left, right)
     got = {r.word: r.syms for r in sdf.select("word", syms.alias("syms")).collect()}
     assert got == cases
+
+
+def test_bpe_roundtrip_zero_failures_on_corpus(spark, sf_dir):
+    """Invertibility (the r7 decode query's core claim): decoding every
+    corpus word's frozen-merge encoding reproduces the word byte-for-byte
+    — zero round-trip failures, every doc flagged ok."""
+    from airflow_ml_pipeline_spark.operators.packing import (
+        bpe_decoded_roundtrip,
+    )
+
+    rows = bpe_decoded_roundtrip(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_roundtrip_fail == 0 and r.roundtrip_ok == 1 for r in rows)
+    n_words = {r.doc_id: r.n_words for r in rows}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    expected = {
+        d.doc_id: len([w for w in d.text.split(" ") if w]) for d in docs
+    }
+    assert n_words == expected
+
+
+def test_bpe_roundtrip_detects_delimiter_corruption(spark):
+    """Words that corrupt the delimited symbol rendering MUST be reported
+    as round-trip failures (the release gate reports lossiness, never
+    hides it) — while '|'-free words round-trip exactly. Leading/trailing
+    pipes are eaten by btrim and doubled pipes merge into the delimiter,
+    so those corrupt; an isolated interior pipe survives the split/join
+    by accident and legitimately round-trips. Exercises the decode
+    expression directly on a synthetic vocab, since the corpus is
+    delimiter-free."""
+    from airflow_ml_pipeline_spark.operators.packing import BPE_FROZEN_MERGES
+
+    cases = {
+        "merger": True,
+        "stow": True,
+        "lu": True,
+        "a|b": True,  # interior single pipe: split yields a '|b' shard
+        "a|": False,  # trailing pipe eaten by btrim
+        "|a": False,  # leading pipe eaten by btrim
+        "a||b": False,  # doubled pipe collapses into the delimiter
+    }
+    sdf = spark.createDataFrame([(w,) for w in cases], ["word"])
+    sym_str = F.concat(
+        F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
+    )
+    for left, right in BPE_FROZEN_MERGES:
+        sym_str = F.replace(
+            sym_str, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        )
+    decoded = F.array_join(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"), "")
+    got = {
+        r.word: r.ok
+        for r in sdf.select(
+            "word", (decoded == F.col("word")).alias("ok")
+        ).collect()
+    }
+    assert got == cases

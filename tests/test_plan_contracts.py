@@ -353,6 +353,45 @@ def test_global_row_number_tied_splits_hapax_class(spark):
     )
 
 
+def test_global_row_number_tied_keeps_null_value_rows(spark):
+    """NULL-`value` rows must SURVIVE the tied kernel and rank exactly
+    where the single global window puts them (NULLS FIRST ascending,
+    NULLS LAST descending) — the struct-wrapped class key makes the
+    cuts/offsets equi-joins null-safe; a bare-column join silently
+    dropped the NULL class (ADVICE r6)."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.functions.prefix import (
+        global_row_number_tied,
+    )
+
+    df = spark.range(300).selectExpr(
+        "concat('tok_', md5(CAST(id AS STRING))) AS tok",
+        # every third row has NULL freq; the rest heavy ties
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(1 + id % 2 AS BIGINT) "
+        "END AS freq",
+    )
+    for descending in (False, True):
+        order = F.desc("freq") if descending else F.asc("freq")
+        expected = {
+            (r.tok, r.rk)
+            for r in df.withColumn(
+                "rk",
+                F.row_number()
+                .over(Window.orderBy(order, F.asc("tok")))
+                .cast("bigint"),
+            ).collect()
+        }
+        got = {
+            (r.tok, r.rk)
+            for r in global_row_number_tied(
+                df, "freq", "tok", 4, descending=descending
+            ).collect()
+        }
+        assert got == expected, f"descending={descending}"
+        assert len(got) == 300  # nothing dropped
+
+
 def test_str_prefix_surrogate_monotone_on_adversarial_strings(spark):
     """The tied-rank kernel's exactness argument rests on: s1 <= s2 (in
     Spark/DuckDB byte order) implies surrogate(s1) <= surrogate(s2), with

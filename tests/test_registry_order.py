@@ -2,13 +2,13 @@
 ``__spark_entry__.queries()``, so the prefix must spend its budget where
 evidence is thinnest, without ever leaving an operator family unwitnessed.
 
-Round-6 form of the contract (VERDICT r5 ask #1): the surface is frozen,
-the prefix leads with every query that has NEVER had a driver row, and
-family coverage is measured CUMULATIVELY — a family is covered if a
-representative is either in the current prefix or already has a green row
-in a committed ``CORRECTNESS_r0N.json``. This replaces the round-5 rule
-(one live anchor per family inside the prefix), which is what kept
-displacing the never-witnessed queries for three rounds running.
+Round-7 form of the contract: the freeze is lifted, so newly declared
+queries (zero driver rows) must lead the prefix together with any
+oracle-backed query whose only driver row PREDATES its oracle (VERDICT
+r6 ask #2: ``multimodal_decode_stats``); family coverage stays
+CUMULATIVE — a family is covered if a representative is either in the
+current prefix or already has a green row in a committed
+``CORRECTNESS_r0N.json``.
 """
 
 from __future__ import annotations
@@ -25,15 +25,14 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row in any committed CORRECTNESS_r0N.json as of
-#: round-6 start (VERDICT r5 "What's missing" #1) — these MUST lead the
-#: prefix until each has evidence
+#: queries whose oracle has no driver hash proof as of round-7 start:
+#: the three queries declared in round 7 (no driver row at all) plus
+#: multimodal_decode_stats, whose only driver row (r2) predates its
+#: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
+#: has a post-oracle driver row
 NEVER_WITNESSED = {
-    "errors_before_purchase", "retrieval_rrf_fused", "ab_conversion_ztest",
-    "orders_by_weekday", "returnflag_median_price_disc",
-    "doc_length_histogram", "doc_winnowing_fingerprints",
-    "dedup_exact_normalized", "lang_distribution", "token_counts_bpeish",
-    "simhash_fingerprints", "embedding_norms", "doc_token_entropy_udf",
+    "multimodal_decode_stats", "doc_quality_model_scores",
+    "doc_quality_model_train", "bpe_decoded_roundtrip",
 }
 
 #: every operator family must have at least one representative with driver
@@ -71,6 +70,9 @@ FAMILY_REPRESENTATIVES = {
                  "events_sessionized", "events_gap_fill",
                  "errors_before_purchase", "orders_by_weekday"},
     "retrieval": {"bm25_topk", "retrieval_rrf_fused"},
+    "quality_model": {"doc_quality_model_scores", "doc_quality_model_train"},
+    "bpe_lifecycle": {"bpe_trained_merges", "bpe_encoded_corpus",
+                      "bpe_decoded_roundtrip"},
     "streaming": {f"stream_{s}" for s in (
         "events_hourly", "events_sessionized", "dedup_user_event_keys",
         "stateful_running_totals", "user_value_totals",

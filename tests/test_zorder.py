@@ -143,3 +143,20 @@ def test_zorder_rank_scales_sketch_accuracy_to_cell_count(spark, monkeypatch):
     top = 2**12
     assert captured["n_buckets"] == top
     assert captured["accuracy"] >= 4 * top
+
+
+def test_rank_strategy_rejects_non_numeric_columns(spark):
+    """ADVICE r6: a string/date column under the rank strategy would cast
+    to NULL, get an empty cut array, and silently drop out of the curve —
+    the builder must refuse loudly instead."""
+    import pytest
+
+    from airflow_ml_pipeline_spark.functions.zorder import zorder_key
+
+    df = spark.range(100).selectExpr(
+        "id AS a", "CAST(id AS STRING) AS s", "id * 2 AS b"
+    )
+    with pytest.raises(ValueError, match="non-numeric: \\['s'\\]"):
+        zorder_key(df, ["a", "s", "b"], strategy="rank")
+    # numeric-only still builds
+    assert "zorder" in zorder_key(df, ["a", "b"], strategy="rank").columns
