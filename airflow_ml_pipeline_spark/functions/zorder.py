@@ -59,6 +59,26 @@ def zorder_key(
 ) -> DataFrame:
     """Append a ``zorder`` column interleaving the grid coordinates of
     ``cols`` (see module doc for the width-vs-rank tradeoff)."""
+    from pyspark.sql.types import NumericType
+
+    # BOTH strategies grid through a double cast, so a non-numeric column
+    # (string, date) yields NULL casts and a constant cell for every row
+    # — the dimension silently drops out of the curve (width: NULL
+    # min/max → width_bucket NULL → least() pins top-1; rank: empty cut
+    # array → cell 0). Refuse loudly instead (ADVICE r6; the round-7
+    # review moved the guard here from the rank branch — the width
+    # failure mode is the same). Use a numeric surrogate (epoch day,
+    # dictionary code) for such columns.
+    non_numeric = [
+        name
+        for name in cols
+        if not isinstance(df.schema[name].dataType, NumericType)
+    ]
+    if non_numeric:
+        raise ValueError(
+            "zorder requires numeric columns; "
+            f"non-numeric: {non_numeric}"
+        )
     cells: list[Column] = []
     helper_cols: list[str] = []
     out = df
@@ -83,31 +103,10 @@ def zorder_key(
             # width_bucket returns 1..top for in-range, top+1 at x == hi
             cells.append(F.least(cell, F.lit(top - 1)))
     elif strategy == "rank":
-        from pyspark.sql.types import NumericType
-
         from airflow_ml_pipeline_spark.functions.prefix import (
             bucket_by_cuts,
             equi_depth_cuts,
         )
-
-        # the equi-depth cuts cast every column to double, so a
-        # non-numeric column (string, date) would yield NULL casts, an
-        # empty cut array, and cell 0 for every row — the dimension
-        # silently dropping out of the curve. Refuse loudly instead
-        # (ADVICE r6); the width strategy shares the same double-cast
-        # grid, so the restriction is strategy-wide in practice — use a
-        # numeric surrogate (epoch day, dictionary code) for such
-        # columns.
-        non_numeric = [
-            name
-            for name in cols
-            if not isinstance(df.schema[name].dataType, NumericType)
-        ]
-        if non_numeric:
-            raise ValueError(
-                "zorder rank strategy requires numeric columns; "
-                f"non-numeric: {non_numeric}"
-            )
 
         # ONE bounded eager aggregate scan covers every column's cut
         # array (review finding: per-column equi_depth_bucket calls cost

@@ -542,20 +542,38 @@ BPE_FROZEN_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _sql_bpe_token_count() -> str:
-    """DuckDB expression: BPE token count of `word` under the frozen
-    merges, via the classic delimited-string formulation — symbols are
-    rendered '|s1||s2||...|' and one merge is one left-to-right
-    non-overlapping replace of '|l||r|' with '|lr|', which is exactly
-    leftmost-first greedy pair merging (Sennrich et al.'s reference
-    implementation uses the same string rewrite)."""
+def bpe_symbol_string(word) -> "F.Column":
+    """The delimited-symbol rendering of ``word`` with every FROZEN merge
+    applied, as a Spark Column: symbols render '|s1||s2||...|' and one
+    merge is one literal left-to-right non-overlapping replace of
+    '|l||r|' with '|lr|' — exactly leftmost-first greedy pair merging
+    (Sennrich et al.'s reference implementation uses the same string
+    rewrite). The SINGLE definition both the encoder and the round-trip
+    decoder compose (r7 review: the rendering + merge loop previously
+    existed in four places; a delimiter-convention change must now touch
+    exactly this pair of helpers)."""
+    s = F.concat(F.lit("|"), F.array_join(F.split(word, ""), "||"), F.lit("|"))
+    for left, right in BPE_FROZEN_MERGES:
+        s = F.replace(s, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|"))
+    return s
+
+
+def _sql_bpe_symbol_expr() -> str:
+    """DuckDB twin of :func:`bpe_symbol_string` — the identical algebra
+    over a column named `word`."""
     expr = (
         "'|' || array_to_string(list_transform(range(1, len(word) + 1),"
         " i -> substr(word, i, 1)), '||') || '|'"
     )
     for left, right in BPE_FROZEN_MERGES:
         expr = f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
-    return f"len(string_split(trim({expr}, '|'), '||'))"
+    return expr
+
+
+def _sql_bpe_token_count() -> str:
+    """DuckDB expression: BPE token count of `word` under the frozen
+    merges (symbol-string length)."""
+    return f"len(string_split(trim({_sql_bpe_symbol_expr()}, '|'), '||'))"
 
 
 def bpe_apply_merge(syms, left: str, right: str):
@@ -615,22 +633,15 @@ def bpe_encoded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.select("word").distinct()
-    # The delimited-string formulation, IDENTICAL to the oracle's: symbols
-    # render as '|s1||s2||...|' and each merge is one literal
-    # left-to-right non-overlapping replace — plain JVM string ops that
-    # codegen compiles in milliseconds. (Two rejected alternatives, both
-    # measured: one chained array-fold projection per merge collapses into
-    # an 8-deep nested HOF tree costing ~18 s of analysis+Janino; a
-    # constant-depth fold over the merge-table literal still paid ~2 s per
-    # execution in HOF interpretation. The fold algebra itself stays
-    # pinned by the pure-Python parity test against `bpe_apply_merge`.)
-    sym_str = F.concat(
-        F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
-    )
-    for left, right in BPE_FROZEN_MERGES:
-        sym_str = F.replace(
-            sym_str, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
-        )
+    # The delimited-string formulation (`bpe_symbol_string`), IDENTICAL
+    # to the oracle's: plain JVM string ops that codegen compiles in
+    # milliseconds. (Two rejected alternatives, both measured: one
+    # chained array-fold projection per merge collapses into an 8-deep
+    # nested HOF tree costing ~18 s of analysis+Janino; a constant-depth
+    # fold over the merge-table literal still paid ~2 s per execution in
+    # HOF interpretation. The fold algebra itself stays pinned by the
+    # pure-Python parity test against `bpe_apply_merge`.)
+    sym_str = bpe_symbol_string(F.col("word"))
     per_word = vocab.select(
         "word",
         F.size(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"))
@@ -649,13 +660,10 @@ def _sql_bpe_decoded() -> str:
     symbols back (BPE merges only ever regroup adjacent characters, so a
     correct encoder's symbol concatenation is byte-identical to the
     source word)."""
-    expr = (
-        "'|' || array_to_string(list_transform(range(1, len(word) + 1),"
-        " i -> substr(word, i, 1)), '||') || '|'"
+    return (
+        f"array_to_string(string_split(trim({_sql_bpe_symbol_expr()},"
+        " '|'), '||'), '')"
     )
-    for left, right in BPE_FROZEN_MERGES:
-        expr = f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
-    return f"array_to_string(string_split(trim({expr}, '|'), '||'), '')"
 
 
 @query(
@@ -686,7 +694,8 @@ def bpe_decoded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frozen merge table, decoded back by concatenating the symbol
     sequence, and compared byte-for-byte with the source; the per-doc
     output counts round-trip failures (zero on any corpus whose words are
-    '|'-free — asserted by ``tests/test_bpe.py``; a word containing the
+    '|'-free — asserted by ``tests/test_packing.py::
+    test_bpe_roundtrip_zero_failures_on_corpus``; a word containing the
     delimiter would surface here as a failure, which is exactly what a
     lossy tokenizer release gate should report, not hide).
 
@@ -700,15 +709,11 @@ def bpe_decoded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.select("word").distinct()
-    sym_str = F.concat(
-        F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
-    )
-    for left, right in BPE_FROZEN_MERGES:
-        sym_str = F.replace(
-            sym_str, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
-        )
     decoded = F.array_join(
-        F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"), ""
+        F.split(
+            F.btrim(bpe_symbol_string(F.col("word")), F.lit("|")), "\\|\\|"
+        ),
+        "",
     )
     per_word = vocab.select(
         "word", (decoded == F.col("word")).cast("int").alias("rt_ok")

@@ -153,6 +153,11 @@ def doc_quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; the SCORING side of the lifecycle is the
     hash-checked ``doc_quality_model_scores``."""
     intercept, coefs, scored = train_quality_model(spark, sf_dir)
+    # the scored lineage (corpus scan + featurization + label query + LR
+    # transform) feeds BOTH the metrics agg and the AUC evaluator below —
+    # pin it once instead of recomputing the featurization twice (r7
+    # review); the frame is |docs| rows of vectors, cache-sized
+    scored = scored.localCheckpoint(eager=False)
     agg = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("label").cast("long")).alias("n_pos"),
@@ -258,7 +263,13 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-element literal), then a broadcast-sized left join back to doc
     ids so token-less docs score at the intercept. No model state joins,
     no UDFs."""
-    docs = load_table(spark, sf_dir, "documents")
+    return score_documents(load_table(spark, sf_dir, "documents"))
+
+
+def score_documents(docs: DataFrame) -> DataFrame:
+    """The frozen-model scoring function over any (doc_id, text) frame —
+    the body of ``doc_quality_model_scores``, factored out so the
+    token-less-doc intercept path is testable on synthetic input."""
     coefs = F.lit(QUALITY_COEFS).cast("array<decimal(12,6)>")
     intercept = F.lit(QUALITY_INTERCEPT).cast("decimal(12,6)")
     margins = (

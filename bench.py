@@ -96,6 +96,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "bpe_trained_merges",
     "bpe_encoded_corpus",
+    "bpe_decoded_roundtrip",
+    "doc_quality_model_scores",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",
@@ -139,37 +141,29 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    from airflow_ml_pipeline_spark.session import get_spark
-
-    import __spark_entry__ as entrymod
-
-    spark = get_spark("bench", master=f"local[{CPUS}]")
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL")
-    ]
-
-    # warm the JVM, codegen, and parquet footer caches so the first timed
-    # query doesn't absorb session startup costs; build the IVF ANN index
-    # here too — index construction is an offline step, probes are the query
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+def warm_session(spark, sf_dir: str, qs) -> None:
+    """Warm the JVM, codegen, parquet footer caches, Python worker pool,
+    and streaming engine so the first timed query measures the operator,
+    not engine startup. THE shared warmup — tools/ab_bench.py imports
+    this so per-query A/B re-benches run under the identical regime as
+    the round bench (r7 review: a hand-copied subset drifted)."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     from pyspark.sql import functions as F
 
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").agg(
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").agg(
         F.count(F.lit(1))
     ).collect()
+    # build the IVF ANN index too — index construction is an offline
+    # step, probes are the query
     from airflow_ml_pipeline_spark.operators.similarity import build_ivf_index
 
-    build_ivf_index(spark, SF_DIR)
+    build_ivf_index(spark, sf_dir)
 
     # compile the dedup-family codegen shapes on the tiny corpus: the
     # 64-hash minhash fold / LSH banding / CC-loop stages cost ~8s of
     # one-time Janino compilation, and generated-class caching keys on
     # expression SHAPE, so a sf0.001 run warms the exact classes the
-    # timed sf0.1 queries execute (same rationale as the IVF/index and
-    # Python-worker warmups above: measure the operator, not engine
-    # startup)
+    # timed sf0.1 queries execute
     qs["near_dup_clusters"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
@@ -198,11 +192,25 @@ def main() -> None:
     )
 
     run_available_now(
-        read_events_stream(spark, SF_DIR)
+        read_events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n")),
         output_mode="complete",
     ).count()
+
+
+def main() -> None:
+    from airflow_ml_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL")
+    ]
+
+    warm_session(spark, SF_DIR, qs)
 
     # BENCH_REPEAT=N (default 1) runs each query N times and records the
     # MIN — opt-in steady-state timing for noisy hosts; the default stays

@@ -286,8 +286,6 @@ def test_bpe_roundtrip_detects_delimiter_corruption(spark):
     by accident and legitimately round-trips. Exercises the decode
     expression directly on a synthetic vocab, since the corpus is
     delimiter-free."""
-    from airflow_ml_pipeline_spark.operators.packing import BPE_FROZEN_MERGES
-
     cases = {
         "merger": True,
         "stow": True,
@@ -297,15 +295,13 @@ def test_bpe_roundtrip_detects_delimiter_corruption(spark):
         "|a": False,  # leading pipe eaten by btrim
         "a||b": False,  # doubled pipe collapses into the delimiter
     }
+    from airflow_ml_pipeline_spark.operators.packing import bpe_symbol_string
+
     sdf = spark.createDataFrame([(w,) for w in cases], ["word"])
-    sym_str = F.concat(
-        F.lit("|"), F.array_join(F.split("word", ""), "||"), F.lit("|")
+    decoded = F.array_join(
+        F.split(F.btrim(bpe_symbol_string(F.col("word")), F.lit("|")), "\\|\\|"),
+        "",
     )
-    for left, right in BPE_FROZEN_MERGES:
-        sym_str = F.replace(
-            sym_str, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
-        )
-    decoded = F.array_join(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"), "")
     got = {
         r.word: r.ok
         for r in sdf.select(

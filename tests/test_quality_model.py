@@ -65,14 +65,22 @@ def test_scores_margin_and_decision_are_consistent(spark, sf_dir):
 
 
 def test_tokenless_doc_scores_at_intercept(spark):
-    """A doc with no nonempty tokens must score at the bare intercept —
-    the left-join path, which a dropped-rows regression would break."""
+    """A doc with no nonempty tokens must SURVIVE scoring and land at the
+    bare intercept — the left-join path an inner-join regression would
+    break (round-7 review: the original form of this test never actually
+    scored anything)."""
     from airflow_ml_pipeline_spark.operators.quality_model import (
-        _doc_words,
+        score_documents,
     )
 
-    sdf = spark.createDataFrame([(1, ""), (2, " ")], ["doc_id", "text"])
-    assert _doc_words(sdf).count() == 0
+    sdf = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "the spark table")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in score_documents(sdf).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d].quality_margin == float(QUALITY_INTERCEPT)
+        assert rows[d].pred_quality == 0
 
 
 def test_frozen_model_is_the_trainers_output(spark):

@@ -145,10 +145,12 @@ def test_zorder_rank_scales_sketch_accuracy_to_cell_count(spark, monkeypatch):
     assert captured["accuracy"] >= 4 * top
 
 
-def test_rank_strategy_rejects_non_numeric_columns(spark):
-    """ADVICE r6: a string/date column under the rank strategy would cast
-    to NULL, get an empty cut array, and silently drop out of the curve —
-    the builder must refuse loudly instead."""
+def test_zorder_rejects_non_numeric_columns(spark):
+    """ADVICE r6 + r7 review: a string/date column would cast to NULL
+    and collapse to a constant cell under EITHER strategy (rank: empty
+    cut array → cell 0; width: NULL min/max → pinned top cell), silently
+    dropping the dimension from the curve — the builder must refuse
+    loudly for both."""
     import pytest
 
     from airflow_ml_pipeline_spark.functions.zorder import zorder_key
@@ -156,7 +158,8 @@ def test_rank_strategy_rejects_non_numeric_columns(spark):
     df = spark.range(100).selectExpr(
         "id AS a", "CAST(id AS STRING) AS s", "id * 2 AS b"
     )
-    with pytest.raises(ValueError, match="non-numeric: \\['s'\\]"):
-        zorder_key(df, ["a", "s", "b"], strategy="rank")
-    # numeric-only still builds
-    assert "zorder" in zorder_key(df, ["a", "b"], strategy="rank").columns
+    for strategy in ("rank", "width"):
+        with pytest.raises(ValueError, match="non-numeric: \\['s'\\]"):
+            zorder_key(df, ["a", "s", "b"], strategy=strategy)
+        # numeric-only still builds
+        assert "zorder" in zorder_key(df, ["a", "b"], strategy=strategy).columns

@@ -8,8 +8,9 @@ Usage:
     python tools/ab_bench.py [-n REPS] [--sf SF_DIR] name [name ...]
 
 Timing action is the same noop-format write bench.py uses (count() would
-let Catalyst prune projected columns). The same warmups as bench.py run
-first so run 1 measures the operator, not engine startup.
+let Catalyst prune projected columns). bench.py's OWN warm_session runs
+first (imported, not copied) so run 1 measures the operator under the
+identical regime as the round bench.
 """
 
 from __future__ import annotations
@@ -43,30 +44,11 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    # same warmups as bench.py: JVM/codegen/parquet footers + Python
-    # worker pool + streaming engine, so run 1 is not a startup measure
-    from pyspark.sql import functions as F
+    # THE shared warmup bench.py uses — identical timing regime, one
+    # definition (r7 review: a hand-copied subset drifted)
+    from bench import warm_session
 
-    spark.read.parquet(f"{args.sf}/region.parquet").count()
-    from pyspark.sql.functions import pandas_udf
-
-    def _warm_noop(s):
-        return s
-
-    warm_udf = pandas_udf(_warm_noop, "double")
-    spark.range(1024).select(warm_udf(F.col("id").cast("double"))).count()
-    if any(n.startswith("stream_") for n in args.names):
-        from airflow_ml_pipeline_spark.streaming.sources import (
-            read_events_stream,
-            run_available_now,
-        )
-
-        run_available_now(
-            read_events_stream(spark, args.sf)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n")),
-            output_mode="complete",
-        ).count()
+    warm_session(spark, args.sf, qs)
 
     results: dict[str, dict] = {}
     print(f"| query | runs (s) | min | median |")
