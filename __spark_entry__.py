@@ -70,6 +70,8 @@ CHECK_PRIORITY = [
     "doc_quality_model_scores",
     "doc_quality_model_train",
     "bpe_decoded_roundtrip",
+    "doc_quality_model_calibration",
+    "stream_errors_before_purchase_outer",
     # -- last witnessed in round 2 (the oldest remaining evidence; the
     # r1 cohort was fully re-witnessed in r6) --
     "ann_ivf_topk",
@@ -119,13 +121,17 @@ CHECK_PRIORITY = [
     "user_value_totals_salted",
     "customer_pseudonymized",
     "langid_heuristic",
-    "doc_unigram_logprob",
-    "doc_pii_scrub",
     # -- changed-code re-witness: the pareto kernel gained the pinned
     # revenue-rollup checkpoint this round; its r5 row predates it --
     "customer_pareto_class",
     # --- tier 2: checked only if the driver budget exceeds the prefix,
-    # oldest evidence first (remaining r3, then r1->r6 re-witnessed) ---
+    # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
+    # doc_unigram_logprob/doc_pii_scrub ceded their prefix slots to the
+    # two round-7 additions (zero evidence > r3 evidence); their text
+    # family keeps live anchors in the prefix (langid_heuristic,
+    # doc_quality, doc_length_zscore_by_lang) --
+    "doc_unigram_logprob",
+    "doc_pii_scrub",
     "brand_supplier_counts",
     "corpus_decontaminated",
     "corpus_weighted_sample",

@@ -249,6 +249,86 @@ def _sql_quality_scores() -> str:
     """
 
 
+def _sql_quality_calibration() -> str:
+    from airflow_ml_pipeline_spark.functions.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    coef_rows = ",\n        ".join(
+        f"({i}, CAST('{c}' AS DECIMAL(12,6)))"
+        for i, c in enumerate(QUALITY_COEFS)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                   % {N_QUALITY_BUCKETS} AS bucket
+        FROM w WHERE word != ''
+    ),
+    coef(bucket, c) AS (VALUES
+        {coef_rows}),
+    m AS (
+        SELECT b.doc_id, CAST(SUM(coef.c) AS DECIMAL(38,6)) AS s
+        FROM b JOIN coef ON b.bucket = coef.bucket
+        GROUP BY b.doc_id
+    ),
+    scores AS (
+        SELECT d.doc_id,
+               CAST(CAST('{QUALITY_INTERCEPT}' AS DECIMAL(12,6))
+                    + COALESCE(m.s, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
+                   AS margin
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    ),
+    heur AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ({stop}))) AS DOUBLE)
+                         / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM documents
+    )
+    SELECT CAST(floor(s.margin) AS BIGINT) AS margin_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h.quality_pass) AS BIGINT) AS n_heuristic_pass
+    FROM scores s JOIN heur h ON s.doc_id = h.doc_id
+    GROUP BY floor(s.margin)
+    """
+
+
+@query("doc_quality_model_calibration", oracle=_sql_quality_calibration())
+def doc_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the frozen quality model against the
+    heuristic gate it was trained on: integer margin bins × (doc count,
+    heuristic-pass count) — the reliability-curve input every deployed
+    quality filter ships with (a well-calibrated model's pass rate rises
+    monotonically with the margin; a flat or inverted bin betrays
+    feature-hash saturation or label drift). Counts only — the pass RATE
+    is a derived integer ratio, so the oracle stays float-boundary-free.
+
+    Scale: composes two already-aggregated lineages (frozen-model margins
+    + heuristic flags) with a doc-keyed join, then one tiny bin
+    aggregation; both inputs are one corpus scan each with map-side
+    partials."""
+    from airflow_ml_pipeline_spark.operators.textstats import doc_quality
+
+    scores = doc_quality_model_scores(spark, sf_dir).select(
+        "doc_id", "quality_margin"
+    )
+    heur = doc_quality(spark, sf_dir).select("doc_id", "quality_pass")
+    return (
+        scores.join(heur, "doc_id")
+        .groupBy(F.floor("quality_margin").alias("margin_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_pass").cast("bigint").alias("n_heuristic_pass"),
+        )
+    )
+
+
 @query("doc_quality_model_scores", oracle=_sql_quality_scores())
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the frozen learned quality model: per-document linear margin

@@ -278,6 +278,106 @@ def stream_errors_before_purchase_pairs(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "stream_errors_before_purchase_outer",
+    oracle="""
+    WITH cut AS (
+        SELECT LEAST(
+            (SELECT epoch_us(MAX(ts)) FROM events WHERE event_type = 'purchase'),
+            (SELECT epoch_us(MAX(ts)) FROM events WHERE event_type = 'error')
+        ) - 7200000000 AS c
+    )
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id
+    FROM events p
+    LEFT JOIN events e ON e.user_id = p.user_id
+                      AND e.event_type = 'error'
+                      AND e.ts >= p.ts - INTERVAL 1 HOUR
+                      AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+      AND epoch_us(p.ts) <= (SELECT c FROM cut)
+    """,
+)
+def stream_errors_before_purchase_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the WATERMARK-EVICTION
+    shape the inner-join twin deliberately sidesteps: a purchase with no
+    error in its preceding hour emits a NULL-padded row only once the
+    watermark proves no matching error can still arrive, and that
+    eviction happens in the trailing no-data micro-batch
+    (``skip_no_data_batch`` MUST stay False here — this query is the
+    live counterexample the skip's docstring warns about).
+
+    Exactness contract: unlike the inner join (every row emits on
+    arrival, any watermark works), outer-join null rows only emit for
+    purchases DECIDED by the final GLOBAL watermark — min over both
+    inputs of (max event time − delay). The query therefore scopes its
+    OUTPUT to purchases at least 2h before min(last purchase, last
+    error) — 1h match window + 1min delay + margin — and the oracle
+    applies the identical epoch-micros cutoff, so stream and batch agree
+    row-for-row including NULLs. The cutoff is applied AFTER the join,
+    never before the watermark: filtering the purchase stream first
+    would cap that input's own watermark at the cutoff, and the latest
+    in-scope purchase could then never evict (found live: exactly one
+    row short at sf0.01). (The undecided tail is not a correctness gap:
+    at production those purchases emit as the stream runs on; a bounded
+    backfill excluding still-undecidable rows is the honest semantics.)
+
+    State posture: both sides watermarked at 1 minute, so join state is
+    bounded at (input rate × ~1h window) — the corpus replays as ONE
+    data micro-batch (single parquet file, no intra-batch late drops by
+    construction), then the no-data batch advances the watermark and
+    flushes the unmatched-purchase state."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    cutoff_us = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .agg(F.min("m").alias("c"))
+        .collect()[0][0]
+        - 7_200_000_000
+    )
+    delay = "1 minute"
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", delay)
+    )
+    joined = (
+        purchases.join(
+            errors,
+            F.expr(
+                "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR"
+                " AND e_ts < p_ts"
+            ),
+            "leftOuter",
+        )
+        .filter(F.unix_micros("p_ts") <= F.lit(cutoff_us))
+        .select("purchase_id", "error_id")
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+@query(
     "stream_anomaly_zscore",
     oracle=f"""
     WITH scored AS (

@@ -98,6 +98,7 @@ HEADLINE = [
     "bpe_encoded_corpus",
     "bpe_decoded_roundtrip",
     "doc_quality_model_scores",
+    "doc_quality_model_calibration",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",
@@ -138,6 +139,7 @@ HEADLINE = [
     "stream_anomaly_zscore",
     "stream_static_enriched_segments",
     "stream_errors_before_purchase_pairs",
+    "stream_errors_before_purchase_outer",
 ]
 
 

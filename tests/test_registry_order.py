@@ -33,6 +33,7 @@ PREFIX = 50
 NEVER_WITNESSED = {
     "multimodal_decode_stats", "doc_quality_model_scores",
     "doc_quality_model_train", "bpe_decoded_roundtrip",
+    "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
 }
 
 #: every operator family must have at least one representative with driver
@@ -77,7 +78,7 @@ FAMILY_REPRESENTATIVES = {
         "events_hourly", "events_sessionized", "dedup_user_event_keys",
         "stateful_running_totals", "user_value_totals",
         "static_enriched_segments", "events_sliding",
-        "errors_before_purchase_pairs")},
+        "errors_before_purchase_pairs", "errors_before_purchase_outer")},
 }
 
 

@@ -85,6 +85,9 @@ QUERIES = [
     ("customer_pareto_class", "orders"),
     ("session_concurrency_profile", "events"),
     ("bpe_encoded_corpus", "documents"),
+    ("bpe_decoded_roundtrip", "documents"),
+    ("doc_quality_model_scores", "documents"),
+    ("doc_quality_model_calibration", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
@@ -136,6 +139,7 @@ QUERIES = [
     ("events_json_stats", "events"),
     ("nation_balance_unpivot", "nation"),
     ("stream_errors_before_purchase_pairs", "events"),
+    ("stream_errors_before_purchase_outer", "events"),
     ("stream_stateful_running_totals", "events"),
     ("stream_static_enriched_segments", "events"),
 ]
