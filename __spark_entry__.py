@@ -53,6 +53,7 @@ import airflow_ml_pipeline_spark.operators.packing  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.manifest  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.quality_model  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.unigram_lm  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
@@ -72,6 +73,8 @@ CHECK_PRIORITY = [
     "bpe_decoded_roundtrip",
     "doc_quality_model_calibration",
     "stream_errors_before_purchase_outer",
+    "unigram_seed_candidates",
+    "unigram_lm_segmented",
     # -- last witnessed in round 2 (the oldest remaining evidence; the
     # r1 cohort was fully re-witnessed in r6) --
     "ann_ivf_topk",
@@ -119,19 +122,19 @@ CHECK_PRIORITY = [
     "purchase_last_view_asof",
     "local_supplier_revenue",
     "user_value_totals_salted",
-    "customer_pseudonymized",
-    "langid_heuristic",
     # -- changed-code re-witness: the pareto kernel gained the pinned
     # revenue-rollup checkpoint this round; its r5 row predates it --
     "customer_pareto_class",
     # --- tier 2: checked only if the driver budget exceeds the prefix,
     # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
-    # doc_unigram_logprob/doc_pii_scrub ceded their prefix slots to the
-    # two round-7 additions (zero evidence > r3 evidence); their text
-    # family keeps live anchors in the prefix (langid_heuristic,
-    # doc_quality, doc_length_zscore_by_lang) --
+    # Four r3-witnessed queries ceded their prefix slots to the round-7
+    # additions (zero evidence > r3 evidence); their families keep
+    # committed-green rows or live prefix anchors (doc_quality,
+    # doc_length_zscore_by_lang, corpus_shuffled_shards et al.) --
     "doc_unigram_logprob",
     "doc_pii_scrub",
+    "customer_pseudonymized",
+    "langid_heuristic",
     "brand_supplier_counts",
     "corpus_decontaminated",
     "corpus_weighted_sample",

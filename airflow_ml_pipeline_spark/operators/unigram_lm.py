@@ -1,0 +1,283 @@
+"""Unigram-LM tokenizer family (SentencePiece-style), round 7 — the
+second tokenizer lifecycle beside BPE (``operators/packing.py``):
+
+- ``unigram_seed_candidates`` (oracle-checked): seed-vocabulary
+  selection — every substring of length 2–6 of every corpus word,
+  frequency-weighted (all start positions, Σ word counts), scored
+  ``freq × (len−1)`` (the coverage-gain heuristic SentencePiece's
+  ``make_seed_sentence_pieces`` uses), deterministic top-K under
+  (score DESC, piece ASC).
+- ``unigram_lm_segmented`` (oracle-checked): Viterbi segmentation of
+  every word under the FROZEN piece vocabulary (the trainer's own
+  sf0.01 output, pinned like the BPE merge table and the quality-model
+  weights) — per-doc word/piece/score totals.
+
+The Viterbi DP runs entirely JVM-side as an ``F.aggregate`` fold over
+char positions with an integer objective — no UDFs, no windows, no
+driver loops — and the DuckDB oracle restates the identical DP as a
+recursive CTE with a list accumulator, so the whole dynamic program is
+value-checked end-to-end.
+
+Exactness design: piece scores are INTEGERS (the trainer's own integer
+score), and ties between distinct optimal segmentations are harmless
+because only (best score, piece count) is reported — the combined
+objective ``obj = 128·Σscore − n_pieces`` is maximized, which
+lexicographically prefers higher score then fewer pieces (valid while
+n_pieces ≤ word length ≤ 8 < 128), and both engines recover
+``n_pieces = (−obj) mod 128`` from the same integer.
+
+Scale shape: both queries touch the corpus once to explode words; the
+expensive per-word work (substring explosion, the DP fold) runs over the
+DISTINCT-WORD vocabulary only (Zipf: orders of magnitude smaller than
+the corpus) and joins back broadcast-style, exactly like the BPE
+encoder. The frozen piece table rides as a broadcast map literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.text import tokens
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_spread
+
+SEED_MIN_LEN = 2
+SEED_MAX_LEN = 6
+SEED_TOP_K = 16
+
+#: objective multiplier: must exceed the max piece count per word
+#: (corpus max word length is 8; asserted generously here)
+_OBJ_M = 128
+
+
+def _sql_seed_candidates() -> str:
+    lens = ", ".join(str(n) for n in range(SEED_MIN_LEN, SEED_MAX_LEN + 1))
+    return f"""
+    WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != '' GROUP BY word
+    ),
+    sub AS (
+        SELECT piece, SUM(cnt) AS freq FROM (
+            SELECT cnt, unnest(flatten(list_transform([{lens}],
+                l -> CASE WHEN len(word) >= l THEN
+                        list_transform(range(1, len(word) - l + 2),
+                                       p -> substr(word, p, l))
+                     ELSE [] END))) AS piece
+            FROM w
+        ) GROUP BY piece
+    )
+    SELECT piece,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(freq * (len(piece) - 1) AS BIGINT) AS score
+    FROM sub
+    ORDER BY freq * (len(piece) - 1) DESC, piece
+    LIMIT {SEED_TOP_K}
+    """
+
+
+@query("unigram_seed_candidates", oracle=_sql_seed_candidates())
+def unigram_seed_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-vocabulary candidate selection for the unigram-LM tokenizer:
+    top-K substrings by coverage gain ``freq × (len−1)`` (characters
+    saved per use of the piece), deterministic under the (score DESC,
+    piece ASC) total order so the frozen vocabulary is reproducible
+    across runs, partitionings, and engines."""
+    docs = load_spread(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # per-length substring arrays; n is captured by the OUTER closure —
+    # a `lambda p, n=n` default-arg would change the lambda's ARITY and
+    # PySpark interprets a 2-arg transform lambda as (element, index),
+    # silently replacing n with the sequence index (found live: the
+    # whole candidate table came out as index-length fragments)
+    def _subs(n: int) -> Column:
+        return F.when(
+            F.length("word") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - n + 1),
+                lambda p: F.substring("word", p, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lens = list(range(SEED_MIN_LEN, SEED_MAX_LEN + 1))
+    sub_arrays = F.flatten(F.array(*[_subs(n) for n in lens]))
+    pieces = vocab.select("cnt", F.explode(sub_arrays).alias("piece"))
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+        .select(
+            "piece",
+            "freq",
+            (F.col("freq") * (F.length("piece") - 1))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("piece"))
+        .limit(SEED_TOP_K)
+    )
+
+
+#: The FROZEN piece vocabulary: ``unigram_seed_candidates``'s own output
+#: on the sf0.01 corpus (piece → integer score), pinned the way a
+#: released tokenizer model is — segmentation is then a pure
+#: deterministic function and the DuckDB oracle restates it with the
+#: pieces as literals. Single characters are the implicit fallback at
+#: score 0 (full coverage by construction). Regenerate via
+#: tools/freeze_unigram_vocab.py after retraining.
+UNIGRAM_FROZEN_PIECES: list[tuple[str, int]] = [
+    ("column", 4670),
+    ("custom", 4670),
+    ("stomer", 4670),
+    ("ustome", 4670),
+    ("filter", 4665),
+    ("er", 4568),
+    ("vector", 4560),
+    ("stream", 4440),
+    ("window", 4430),
+    ("batch", 3748),
+    ("colum", 3736),
+    ("custo", 3736),
+    ("olumn", 3736),
+    ("stome", 3736),
+    ("tomer", 3736),
+    ("ustom", 3736),
+]
+
+
+def _piece_lens() -> list[int]:
+    return sorted({len(p) for p, _ in UNIGRAM_FROZEN_PIECES})
+
+
+def viterbi_obj(word: Column) -> Column:
+    """The integer Viterbi objective of ``word`` under the frozen
+    vocabulary: ``max over segmentations of 128·Σscore − n_pieces``,
+    computed as ONE ``F.aggregate`` fold over char positions carrying
+    the dp array — windowless, UDF-less, whole-stage-codegen-able.
+    dp(i) (1-based prefix length, dp(0)=0 at array slot 1) =
+    GREATEST over piece lengths L of dp(i−L) + 128·score(word[i−L+1..i])
+    − 1, with the single-char fallback at score 0."""
+    scores = F.map_from_arrays(
+        F.lit([p for p, _ in UNIGRAM_FROZEN_PIECES]),
+        F.lit([s for _, s in UNIGRAM_FROZEN_PIECES]).cast("array<bigint>"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = [F.element_at(acc, i.cast("int")) - 1]  # L=1, score 0
+        for L in _piece_lens():
+            cands.append(
+                F.when(
+                    i >= L,
+                    F.element_at(acc, (i - L + 1).cast("int"))
+                    + F.coalesce(
+                        F.element_at(
+                            scores, F.substring(word, (i - L + 1).cast("int"), F.lit(L))
+                        )
+                        * _OBJ_M,
+                        F.lit(-(10**12)),
+                    )
+                    - 1,
+                ).otherwise(F.lit(-(10**12)))
+            )
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.lit(0).cast("bigint")),
+        step,
+    )
+    return F.element_at(dp, F.length(word) + 1)
+
+
+def _sql_viterbi_dp() -> str:
+    """The identical DP as DuckDB recursive-CTE SQL over a vocab CTE
+    ``v(word)``: emits ``seg(word, obj)``."""
+    piece_rows = ",\n        ".join(
+        f"('{p}', {s})" for p, s in UNIGRAM_FROZEN_PIECES
+    )
+    cands = ["best[i + 1] - 1"]
+    for L in _piece_lens():
+        cands.append(
+            f"COALESCE(CASE WHEN i + 1 >= {L} THEN best[i + 2 - {L}]"
+            f" + (SELECT {_OBJ_M} * s FROM pieces"
+            f" WHERE piece = substr(word, i + 2 - {L}, {L})) - 1 END,"
+            " -1000000000000)"
+        )
+    greatest = ",\n               ".join(cands)
+    return f"""
+    pieces(piece, s) AS (VALUES
+        {piece_rows}),
+    dp AS (
+        SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM v
+        UNION ALL
+        SELECT word, i + 1,
+               list_append(best, GREATEST(
+               {greatest}))
+        FROM dp WHERE i < len(word)
+    ),
+    seg AS (
+        SELECT word, best[len(word) + 1] AS obj
+        FROM dp WHERE i = len(word)
+    )"""
+
+
+def _sql_segmented() -> str:
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT doc_id, word FROM w WHERE word != ''),
+    v AS (SELECT DISTINCT word FROM wf),
+    {_sql_viterbi_dp()},
+    per_word AS (
+        -- positive mod: DuckDB % follows the dividend's sign and obj>0
+        -- makes (-obj) % M negative, unlike Spark's pmod
+        SELECT word,
+               (((-obj) % {_OBJ_M}) + {_OBJ_M}) % {_OBJ_M} AS n_pieces,
+               (obj + ((((-obj) % {_OBJ_M}) + {_OBJ_M}) % {_OBJ_M}))
+                   // {_OBJ_M} AS piece_score
+        FROM seg
+    )
+    SELECT wf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(p.piece_score) AS BIGINT) AS total_score
+    FROM wf JOIN per_word p ON wf.word = p.word
+    GROUP BY wf.doc_id
+    """
+
+
+@query("unigram_lm_segmented", oracle=_sql_segmented())
+def unigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the frozen unigram-LM vocabulary: Viterbi-optimal
+    segmentation of every corpus word (maximize total piece score, then
+    fewest pieces), reported as per-doc word/piece/score totals — the
+    token-accounting numbers a production segmenter feeds to packing and
+    budget sizing, and the second tokenizer lifecycle the engine ships
+    end-to-end (train → freeze → segment), parity-checked against a
+    recursive-CTE restatement of the same dynamic program."""
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    obj = viterbi_obj(F.col("word"))
+    per_word = vocab.select(
+        "word",
+        F.pmod(-obj, F.lit(_OBJ_M)).alias("n_pieces"),
+        ((obj + F.pmod(-obj, F.lit(_OBJ_M))) / _OBJ_M)
+        .cast("bigint")
+        .alias("piece_score"),
+    )
+    return words.join(per_word, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.sum("piece_score").cast("bigint").alias("total_score"),
+    )

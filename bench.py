@@ -99,6 +99,8 @@ HEADLINE = [
     "bpe_decoded_roundtrip",
     "doc_quality_model_scores",
     "doc_quality_model_calibration",
+    "unigram_seed_candidates",
+    "unigram_lm_segmented",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",

@@ -34,6 +34,7 @@ NEVER_WITNESSED = {
     "multimodal_decode_stats", "doc_quality_model_scores",
     "doc_quality_model_train", "bpe_decoded_roundtrip",
     "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
+    "unigram_seed_candidates", "unigram_lm_segmented",
 }
 
 #: every operator family must have at least one representative with driver
@@ -74,6 +75,7 @@ FAMILY_REPRESENTATIVES = {
     "quality_model": {"doc_quality_model_scores", "doc_quality_model_train"},
     "bpe_lifecycle": {"bpe_trained_merges", "bpe_encoded_corpus",
                       "bpe_decoded_roundtrip"},
+    "unigram_lm": {"unigram_seed_candidates", "unigram_lm_segmented"},
     "streaming": {f"stream_{s}" for s in (
         "events_hourly", "events_sessionized", "dedup_user_event_keys",
         "stateful_running_totals", "user_value_totals",

@@ -88,6 +88,8 @@ QUERIES = [
     ("bpe_decoded_roundtrip", "documents"),
     ("doc_quality_model_scores", "documents"),
     ("doc_quality_model_calibration", "documents"),
+    ("unigram_seed_candidates", "documents"),
+    ("unigram_lm_segmented", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
