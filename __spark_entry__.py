@@ -12,7 +12,7 @@ priority order: the driver's correctness budget is a prefix of this dict.
 Round-7 rotation: the freeze is lifted (round-6 closed the evidence
 gap). The prefix leads with multimodal_decode_stats — the only
 oracle-backed query whose lone driver row predates its oracle (VERDICT
-r6 ask #2) — then the three queries declared this round, then the
+r6 ask #2) — then the seven queries declared this round, then the
 round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
 (including the two queries whose CODE changed this round), and the
 changed pareto kernel. The ordering contract lives in
@@ -65,7 +65,7 @@ CHECK_PRIORITY = [
     # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
     # Head: the one oracle-backed query whose only driver row (r2)
     # PREDATES its oracle — its hash-match claim needs a driver proof —
-    # followed by the three queries declared this round (zero driver
+    # followed by the seven queries declared this round (zero driver
     # rows). Ordering contract: tests/test_registry_order.py.
     "multimodal_decode_stats",
     "doc_quality_model_scores",

@@ -215,13 +215,17 @@ QUALITY_COEFS: list[str] = [
 ]
 
 
-def _sql_quality_scores() -> str:
+def _sql_margin_ctes() -> str:
+    """The frozen-model margin pipeline as DuckDB CTEs ending in
+    ``m(doc_id, s)`` — THE single definition both the scoring and the
+    calibration oracle compose (r7 review: the block had been duplicated,
+    so a retrain applied to one oracle but not the other would make the
+    two disagree about the same frozen model)."""
     coef_rows = ",\n        ".join(
         f"({i}, CAST('{c}' AS DECIMAL(12,6)))"
         for i, c in enumerate(QUALITY_COEFS)
     )
-    return f"""
-    WITH w AS (
+    return f"""w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
     ),
@@ -237,56 +241,42 @@ def _sql_quality_scores() -> str:
         SELECT b.doc_id, CAST(SUM(coef.c) AS DECIMAL(38,6)) AS s
         FROM b JOIN coef ON b.bucket = coef.bucket
         GROUP BY b.doc_id
-    )
+    )"""
+
+
+#: the decimal margin expression over the joined ``m.s`` column
+_SQL_MARGIN = (
+    f"CAST('{{intercept}}' AS DECIMAL(12,6))"
+    " + COALESCE(m.s, CAST(0 AS DECIMAL(38,6)))"
+).format(intercept=QUALITY_INTERCEPT)
+
+
+def _sql_quality_scores() -> str:
+    return f"""
+    WITH {_sql_margin_ctes()}
     SELECT d.doc_id,
-           CAST(CAST('{QUALITY_INTERCEPT}' AS DECIMAL(12,6))
-                + COALESCE(m.s, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
-               AS quality_margin,
-           CASE WHEN CAST('{QUALITY_INTERCEPT}' AS DECIMAL(12,6))
-                     + COALESCE(m.s, CAST(0 AS DECIMAL(38,6))) > 0
-                THEN 1 ELSE 0 END AS pred_quality
+           CAST({_SQL_MARGIN} AS DOUBLE) AS quality_margin,
+           CASE WHEN {_SQL_MARGIN} > 0 THEN 1 ELSE 0 END AS pred_quality
     FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
     """
 
 
 def _sql_quality_calibration() -> str:
-    from airflow_ml_pipeline_spark.functions.text import STOPWORDS_EN
+    # the heuristic gate restated with textstats' own stopword fragment
+    # (one source of truth for the list; r7 review)
+    from airflow_ml_pipeline_spark.operators.textstats import _SQL_STOP
 
-    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    coef_rows = ",\n        ".join(
-        f"({i}, CAST('{c}' AS DECIMAL(12,6)))"
-        for i, c in enumerate(QUALITY_COEFS)
-    )
     return f"""
-    WITH w AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents
-    ),
-    b AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
-                   % {N_QUALITY_BUCKETS} AS bucket
-        FROM w WHERE word != ''
-    ),
-    coef(bucket, c) AS (VALUES
-        {coef_rows}),
-    m AS (
-        SELECT b.doc_id, CAST(SUM(coef.c) AS DECIMAL(38,6)) AS s
-        FROM b JOIN coef ON b.bucket = coef.bucket
-        GROUP BY b.doc_id
-    ),
+    WITH {_sql_margin_ctes()},
     scores AS (
-        SELECT d.doc_id,
-               CAST(CAST('{QUALITY_INTERCEPT}' AS DECIMAL(12,6))
-                    + COALESCE(m.s, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
-                   AS margin
+        SELECT d.doc_id, CAST({_SQL_MARGIN} AS DOUBLE) AS margin
         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
     ),
     heur AS (
         SELECT doc_id,
                CASE WHEN len(string_split(text, ' ')) >= 20
                      AND CAST(len(list_filter(string_split(text, ' '),
-                         t -> t IN ({stop}))) AS DOUBLE)
+                         t -> t IN ({_SQL_STOP}))) AS DOUBLE)
                          / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
                     THEN 1 ELSE 0 END AS quality_pass
         FROM documents

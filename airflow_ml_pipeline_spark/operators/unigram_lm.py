@@ -47,7 +47,9 @@ SEED_MAX_LEN = 6
 SEED_TOP_K = 16
 
 #: objective multiplier: must exceed the max piece count per word
-#: (corpus max word length is 8; asserted generously here)
+#: (corpus max word length is 8; enforced per row by the assert_true
+#: guard in viterbi_obj — a longer token fails the job rather than
+#: silently corrupting the encoding identically in both engines)
 _OBJ_M = 128
 
 
@@ -192,7 +194,21 @@ def viterbi_obj(word: Column) -> Column:
         F.array(F.lit(0).cast("bigint")),
         step,
     )
-    return F.element_at(dp, F.length(word) + 1)
+    # the objective encoding (128·Σscore − n_pieces) is only a valid
+    # lexicographic order while n_pieces ≤ word length < _OBJ_M; a
+    # 128+-char token would corrupt it IDENTICALLY in both engines, so
+    # the oracle could never catch it — fail the job instead of
+    # reporting wrong numbers (assert_true returns NULL on success, so
+    # the coalesce adds 0 to the objective)
+    guard = F.assert_true(
+        F.length(word) < _OBJ_M,
+        F.concat(
+            F.lit(f"unigram viterbi: word length must be < {_OBJ_M}: "), word
+        ),
+    )
+    return F.element_at(dp, F.length(word) + 1) + F.coalesce(
+        guard.cast("bigint"), F.lit(0)
+    )
 
 
 def _sql_viterbi_dp() -> str:

@@ -277,6 +277,71 @@ def stream_errors_before_purchase_pairs(spark: SparkSession, sf_dir: str) -> Dat
     return run_available_now(joined, output_mode="append", skip_no_data_batch=True)
 
 
+def errors_before_purchase_outer_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The un-run left-outer interval-join streaming plan — ONE
+    definition shared by the declared query and the no-data-batch
+    negative test (r7 review: the test had hand-copied the 45-line
+    plan). Fails fast when either side of the join is absent from the
+    corpus: an empty stream's watermark never advances, so no NULL row
+    would ever emit while the batch oracle (whose LEAST skips the NULL
+    max) still would — an undecidable configuration, not a silent one."""
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    maxes = {
+        r.event_type: r.m
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()
+    }
+    missing = {"purchase", "error"} - set(maxes)
+    if missing:
+        raise ValueError(
+            "stream_errors_before_purchase_outer: corpus has no "
+            f"{sorted(missing)} events — an empty join side's watermark "
+            "never advances, so outer-join parity is undecidable"
+        )
+    cutoff_us = min(maxes.values()) - 7_200_000_000
+    delay = "1 minute"
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", delay)
+    )
+    return (
+        purchases.join(
+            errors,
+            F.expr(
+                "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR"
+                " AND e_ts < p_ts"
+            ),
+            "leftOuter",
+        )
+        .filter(F.unix_micros("p_ts") <= F.lit(cutoff_us))
+        .select("purchase_id", "error_id")
+    )
+
+
 @query(
     "stream_errors_before_purchase_outer",
     oracle="""
@@ -327,54 +392,12 @@ def stream_errors_before_purchase_outer(
     bounded at (input rate × ~1h window) — the corpus replays as ONE
     data micro-batch (single parquet file, no intra-batch late drops by
     construction), then the no-data batch advances the watermark and
-    flushes the unmatched-purchase state."""
-    from pyspark.sql import functions as F
-
-    from airflow_ml_pipeline_spark.sources.catalog import load_table
-
-    cutoff_us = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "error"))
-        .groupBy("event_type")
-        .agg(F.max(F.unix_micros("ts")).alias("m"))
-        .agg(F.min("m").alias("c"))
-        .collect()[0][0]
-        - 7_200_000_000
+    flushes the unmatched-purchase state. Plan construction (shared with
+    the negative test): :func:`errors_before_purchase_outer_plan`."""
+    return run_available_now(
+        errors_before_purchase_outer_plan(spark, sf_dir),
+        output_mode="append",
     )
-    delay = "1 minute"
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", delay)
-    )
-    errors = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", delay)
-    )
-    joined = (
-        purchases.join(
-            errors,
-            F.expr(
-                "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR"
-                " AND e_ts < p_ts"
-            ),
-            "leftOuter",
-        )
-        .filter(F.unix_micros("p_ts") <= F.lit(cutoff_us))
-        .select("purchase_id", "error_id")
-    )
-    return run_available_now(joined, output_mode="append")
 
 
 @query(

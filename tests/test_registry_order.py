@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
 #: queries whose oracle has no driver hash proof as of round-7 start:
-#: the three queries declared in round 7 (no driver row at all) plus
+#: the seven queries declared in round 7 (no driver row at all) plus
 #: multimodal_decode_stats, whose only driver row (r2) predates its
 #: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
 #: has a post-oracle driver row

@@ -303,16 +303,10 @@ def test_outer_join_null_rows_need_the_no_data_batch(spark, sf_dir):
     Running the same plan with the skip enabled must LOSE those rows —
     proving the shape-based skip policy (on-arrival shapes only) is
     load-bearing, not folklore."""
-    from pyspark.sql import functions as F
-
     from airflow_ml_pipeline_spark.streaming.queries import (
+        errors_before_purchase_outer_plan,
         stream_errors_before_purchase_outer,
     )
-    from airflow_ml_pipeline_spark.streaming.sources import (
-        read_events_stream,
-        run_available_now,
-    )
-    from airflow_ml_pipeline_spark.sources.catalog import load_table
 
     full = {
         (r.purchase_id, r.error_id)
@@ -321,51 +315,14 @@ def test_outer_join_null_rows_need_the_no_data_batch(spark, sf_dir):
     nulls = {p for p, e in full if e is None}
     assert nulls, "the corpus has unmatched purchases in the decided region"
 
-    cutoff_us = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "error"))
-        .groupBy("event_type")
-        .agg(F.max(F.unix_micros("ts")).alias("m"))
-        .agg(F.min("m").alias("c"))
-        .collect()[0][0]
-        - 7_200_000_000
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 minute")
-    )
-    errors = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", "1 minute")
-    )
-    joined = (
-        purchases.join(
-            errors,
-            F.expr(
-                "e_user = p_user AND e_ts >= p_ts - INTERVAL 1 HOUR"
-                " AND e_ts < p_ts"
-            ),
-            "leftOuter",
-        )
-        .filter(F.unix_micros("p_ts") <= F.lit(cutoff_us))
-        .select("purchase_id", "error_id")
-    )
+    # the IDENTICAL plan (shared builder — no hand-copied replica to
+    # drift), run with the trailing no-data batch skipped
     skipped = {
         (r.purchase_id, r.error_id)
         for r in run_available_now(
-            joined, output_mode="append", skip_no_data_batch=True
+            errors_before_purchase_outer_plan(spark, sf_dir),
+            output_mode="append",
+            skip_no_data_batch=True,
         ).collect()
     }
     assert not {(p, e) for p, e in skipped if e is None}, (

@@ -26,7 +26,9 @@ def main() -> None:
     rows = unigram_seed_candidates(spark, sf_dir).collect()
     print("UNIGRAM_FROZEN_PIECES: list[tuple[str, int]] = [")
     for r in rows:
-        print(f'    ("{r.piece}", {int(r.score)}),')
+        # !r: a piece containing a quote/backslash must render as valid
+        # Python source, not break the generated literal (r7 review)
+        print(f"    ({r.piece!r}, {int(r.score)}),")
     print("]")
 
 
