@@ -12,7 +12,7 @@ priority order: the driver's correctness budget is a prefix of this dict.
 Round-7 rotation: the freeze is lifted (round-6 closed the evidence
 gap). The prefix leads with multimodal_decode_stats — the only
 oracle-backed query whose lone driver row predates its oracle (VERDICT
-r6 ask #2) — then the seven queries declared this round, then the
+r6 ask #2) — then the eight queries declared this round, then the
 round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
 (including the two queries whose CODE changed this round), and the
 changed pareto kernel. The ordering contract lives in
@@ -65,7 +65,7 @@ CHECK_PRIORITY = [
     # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
     # Head: the one oracle-backed query whose only driver row (r2)
     # PREDATES its oracle — its hash-match claim needs a driver proof —
-    # followed by the seven queries declared this round (zero driver
+    # followed by the eight queries declared this round (zero driver
     # rows). Ordering contract: tests/test_registry_order.py.
     "multimodal_decode_stats",
     "doc_quality_model_scores",
@@ -75,6 +75,7 @@ CHECK_PRIORITY = [
     "stream_errors_before_purchase_outer",
     "unigram_seed_candidates",
     "unigram_lm_segmented",
+    "stream_doc_quality_scores",
     # -- last witnessed in round 2 (the oldest remaining evidence; the
     # r1 cohort was fully re-witnessed in r6) --
     "ann_ivf_topk",
@@ -109,8 +110,8 @@ CHECK_PRIORITY = [
     "token_frequencies",
     # -- round-3 cohort picks (next-oldest evidence): the streaming set
     # (stream_stateful_running_totals' code CHANGED this round — the
-    # no-data-batch skip — so its r3 row predates the code), temporal
-    # shapes, and the text/PII family --
+    # no-data-batch skip — so its r3 row predates the code) and the
+    # temporal shapes --
     "stream_stateful_running_totals",
     "stream_dedup_user_event_keys",
     "stream_errors_before_purchase_pairs",
@@ -121,20 +122,21 @@ CHECK_PRIORITY = [
     "events_trailing_burst",
     "purchase_last_view_asof",
     "local_supplier_revenue",
-    "user_value_totals_salted",
     # -- changed-code re-witness: the pareto kernel gained the pinned
     # revenue-rollup checkpoint this round; its r5 row predates it --
     "customer_pareto_class",
     # --- tier 2: checked only if the driver budget exceeds the prefix,
     # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
-    # Four r3-witnessed queries ceded their prefix slots to the round-7
+    # Five r3-witnessed queries ceded their prefix slots to the round-7
     # additions (zero evidence > r3 evidence); their families keep
     # committed-green rows or live prefix anchors (doc_quality,
-    # doc_length_zscore_by_lang, corpus_shuffled_shards et al.) --
+    # doc_length_zscore_by_lang, corpus_shuffled_shards,
+    # user_value_totals_salted's salted-agg twin et al.) --
     "doc_unigram_logprob",
     "doc_pii_scrub",
     "customer_pseudonymized",
     "langid_heuristic",
+    "user_value_totals_salted",
     "brand_supplier_counts",
     "corpus_decontaminated",
     "corpus_weighted_sample",

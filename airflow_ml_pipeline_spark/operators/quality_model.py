@@ -319,6 +319,66 @@ def doc_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def margin_fold(text: Column) -> Column:
+    """The frozen-model margin as a PER-ROW JVM-side fold over the token
+    array — no explode, no shuffle, no join: the stateless formulation
+    that scores a document the moment it arrives (ingest-time
+    filtering). Decimal addition is order-exact, so the fold equals the
+    aggregate formulation bit-for-bit (metamorphic cross-check:
+    tests/test_quality_model.py::test_fold_margin_equals_aggregate)."""
+    coefs = F.lit(QUALITY_COEFS).cast("array<decimal(12,6)>")
+    intercept = F.lit(QUALITY_INTERCEPT).cast("decimal(38,6)")
+    toks = F.filter(tokens(text), lambda w: w != F.lit(""))
+    return F.aggregate(
+        toks,
+        intercept,
+        lambda acc, w: (
+            acc
+            + F.coalesce(
+                F.element_at(coefs, (quality_bucket(w) + 1).cast("int")),
+                F.lit(0).cast("decimal(12,6)"),
+            )
+        ).cast("decimal(38,6)"),
+    )
+
+
+@query("stream_doc_quality_scores", oracle=_sql_quality_scores())
+def stream_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality scoring: the frozen model applied to a
+    REPLAYED document stream (the multi-file staging the dedup ingester
+    uses, one micro-batch per file) as a pure stateless projection — the
+    deployment shape where a curation pipeline actually filters, scoring
+    each document the micro-batch it arrives instead of re-scanning the
+    corpus. Same oracle as the batch `doc_quality_model_scores`: the
+    stream/batch equivalence check for model scoring.
+
+    Scale: zero state stores, zero shuffles — the margin is a per-row
+    fold (``margin_fold``), so throughput is bounded by scan + codegen
+    only and the no-data batch is safely skipped (nothing watermarked)."""
+    from airflow_ml_pipeline_spark.streaming.ingest import (
+        stage_documents_stream,
+    )
+    from airflow_ml_pipeline_spark.streaming.sources import run_available_now
+
+    arrivals = stage_documents_stream(spark, sf_dir)
+    schema = spark.read.parquet(arrivals).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    m = margin_fold(F.col("text"))
+    scored = stream.select(
+        "doc_id",
+        m.cast("double").alias("quality_margin"),
+        F.when(m > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred_quality"),
+    )
+    return run_available_now(
+        scored, output_mode="append", skip_no_data_batch=True
+    )
+
+
 @query("doc_quality_model_scores", oracle=_sql_quality_scores())
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the frozen learned quality model: per-document linear margin

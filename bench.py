@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_quality_model_calibration",
     "unigram_seed_candidates",
     "unigram_lm_segmented",
+    "stream_doc_quality_scores",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",

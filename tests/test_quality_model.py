@@ -110,3 +110,52 @@ def test_train_metrics_row_beats_majority_baseline(spark, sf_dir):
     assert 0.0 <= r.train_accuracy <= 1.0
     assert r.train_auc > 0.5
     assert r.coef_l2norm >= 0.0
+
+
+def test_fold_margin_equals_aggregate(spark, sf_dir):
+    """Metamorphic cross-check between the two frozen-model
+    formulations: the per-row fold (stateless streaming shape) must
+    equal the explode+aggregate batch shape bit-for-bit on every corpus
+    doc — decimal addition is order-exact, so any divergence is a
+    formulation bug, not float noise."""
+    from airflow_ml_pipeline_spark.operators.quality_model import (
+        doc_quality_model_scores,
+        margin_fold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = {
+        r.doc_id: (r.m, r.p)
+        for r in docs.select(
+            "doc_id",
+            margin_fold(F.col("text")).cast("double").alias("m"),
+            F.when(margin_fold(F.col("text")) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("p"),
+        ).collect()
+    }
+    agg = {
+        r.doc_id: (r.quality_margin, r.pred_quality)
+        for r in doc_quality_model_scores(spark, sf_dir).collect()
+    }
+    assert fold == agg
+
+
+def test_stream_scores_equal_batch(spark, sf_dir):
+    """Stream/batch equivalence for model scoring: replaying the corpus
+    through the multi-micro-batch ingest stage scores every document
+    identically to the batch query."""
+    from airflow_ml_pipeline_spark.operators.quality_model import (
+        doc_quality_model_scores,
+        stream_doc_quality_scores,
+    )
+
+    stream = {
+        r.doc_id: (r.quality_margin, r.pred_quality)
+        for r in stream_doc_quality_scores(spark, sf_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.quality_margin, r.pred_quality)
+        for r in doc_quality_model_scores(spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
 #: queries whose oracle has no driver hash proof as of round-7 start:
-#: the seven queries declared in round 7 (no driver row at all) plus
+#: the eight queries declared in round 7 (no driver row at all) plus
 #: multimodal_decode_stats, whose only driver row (r2) predates its
 #: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
 #: has a post-oracle driver row
@@ -35,6 +35,7 @@ NEVER_WITNESSED = {
     "doc_quality_model_train", "bpe_decoded_roundtrip",
     "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
     "unigram_seed_candidates", "unigram_lm_segmented",
+    "stream_doc_quality_scores",
 }
 
 #: every operator family must have at least one representative with driver

@@ -90,6 +90,7 @@ QUERIES = [
     ("doc_quality_model_calibration", "documents"),
     ("unigram_seed_candidates", "documents"),
     ("unigram_lm_segmented", "documents"),
+    ("stream_doc_quality_scores", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
