@@ -12,7 +12,7 @@ priority order: the driver's correctness budget is a prefix of this dict.
 Round-7 rotation: the freeze is lifted (round-6 closed the evidence
 gap). The prefix leads with multimodal_decode_stats — the only
 oracle-backed query whose lone driver row predates its oracle (VERDICT
-r6 ask #2) — then the eight queries declared this round, then the
+r6 ask #2) — then the nine queries declared this round, then the
 round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
 (including the two queries whose CODE changed this round), and the
 changed pareto kernel. The ordering contract lives in
@@ -65,7 +65,7 @@ CHECK_PRIORITY = [
     # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
     # Head: the one oracle-backed query whose only driver row (r2)
     # PREDATES its oracle — its hash-match claim needs a driver proof —
-    # followed by the eight queries declared this round (zero driver
+    # followed by the nine queries declared this round (zero driver
     # rows). Ordering contract: tests/test_registry_order.py.
     "multimodal_decode_stats",
     "doc_quality_model_scores",
@@ -76,6 +76,7 @@ CHECK_PRIORITY = [
     "unigram_seed_candidates",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
+    "corpus_model_quality_filtered",
     # -- last witnessed in round 2 (the oldest remaining evidence; the
     # r1 cohort was fully re-witnessed in r6) --
     "ann_ivf_topk",
@@ -121,13 +122,12 @@ CHECK_PRIORITY = [
     "events_funnel",
     "events_trailing_burst",
     "purchase_last_view_asof",
-    "local_supplier_revenue",
     # -- changed-code re-witness: the pareto kernel gained the pinned
     # revenue-rollup checkpoint this round; its r5 row predates it --
     "customer_pareto_class",
     # --- tier 2: checked only if the driver budget exceeds the prefix,
     # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
-    # Five r3-witnessed queries ceded their prefix slots to the round-7
+    # Six r3-witnessed queries ceded their prefix slots to the round-7
     # additions (zero evidence > r3 evidence); their families keep
     # committed-green rows or live prefix anchors (doc_quality,
     # doc_length_zscore_by_lang, corpus_shuffled_shards,
@@ -137,6 +137,7 @@ CHECK_PRIORITY = [
     "customer_pseudonymized",
     "langid_heuristic",
     "user_value_totals_salted",
+    "local_supplier_revenue",
     "brand_supplier_counts",
     "corpus_decontaminated",
     "corpus_weighted_sample",

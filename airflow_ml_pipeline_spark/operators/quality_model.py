@@ -319,6 +319,62 @@ def doc_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _sql_model_filtered() -> str:
+    from airflow_ml_pipeline_spark.operators.textstats import _SQL_STOP
+
+    return f"""
+    WITH {_sql_margin_ctes()},
+    scores AS (
+        SELECT d.doc_id, CAST({_SQL_MARGIN} AS DOUBLE) AS margin
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           round(s.margin, 6) AS quality_margin
+    FROM documents d
+    JOIN scores s ON d.doc_id = s.doc_id
+    WHERE s.margin > 0
+      AND len(string_split(d.text, ' ')) >= 20
+      AND CAST(len(list_filter(string_split(d.text, ' '),
+          t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+          / len(string_split(d.text, ' ')) BETWEEN 0.01 AND 0.6
+    """
+
+
+@query("corpus_model_quality_filtered", oracle=_sql_model_filtered())
+def corpus_model_quality_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation ACTION the model exists for: the corpus filtered by
+    the conjunctive ensemble — learned-model margin > 0 AND the
+    heuristic gate (the belt-and-suspenders policy production pipelines
+    run: the model catches fluent garbage the thresholds miss, the
+    thresholds catch the model's blind spots). Output is the surviving
+    docs with their margin — the frame downstream packing/sharding
+    consumes.
+
+    Scale: the margin lineage is the one exploded-token aggregate, the
+    heuristic flags are per-row expressions, and the final join is
+    doc-keyed; nothing new shuffles beyond the scorer itself."""
+    from airflow_ml_pipeline_spark.operators.textstats import doc_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = doc_quality_model_scores(spark, sf_dir)
+    heur = doc_quality(spark, sf_dir).select("doc_id", "quality_pass")
+    return (
+        docs.join(scores, "doc_id")
+        .join(heur, "doc_id")
+        .filter((F.col("pred_quality") == 1) & (F.col("quality_pass") == 1))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.round("quality_margin", 6).alias("quality_margin"),
+        )
+    )
+
+
 def margin_fold(text: Column) -> Column:
     """The frozen-model margin as a PER-ROW JVM-side fold over the token
     array — no explode, no shuffle, no join: the stateless formulation

@@ -102,6 +102,7 @@ HEADLINE = [
     "unigram_seed_candidates",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
+    "corpus_model_quality_filtered",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
 #: queries whose oracle has no driver hash proof as of round-7 start:
-#: the eight queries declared in round 7 (no driver row at all) plus
+#: the nine queries declared in round 7 (no driver row at all) plus
 #: multimodal_decode_stats, whose only driver row (r2) predates its
 #: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
 #: has a post-oracle driver row
@@ -35,7 +35,7 @@ NEVER_WITNESSED = {
     "doc_quality_model_train", "bpe_decoded_roundtrip",
     "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
     "unigram_seed_candidates", "unigram_lm_segmented",
-    "stream_doc_quality_scores",
+    "stream_doc_quality_scores", "corpus_model_quality_filtered",
 }
 
 #: every operator family must have at least one representative with driver
@@ -73,7 +73,8 @@ FAMILY_REPRESENTATIVES = {
                  "events_sessionized", "events_gap_fill",
                  "errors_before_purchase", "orders_by_weekday"},
     "retrieval": {"bm25_topk", "retrieval_rrf_fused"},
-    "quality_model": {"doc_quality_model_scores", "doc_quality_model_train"},
+    "quality_model": {"doc_quality_model_scores", "doc_quality_model_train",
+                      "corpus_model_quality_filtered"},
     "bpe_lifecycle": {"bpe_trained_merges", "bpe_encoded_corpus",
                       "bpe_decoded_roundtrip"},
     "unigram_lm": {"unigram_seed_candidates", "unigram_lm_segmented"},

@@ -91,6 +91,7 @@ QUERIES = [
     ("unigram_seed_candidates", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("stream_doc_quality_scores", "documents"),
+    ("corpus_model_quality_filtered", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
