@@ -95,14 +95,25 @@ def _bucketed_row_number(
     offset_order: list[Column],
     in_order: list[Column],
     out: str,
+    offset_partition: list[str] | None = None,
 ) -> DataFrame:
-    """Phase 2 of the two-phase global window, shared by both rank
+    """Phase 2 of the two-phase global window, shared by all rank
     kernels: one tiny per-bucket count frame, a bounded window over it
     for cumulative global offsets (broadcast back), then ``row_number``
     WITHIN buckets in parallel. ``offset_order`` must walk the buckets in
-    global output order; ``in_order`` orders rows inside one bucket."""
+    global output order; ``in_order`` orders rows inside one bucket.
+    With ``offset_partition`` the offsets window restarts per partition
+    key, turning the global rank into a per-class rank (the
+    :func:`class_row_number` shape); the partition columns must be a
+    prefix of ``bucket_cols`` so every row joins its own class's
+    offsets."""
     counts = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    w_off = Window.orderBy(*offset_order).rowsBetween(
+    w_base = (
+        Window.partitionBy(*offset_partition)
+        if offset_partition
+        else Window
+    )
+    w_off = w_base.orderBy(*offset_order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
@@ -251,3 +262,48 @@ def global_row_number_tied(
         [F.asc(tie_col)],
         out,
     ).drop("__sub", "__cls")
+
+
+def class_row_number(
+    df: DataFrame,
+    cls: str,
+    value: str,
+    tiebreak: list[Column],
+    n_buckets: int,
+    descending: bool = False,
+    out: str = "rk",
+) -> DataFrame:
+    """``df`` plus an ``out`` BIGINT column holding the exact per-class
+    ``row_number() OVER (PARTITION BY cls ORDER BY value [DESC],
+    *tiebreak)`` — without one serial window task per class. A
+    low-cardinality class column (five languages, a handful of sources)
+    makes ``Window.partitionBy(cls)`` degenerate at scale exactly the way
+    the unpartitioned global window does: each class is one task. Here the
+    rows bucket by GLOBAL equi-depth cuts on ``value`` (one eager bounded
+    aggregate; global cuts are monotone within every class too, so
+    per-class order is preserved and ties never split), per-(class,
+    bucket) offsets come from one tiny count frame whose window restarts
+    per class, and ``row_number`` runs within (class, bucket) partitions —
+    parallelism ~n_buckets per class regardless of class count.
+
+    The class key rides as a single-field STRUCT through the counts
+    aggregation and offsets equi-join, so NULL-class rows survive and
+    rank inside their own NULL class (the ADVICE-r6 null-safety pattern
+    from :func:`global_row_number_tied`). NULL ``value`` rows land in
+    bucket 0 per :func:`bucket_by_cuts` — the single-window placement.
+
+    ``df`` is scanned twice (cuts aggregate + probe) plus once more by the
+    counts aggregate; callers whose ``df`` is an expensive lineage should
+    pin it with ``localCheckpoint(eager=False)`` first."""
+    b = df.withColumn(
+        "__cls", F.struct(F.col(cls).alias("k"))
+    ).withColumn("__bucket", equi_depth_bucket(df, value, n_buckets))
+    ranked = _bucketed_row_number(
+        b,
+        ["__cls", "__bucket"],
+        [F.desc("__bucket") if descending else F.asc("__bucket")],
+        [F.desc(value) if descending else F.asc(value), *tiebreak],
+        out,
+        offset_partition=["__cls"],
+    )
+    return ranked.drop("__bucket", "__cls")

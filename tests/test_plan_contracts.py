@@ -497,3 +497,44 @@ def test_global_row_number_tied_random_parity(freq_by_tok, descending):
         ).collect()
     }
     assert got == expected
+
+
+def test_class_row_number_matches_partitioned_window(spark):
+    """The per-class two-phase rank must be bit-identical to
+    ``row_number() OVER (PARTITION BY cls ORDER BY v [DESC], k)`` —
+    including NULL-class rows (struct-wrapped key) and NULL values
+    (bucket-0 placement) — on a skewed fixture where one class holds 80%
+    of the rows (the shape a per-class serial window degenerates on)."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.functions.prefix import class_row_number
+
+    df = spark.range(4_000).selectExpr(
+        "id AS k",
+        # one dominant class, a few small ones, and a NULL class
+        "CASE WHEN id % 10 < 8 THEN 'en' "
+        "WHEN id % 10 = 8 THEN concat('l', id % 3) "
+        "ELSE NULL END AS cls",
+        # ties plus a dense band, with some NULL values sprinkled in
+        "CASE WHEN id % 97 = 0 THEN NULL "
+        "WHEN id % 5 < 3 THEN CAST(id % 7 AS DOUBLE) "
+        "ELSE 50.0 + (id % 40) / 10.0 END AS v",
+    )
+    for descending in (False, True):
+        order = F.desc("v") if descending else F.asc("v")
+        expected = {
+            (r.k, r.rk)
+            for r in df.withColumn(
+                "rk",
+                F.row_number()
+                .over(Window.partitionBy("cls").orderBy(order, F.asc("k")))
+                .cast("bigint"),
+            ).collect()
+        }
+        got = {
+            (r.k, r.rk)
+            for r in class_row_number(
+                df, "cls", "v", [F.asc("k")], 16, descending=descending
+            ).collect()
+        }
+        assert got == expected, f"descending={descending}"
