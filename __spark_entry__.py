@@ -12,7 +12,7 @@ priority order: the driver's correctness budget is a prefix of this dict.
 Round-7 rotation: the freeze is lifted (round-6 closed the evidence
 gap). The prefix leads with multimodal_decode_stats — the only
 oracle-backed query whose lone driver row predates its oracle (VERDICT
-r6 ask #2) — then the nine queries declared this round, then the
+r6 ask #2) — then the thirteen queries declared this round, then the
 round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
 (including the two queries whose CODE changed this round), and the
 changed pareto kernel. The ordering contract lives in
@@ -54,6 +54,7 @@ import airflow_ml_pipeline_spark.operators.manifest  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.analytics  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.quality_model  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.unigram_lm  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.selection  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.queries  # noqa: F401,E402
 import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
@@ -65,7 +66,7 @@ CHECK_PRIORITY = [
     # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
     # Head: the one oracle-backed query whose only driver row (r2)
     # PREDATES its oracle — its hash-match claim needs a driver proof —
-    # followed by the nine queries declared this round (zero driver
+    # followed by the thirteen queries declared this round (zero driver
     # rows). Ordering contract: tests/test_registry_order.py.
     "multimodal_decode_stats",
     "doc_quality_model_scores",
@@ -77,6 +78,10 @@ CHECK_PRIORITY = [
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
     "corpus_model_quality_filtered",
+    "doc_dsir_weights",
+    "doc_ppl_buckets",
+    "lang_temperature_rates",
+    "corpus_lang_temperature_sampled",
     # -- last witnessed in round 2 (the oldest remaining evidence; the
     # r1 cohort was fully re-witnessed in r6) --
     "ann_ivf_topk",
@@ -118,20 +123,21 @@ CHECK_PRIORITY = [
     "stream_errors_before_purchase_pairs",
     "stream_events_sessionized",
     "stream_events_sliding",
-    "events_sessionized",
-    "events_funnel",
-    "events_trailing_burst",
-    "purchase_last_view_asof",
     # -- changed-code re-witness: the pareto kernel gained the pinned
     # revenue-rollup checkpoint this round; its r5 row predates it --
     "customer_pareto_class",
     # --- tier 2: checked only if the driver budget exceeds the prefix,
     # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
-    # Six r3-witnessed queries ceded their prefix slots to the round-7
-    # additions (zero evidence > r3 evidence); their families keep
-    # committed-green rows or live prefix anchors (doc_quality,
-    # doc_length_zscore_by_lang, corpus_shuffled_shards,
-    # user_value_totals_salted's salted-agg twin et al.) --
+    # Ten r3-witnessed queries ceded their prefix slots to the round-7
+    # additions (zero evidence > r3 evidence) — the last two temporal
+    # picks and four more here when the selection/mixing quartet landed;
+    # their families keep committed-green rows or live prefix anchors
+    # (doc_quality, doc_length_zscore_by_lang, corpus_shuffled_shards,
+    # stream_events_sessionized et al.) --
+    "events_sessionized",
+    "events_funnel",
+    "events_trailing_burst",
+    "purchase_last_view_asof",
     "doc_unigram_logprob",
     "doc_pii_scrub",
     "customer_pseudonymized",

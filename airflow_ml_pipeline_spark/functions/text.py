@@ -51,3 +51,20 @@ def word_token_count(text: Column) -> Column:
     """BPE-ish token proxy: count of letter/digit runs plus standalone
     punctuation marks (regexp-based, engine-portable)."""
     return F.size(F.regexp_extract_all(text, F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), 0))
+
+
+def md5_bucket(word: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 md5 hex chars as an integer,
+    mod ``n_buckets`` — deterministic and non-negative (32-bit magnitude,
+    no sign wrap), restated in DuckDB as
+    ``CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) % n``. The single
+    md5-bucket definition shared by the frozen quality model's feature
+    space and the DSIR hashed-n-gram buckets; Spark ML's HashingTF
+    (murmur3, JVM-seeded) is NOT restatable in DuckDB, which would leave
+    any consumer un-oracle-checkable."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def sql_md5_bucket(expr: str, n_buckets: int) -> str:
+    """DuckDB twin of :func:`md5_bucket`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {n_buckets}"

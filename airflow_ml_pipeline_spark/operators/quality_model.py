@@ -40,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_ml_pipeline_spark.functions.text import tokens
+from airflow_ml_pipeline_spark.functions.text import (
+    md5_bucket,
+    sql_md5_bucket,
+    tokens,
+)
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
 
@@ -61,10 +65,7 @@ def quality_bucket(word: Column) -> Column:
     (murmur3, JVM-seeded) is NOT restatable in DuckDB, which would leave
     the scoring function un-oracle-checkable — the whole point of
     freezing the model is that scoring becomes a pure SQL function."""
-    return (
-        F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
-        % N_QUALITY_BUCKETS
-    )
+    return md5_bucket(word, N_QUALITY_BUCKETS)
 
 
 def _doc_words(docs: DataFrame) -> DataFrame:
@@ -231,8 +232,7 @@ def _sql_margin_ctes() -> str:
     ),
     b AS (
         SELECT doc_id,
-               CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
-                   % {N_QUALITY_BUCKETS} AS bucket
+               {sql_md5_bucket("word", N_QUALITY_BUCKETS)} AS bucket
         FROM w WHERE word != ''
     ),
     coef(bucket, c) AS (VALUES

@@ -377,23 +377,34 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_unigram_logprob",
-    oracle="""
-    WITH tok AS (
+#: DuckDB CTE chain producing ``lp(doc_id, n_tokens, avg_logprob)`` — the
+#: per-document unigram-LM score on the shared decimal-ln lattice. The ONLY
+#: SQL statement of this lineage: ``doc_unigram_logprob``'s oracle selects
+#: from it verbatim, and the CCNet-style perplexity-bucket oracle
+#: (``operators/selection.py``) builds its per-language ranking on top.
+SQL_UNIGRAM_LP_CTES = """tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
     vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
-    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_corpus FROM vocab)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round((CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(25,6)))
-                       AS DOUBLE)
-                  - COUNT(*) * CAST(CAST(ln(n_corpus) AS DECIMAL(25,6))
-                       AS DOUBLE))
-                 / COUNT(*), 6) AS avg_logprob
-    FROM tok JOIN vocab USING (t) CROSS JOIN total
-    GROUP BY doc_id, n_corpus
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_corpus FROM vocab),
+    lp AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round((CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(25,6)))
+                           AS DOUBLE)
+                      - COUNT(*) * CAST(CAST(ln(n_corpus) AS DECIMAL(25,6))
+                           AS DOUBLE))
+                     / COUNT(*), 6) AS avg_logprob
+        FROM tok JOIN vocab USING (t) CROSS JOIN total
+        GROUP BY doc_id, n_corpus
+    )"""
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH {SQL_UNIGRAM_LP_CTES}
+    SELECT doc_id, n_tokens, avg_logprob FROM lp
     """,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,10 @@ HEADLINE = [
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
     "corpus_model_quality_filtered",
+    "doc_dsir_weights",
+    "doc_ppl_buckets",
+    "lang_temperature_rates",
+    "corpus_lang_temperature_sampled",
     "doc_ngram_novelty",
     "token_heavy_hitters",
     "doc_pii_scrub",

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
 #: queries whose oracle has no driver hash proof as of round-7 start:
-#: the nine queries declared in round 7 (no driver row at all) plus
+#: the thirteen queries declared in round 7 (no driver row at all) plus
 #: multimodal_decode_stats, whose only driver row (r2) predates its
 #: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
 #: has a post-oracle driver row
@@ -36,6 +36,8 @@ NEVER_WITNESSED = {
     "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
     "unigram_seed_candidates", "unigram_lm_segmented",
     "stream_doc_quality_scores", "corpus_model_quality_filtered",
+    "doc_dsir_weights", "doc_ppl_buckets",
+    "lang_temperature_rates", "corpus_lang_temperature_sampled",
 }
 
 #: every operator family must have at least one representative with driver
@@ -75,6 +77,9 @@ FAMILY_REPRESENTATIVES = {
     "retrieval": {"bm25_topk", "retrieval_rrf_fused"},
     "quality_model": {"doc_quality_model_scores", "doc_quality_model_train",
                       "corpus_model_quality_filtered"},
+    "selection": {"doc_dsir_weights", "doc_ppl_buckets",
+                  "lang_temperature_rates",
+                  "corpus_lang_temperature_sampled"},
     "bpe_lifecycle": {"bpe_trained_merges", "bpe_encoded_corpus",
                       "bpe_decoded_roundtrip"},
     "unigram_lm": {"unigram_seed_candidates", "unigram_lm_segmented"},

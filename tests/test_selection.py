@@ -1,0 +1,98 @@
+"""Semantic properties of the data-selection operators — the class of
+bug the lineage-mirroring DuckDB oracles CANNOT catch (a sign flip or an
+inverted ratio reproduces identically on both engines)."""
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators.selection import (
+    corpus_lang_temperature_sampled,
+    doc_dsir_weights,
+    doc_ppl_buckets,
+    lang_temperature_rates,
+)
+from airflow_ml_pipeline_spark.operators.textstats import doc_quality
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def test_dsir_weights_point_toward_the_target(spark, sf_dir):
+    """DSIR's premise: documents drawn from the target distribution
+    (quality-gated) must average a HIGHER importance log-weight than the
+    rest — a flipped ratio direction passes the oracle but fails this."""
+    w = doc_dsir_weights(spark, sf_dir)
+    gate = doc_quality(spark, sf_dir).select("doc_id", "quality_pass")
+    rows = (
+        w.join(gate, "doc_id")
+        .groupBy("quality_pass")
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    )
+    means = {r.quality_pass: r.m for r in rows}
+    assert set(means) == {0, 1}, "fixture must contain both classes"
+    assert means[1] > means[0]
+
+
+def test_ppl_buckets_are_exact_per_language_terciles(spark, sf_dir):
+    """Within every language the three buckets differ in size by at most
+    2 (exact rank terciles) and cover every scored document; 'head' holds
+    the lowest avg_logprob (highest perplexity)."""
+    b = doc_ppl_buckets(spark, sf_dir)
+    sizes = b.groupBy("lang", "ppl_bucket").count().collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in sizes:
+        by_lang.setdefault(r.lang, {})[r.ppl_bucket] = r["count"]
+    for lang, d in by_lang.items():
+        assert set(d) <= {"head", "middle", "tail"}
+        if sum(d.values()) >= 3:
+            assert max(d.values()) - min(d.values()) <= 2, (lang, d)
+    # head scores below tail scores, per language
+    stats = (
+        b.groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("ppl_bucket") == "head", F.col("avg_logprob")))
+            .alias("head_max"),
+            F.min(F.when(F.col("ppl_bucket") == "tail", F.col("avg_logprob")))
+            .alias("tail_min"),
+        )
+        .collect()
+    )
+    for r in stats:
+        if r.head_max is not None and r.tail_min is not None:
+            assert r.head_max <= r.tail_min, r
+
+
+def test_temperature_rates_flatten_the_distribution(spark, sf_dir):
+    """tau = 0.5 must move every language's share TOWARD uniform: the
+    largest-share language's boost < 1, the smallest's > 1, and the
+    flattened shares still sum to ~1."""
+    rows = lang_temperature_rates(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    hi = max(rows, key=lambda r: r.p_raw)
+    lo = min(rows, key=lambda r: r.p_raw)
+    assert hi.boost < 1 < lo.boost
+    assert abs(sum(r.q_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+
+
+def test_temperature_sample_keeps_all_of_the_most_boosted_lang(spark, sf_dir):
+    """The max-boost language's keep-rate is 1.0, and the md5 draw
+    u in [0,1) keeps every one of its documents; dominant languages lose
+    documents."""
+    rates = {r.lang: r for r in lang_temperature_rates(spark, sf_dir).collect()}
+    kept = (
+        corpus_lang_temperature_sampled(spark, sf_dir)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    kept_by_lang = {r.lang: r["count"] for r in kept}
+    totals = {
+        r.lang: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    best = max(rates.values(), key=lambda r: r.boost).lang
+    assert kept_by_lang[best] == totals[best]
+    dominant = max(rates.values(), key=lambda r: r.p_raw).lang
+    assert kept_by_lang.get(dominant, 0) < totals[dominant]

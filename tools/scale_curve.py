@@ -92,6 +92,10 @@ QUERIES = [
     ("unigram_lm_segmented", "documents"),
     ("stream_doc_quality_scores", "documents"),
     ("corpus_model_quality_filtered", "documents"),
+    ("doc_dsir_weights", "documents"),
+    ("doc_ppl_buckets", "documents"),
+    ("lang_temperature_rates", "documents"),
+    ("corpus_lang_temperature_sampled", "documents"),
     ("token_heavy_hitters", "documents"),
     ("embedding_pca_variance", "embeddings"),
     ("near_dup_pagerank", "documents"),
