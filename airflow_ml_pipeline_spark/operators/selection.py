@@ -147,14 +147,29 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ln is a 6dp decimal before summing (order-independent)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    n_tok = F.size("toks")
-    ratio = count_in(F.col("toks"), STOPWORDS_EN).cast("double") / n_tok
+    # the stopword/size counts MUST materialize per doc BELOW the explode:
+    # written inline with the explode, Catalyst keeps the gate CASE in the
+    # Project above Generate and its two HOF stopword scans re-run per
+    # TOKEN row — O(len^2) per document (measured 4.5x the skeleton twin).
+    # Each alias is referenced 2-3x downstream so the projection survives
+    # CollapseProject (the doc_quality pattern); only integer arithmetic
+    # rides above the Generate.
+    counts = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tok"),
+        count_in(F.col("toks"), STOPWORDS_EN).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tok")
     gate = (
-        F.when((n_tok >= 20) & (ratio >= 0.01) & (ratio <= 0.6), F.lit(1))
+        F.when(
+            (F.col("n_tok") >= 20) & (ratio >= 0.01) & (ratio <= 0.6),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .alias("gate")
     )
-    bkt = base.select(
+    bkt = counts.select(
         "doc_id", gate, F.explode("toks").alias("t")
     ).select("doc_id", "gate", md5_bucket(F.col("t"), DSIR_BUCKETS).alias("b"))
     bc = bkt.groupBy("b").agg(
