@@ -332,10 +332,11 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "near_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE toks AS (
+#: DuckDB recursive-CTE chain producing ``cc(doc_id, cluster_id)`` — the
+#: exact near-dup connected components (J >= 0.5 verified pairs). The ONE
+#: statement of the cluster lineage: ``near_dup_clusters``'s oracle reads
+#: it verbatim and the source-priority canonicalization builds on it.
+_SQL_CC_CTES = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
@@ -370,7 +371,13 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
         UNION
         SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.doc_id
     ),
-    cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+    cc AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES}
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM cc
@@ -404,6 +411,74 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+#: doc_id headroom in the (priority, doc_id) arg-min encoding — one
+#: bigint carries both, exact while doc_id < 10^12 and priority < 9e6
+#: (asserted nowhere: the synthetic ids are dense from 0; a production
+#: deploy re-keys or widens to a struct min).
+_PRIO_KEY = 10**12
+
+
+@query(
+    "near_dup_canonical_by_source",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    j AS (
+        SELECT cc.doc_id, cc.cluster_id,
+               CAST(substr(d.source, 4) AS BIGINT) AS prio
+        FROM cc JOIN documents d USING (doc_id)
+    ),
+    k AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(prio * {_PRIO_KEY} + doc_id) AS mk
+        FROM j GROUP BY cluster_id
+    )
+    SELECT cluster_id, cluster_size,
+           CAST(mk % {_PRIO_KEY} AS BIGINT) AS keep_doc_id,
+           'src' || CAST(mk // {_PRIO_KEY} AS VARCHAR) AS keep_source,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM k
+    """,
+)
+def near_dup_canonical_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source canonicalization — the policy curation teams actually
+    apply on top of near-dup clusters: when copies of a document exist in
+    several sources, KEEP the copy from the most-trusted source (the
+    'prefer Wikipedia over CommonCrawl' rule) and drop the rest. Here the
+    priority order is the source's numeric suffix ascending (src0 most
+    trusted) — the stand-in for the curated source-priority table a
+    production pipeline broadcasts; the composition, not the rule, is the
+    operator.
+
+    Arg-min is one integer key ``priority * 10^12 + doc_id`` (ties inside
+    a source break to the lowest doc_id), so canonical selection is a
+    plain MIN aggregate — no window, no join-back: the winning source is
+    decoded from the key. Scale: one cluster-keyed aggregate over the
+    labels frame (clusters are near-dup-sized, output O(clusters));
+    everything upstream is the banded-LSH cluster lineage."""
+    cl = near_dup_clusters(spark, sf_dir)
+    src = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("source", 4, 10).cast("bigint").alias("prio")
+    )
+    j = cl.join(src, "doc_id")
+    k = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min(F.col("prio") * _PRIO_KEY + F.col("doc_id")).alias("mk"),
+    )
+    keep_prio = F.floor(
+        F.col("mk").cast("double") / F.lit(float(_PRIO_KEY))
+    ).cast("bigint")
+    return k.select(
+        "cluster_id",
+        "cluster_size",
+        (F.col("mk") % _PRIO_KEY).cast("bigint").alias("keep_doc_id"),
+        F.concat(F.lit("src"), keep_prio.cast("string")).alias("keep_source"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
     )
 
 
