@@ -9,14 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-7 rotation: the freeze is lifted (round-6 closed the evidence
-gap). The prefix leads with multimodal_decode_stats — the only
-oracle-backed query whose lone driver row predates its oracle (VERDICT
-r6 ask #2) — then the thirteen queries declared this round, then the
-round-2-witnessed cohort (the oldest remaining evidence), round-3 picks
-(including the two queries whose CODE changed this round), and the
-changed pareto kernel. The ordering contract lives in
-tests/test_registry_order.py.
+Round-8 rotation (VERDICT r7 asks #1/#3/#4): the prefix leads with
+near_dup_canonical_by_source — the one query with zero driver evidence
+(registered post-freeze in r7; its arg-min decode is integer-exact as
+of this round) — and any queries newly declared in round 8, then every
+cohort strictly by the age of its latest committed driver row (the r1
+smoke-era names first, then r3, r5, r6, r7). The whole registry is
+listed so a query can no longer register without a priority slot; the
+ordering contract lives in tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -60,115 +60,19 @@ import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Verification priority: the first 50 names are the round-7 target set.
-#: Anything not listed follows in registry (module/line) order.
+#: Verification priority: the driver checks a ~50-name prefix; the list
+#: covers the WHOLE registry, ordered by evidence age (zero-evidence and
+#: round-8 queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-7 rotation (VERDICT r6 ask #2 + never-witnessed rule) ----
-    # Head: the one oracle-backed query whose only driver row (r2)
-    # PREDATES its oracle — its hash-match claim needs a driver proof —
-    # followed by the thirteen queries declared this round (zero driver
-    # rows). Ordering contract: tests/test_registry_order.py.
-    "multimodal_decode_stats",
-    "doc_quality_model_scores",
-    "doc_quality_model_train",
-    "bpe_decoded_roundtrip",
-    "doc_quality_model_calibration",
-    "stream_errors_before_purchase_outer",
-    "unigram_seed_candidates",
-    "unigram_lm_segmented",
-    "stream_doc_quality_scores",
-    "corpus_model_quality_filtered",
-    "doc_dsir_weights",
-    "doc_ppl_buckets",
-    "lang_temperature_rates",
-    "corpus_lang_temperature_sampled",
-    # -- last witnessed in round 2 (the oldest remaining evidence; the
-    # r1 cohort was fully re-witnessed in r6) --
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "benchmark_contamination",
-    "bpe_merge_candidates",
-    "churn_train_eval",
-    "corpus_mixture_weights",
-    "corpus_quality_filtered",
-    "corpus_shuffled_shards",
-    "corpus_stratified_sample",
-    "corpus_token_budget_fill",
-    "custkeys_multiset_diff",
-    "dedup_corpus",
-    "dedup_exact",
-    "doc_length_zscore_by_lang",
-    "doc_quality",
-    "doc_repetition_stats",
-    "doc_top_tfidf_term",
-    "doc_winnowing_md5",
-    "embedding_quantization_error",
-    "engineered_customer_features",
-    "events_daily_rollup_merge",
-    "events_variant_stats",
-    "label_centroids",
-    "nation_balance_unpivot",
-    "near_dup_pairs_jaccard",
-    "near_dup_pairs_minhash",
-    "stream_static_enriched_segments",
-    "stream_user_value_totals",
-    "synthetic_customers",
-    "token_frequencies",
-    # -- round-3 cohort picks (next-oldest evidence): the streaming set
-    # (stream_stateful_running_totals' code CHANGED this round — the
-    # no-data-batch skip — so its r3 row predates the code) and the
-    # temporal shapes --
-    "stream_stateful_running_totals",
-    "stream_dedup_user_event_keys",
-    "stream_errors_before_purchase_pairs",
-    "stream_events_sessionized",
-    "stream_events_sliding",
-    # -- changed-code re-witness: the pareto kernel gained the pinned
-    # revenue-rollup checkpoint this round; its r5 row predates it --
-    "customer_pareto_class",
-    # --- tier 2: checked only if the driver budget exceeds the prefix,
-    # oldest evidence first (remaining r3, then r1->r6 re-witnessed).
-    # Ten r3-witnessed queries ceded their prefix slots to the round-7
-    # additions (zero evidence > r3 evidence) — the last two temporal
-    # picks and four more here when the selection/mixing quartet landed;
-    # their families keep committed-green rows or live prefix anchors
-    # (doc_quality, doc_length_zscore_by_lang, corpus_shuffled_shards,
-    # stream_events_sessionized et al.) --
-    "events_sessionized",
-    "events_funnel",
-    "events_trailing_burst",
-    "purchase_last_view_asof",
-    "doc_unigram_logprob",
-    "doc_pii_scrub",
-    "customer_pseudonymized",
-    "langid_heuristic",
-    "user_value_totals_salted",
-    "local_supplier_revenue",
-    "brand_supplier_counts",
-    "corpus_decontaminated",
-    "corpus_weighted_sample",
-    "dedup_incremental",
-    "dominant_part_suppliers",
-    "embedding_activation_stats",
-    "embedding_decontamination",
-    "embedding_dim_stats",
-    "embedding_near_dup_pairs",
-    "events_hourly_continuous",
-    "events_latest_by_key",
-    "forecast_revenue_change",
-    "lang_nchars_median_udaf",
-    "multimodal_frame_samples",
-    "nation_eventtype_matrix",
-    "nation_market_share",
-    "nation_value_concentration",
-    "orders_retention_cohort",
-    "part_best_supplier",
-    "part_type_edit_distance",
-    "segment_acctbal_top_decile",
-    "segment_balance_flags",
-    "segment_value_salted_join",
-    "ship_delay_profile",
-    "simhash_md5",
+    # ---- round-8 rotation (VERDICT r7 asks #1 + #4) ----
+    # Head: the zero-evidence query (near_dup_canonical_by_source —
+    # registered post-freeze in r7, decode fixed this round) and any
+    # queries newly declared in round 8; then cohorts strictly by the
+    # age of their latest committed driver row (r1 first). The full
+    # registry is listed: tests/test_registry_order.py enforces
+    # registry == CHECK_PRIORITY as a set (VERDICT r7 ask #3).
+    "near_dup_canonical_by_source",
+    # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",
     "grouping_sets_revenue",
@@ -177,6 +81,43 @@ CHECK_PRIORITY = [
     "revenue_by_segment",
     "small_quantity_revenue",
     "top_orders_by_revenue",
+    # -- latest driver row: round 3 --
+    "brand_supplier_counts",
+    "corpus_decontaminated",
+    "corpus_weighted_sample",
+    "customer_pseudonymized",
+    "dedup_incremental",
+    "doc_pii_scrub",
+    "doc_unigram_logprob",
+    "dominant_part_suppliers",
+    "embedding_activation_stats",
+    "embedding_decontamination",
+    "embedding_dim_stats",
+    "embedding_near_dup_pairs",
+    "events_funnel",
+    "events_hourly_continuous",
+    "events_latest_by_key",
+    "events_sessionized",
+    "events_trailing_burst",
+    "forecast_revenue_change",
+    "lang_nchars_median_udaf",
+    "langid_heuristic",
+    "local_supplier_revenue",
+    "multimodal_frame_samples",
+    "nation_eventtype_matrix",
+    "nation_market_share",
+    "nation_value_concentration",
+    "orders_retention_cohort",
+    "part_best_supplier",
+    "part_type_edit_distance",
+    "purchase_last_view_asof",
+    "segment_acctbal_top_decile",
+    "segment_balance_flags",
+    "segment_value_salted_join",
+    "ship_delay_profile",
+    "simhash_md5",
+    "user_value_totals_salted",
+    # -- latest driver row: round 5 --
     "basket_brand_pairs",
     "bm25_topk",
     "bpe_encoded_corpus",
@@ -226,6 +167,7 @@ CHECK_PRIORITY = [
     "user_distinct_values_salted",
     "user_eventtype_map_stats",
     "user_state_scd2",
+    # -- latest driver row: round 6 --
     "ab_conversion_ztest",
     "above_average_orders",
     "brand_revenue",
@@ -276,7 +218,59 @@ CHECK_PRIORITY = [
     "token_counts_bpeish",
     "top_revenue_suppliers",
     "user_event_profile",
+    # -- latest driver row: round 7 --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "benchmark_contamination",
+    "bpe_decoded_roundtrip",
+    "bpe_merge_candidates",
+    "churn_train_eval",
+    "corpus_lang_temperature_sampled",
+    "corpus_mixture_weights",
+    "corpus_model_quality_filtered",
+    "corpus_quality_filtered",
+    "corpus_shuffled_shards",
+    "corpus_stratified_sample",
+    "corpus_token_budget_fill",
+    "custkeys_multiset_diff",
+    "customer_pareto_class",
+    "dedup_corpus",
+    "dedup_exact",
+    "doc_dsir_weights",
+    "doc_length_zscore_by_lang",
+    "doc_ppl_buckets",
+    "doc_quality",
+    "doc_quality_model_calibration",
+    "doc_quality_model_scores",
+    "doc_quality_model_train",
+    "doc_repetition_stats",
+    "doc_top_tfidf_term",
+    "doc_winnowing_md5",
+    "embedding_quantization_error",
+    "engineered_customer_features",
+    "events_daily_rollup_merge",
+    "events_variant_stats",
+    "label_centroids",
+    "lang_temperature_rates",
+    "multimodal_decode_stats",
+    "nation_balance_unpivot",
+    "near_dup_pairs_jaccard",
+    "near_dup_pairs_minhash",
+    "stream_dedup_user_event_keys",
+    "stream_doc_quality_scores",
+    "stream_errors_before_purchase_outer",
+    "stream_errors_before_purchase_pairs",
+    "stream_events_sessionized",
+    "stream_events_sliding",
+    "stream_stateful_running_totals",
+    "stream_static_enriched_segments",
+    "stream_user_value_totals",
+    "synthetic_customers",
+    "token_frequencies",
+    "unigram_lm_segmented",
+    "unigram_seed_candidates",
 ]
+
 
 def _ordered_names() -> list[str]:
     missing = [n for n in CHECK_PRIORITY if n not in registry.QUERIES]

@@ -415,9 +415,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: doc_id headroom in the (priority, doc_id) arg-min encoding — one
-#: bigint carries both, exact while doc_id < 10^12 and priority < 9e6
-#: (asserted nowhere: the synthetic ids are dense from 0; a production
-#: deploy re-keys or widens to a struct min).
+#: bigint carries both, exact while doc_id < 10^12 and priority <
+#: ~9.2e6 (bigint bound: prio * 10^12 + doc_id < 2^63). The decode is
+#: pure integer arithmetic (`div`/`%`), so there is no float-mantissa
+#: cliff; a production deploy with wider ids re-keys or widens to a
+#: struct min (MIN over struct(prio, doc_id) — same plan shape).
 _PRIO_KEY = 10**12
 
 
@@ -458,21 +460,47 @@ def near_dup_canonical_by_source(
     Arg-min is one integer key ``priority * 10^12 + doc_id`` (ties inside
     a source break to the lowest doc_id), so canonical selection is a
     plain MIN aggregate — no window, no join-back: the winning source is
-    decoded from the key. Scale: one cluster-keyed aggregate over the
-    labels frame (clusters are near-dup-sized, output O(clusters));
-    everything upstream is the banded-LSH cluster lineage."""
+    decoded from the key with exact integer division (``mk div 10^12``),
+    matching the oracle's ``//`` bit-for-bit at every bigint-valid
+    priority (a float decode would misattribute the keep-source past
+    2^53). A source that does not parse as ``src<digits>`` raises
+    loudly rather than being silently unelectable (NULL is skipped by
+    MIN on both engines — a malformed copy could otherwise never win).
+    Scale: one cluster-keyed aggregate over the labels frame (clusters
+    are near-dup-sized, output O(clusters)); everything upstream is the
+    banded-LSH cluster lineage."""
     cl = near_dup_clusters(spark, sf_dir)
-    src = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("source", 4, 10).cast("bigint").alias("prio")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+    return canonical_by_source(cl, docs)
+
+
+def canonical_by_source(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """Arg-min kernel for near_dup_canonical_by_source: ``clusters`` is
+    (doc_id, cluster_id[, cluster_size]); ``docs`` is (doc_id, source)
+    with sources shaped ``src<digits>``. Pure integer encode/decode —
+    tested past the 2^53 float cliff in tests/test_corpus_ops.py."""
+    # try_cast: ANSI cast would throw Spark's generic CAST_INVALID_INPUT
+    # first; NULL-then-raise keeps the error message naming the source
+    raw_prio = F.substring("source", 4, 10).try_cast("bigint")
+    src = docs.select(
+        "doc_id",
+        F.when(raw_prio.isNotNull(), raw_prio)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("near_dup_canonical_by_source: unparseable source "),
+                    F.col("source"),
+                )
+            ).cast("bigint")
+        )
+        .alias("prio"),
     )
-    j = cl.join(src, "doc_id")
+    j = clusters.select("doc_id", "cluster_id").join(src, "doc_id")
     k = j.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
         F.min(F.col("prio") * _PRIO_KEY + F.col("doc_id")).alias("mk"),
     )
-    keep_prio = F.floor(
-        F.col("mk").cast("double") / F.lit(float(_PRIO_KEY))
-    ).cast("bigint")
+    keep_prio = F.expr(f"mk div {_PRIO_KEY}")
     return k.select(
         "cluster_id",
         "cluster_size",

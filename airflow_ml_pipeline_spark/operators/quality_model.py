@@ -262,9 +262,10 @@ def _sql_quality_scores() -> str:
 
 
 def _sql_quality_calibration() -> str:
-    # the heuristic gate restated with textstats' own stopword fragment
-    # (one source of truth for the list; r7 review)
-    from airflow_ml_pipeline_spark.operators.textstats import _SQL_STOP
+    # the heuristic gate composed from textstats' single definition —
+    # one source of truth for the thresholds AND the stopword list
+    # (ADVICE r7: four literal restatements)
+    from airflow_ml_pipeline_spark.operators.textstats import sql_quality_gate
 
     return f"""
     WITH {_sql_margin_ctes()},
@@ -274,10 +275,7 @@ def _sql_quality_calibration() -> str:
     ),
     heur AS (
         SELECT doc_id,
-               CASE WHEN len(string_split(text, ' ')) >= 20
-                     AND CAST(len(list_filter(string_split(text, ' '),
-                         t -> t IN ({_SQL_STOP}))) AS DOUBLE)
-                         / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+               CASE WHEN {sql_quality_gate()}
                     THEN 1 ELSE 0 END AS quality_pass
         FROM documents
     )
@@ -320,7 +318,7 @@ def doc_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _sql_model_filtered() -> str:
-    from airflow_ml_pipeline_spark.operators.textstats import _SQL_STOP
+    from airflow_ml_pipeline_spark.operators.textstats import sql_quality_gate
 
     return f"""
     WITH {_sql_margin_ctes()},
@@ -334,10 +332,7 @@ def _sql_model_filtered() -> str:
     FROM documents d
     JOIN scores s ON d.doc_id = s.doc_id
     WHERE s.margin > 0
-      AND len(string_split(d.text, ' ')) >= 20
-      AND CAST(len(list_filter(string_split(d.text, ' '),
-          t -> t IN ({_SQL_STOP}))) AS DOUBLE)
-          / len(string_split(d.text, ' ')) BETWEEN 0.01 AND 0.6
+      AND {sql_quality_gate("d.text")}
     """
 
 

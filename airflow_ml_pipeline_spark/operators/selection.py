@@ -56,8 +56,9 @@ from airflow_ml_pipeline_spark.functions.text import (
 )
 from airflow_ml_pipeline_spark.operators.textstats import (
     SQL_UNIGRAM_LP_CTES,
-    _SQL_STOP,
     doc_unigram_logprob,
+    quality_gate_cond,
+    sql_quality_gate,
 )
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_table
@@ -79,12 +80,10 @@ def _ln6(x: Column) -> Column:
 
 
 #: the heuristic quality gate (doc_quality's pass rule) as a 0/1 SQL
-#: expression over a ``documents`` row — DSIR's target-distribution label
-_SQL_GATE = f"""CASE WHEN len(string_split(text, ' ')) >= 20
-                 AND CAST(len(list_filter(string_split(text, ' '),
-                     t -> t IN ({_SQL_STOP}))) AS DOUBLE)
-                     / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
-                THEN 1 ELSE 0 END"""
+#: expression over a ``documents`` row — DSIR's target-distribution label.
+#: Composed from textstats' single gate definition so a threshold change
+#: cannot desynchronize DSIR's target from the gate it claims to mirror.
+_SQL_GATE = f"CASE WHEN {sql_quality_gate()} THEN 1 ELSE 0 END"
 
 
 @query(
@@ -162,10 +161,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tok")
     gate = (
-        F.when(
-            (F.col("n_tok") >= 20) & (ratio >= 0.01) & (ratio <= 0.6),
-            F.lit(1),
-        )
+        F.when(quality_gate_cond(F.col("n_tok"), ratio), F.lit(1))
         .otherwise(F.lit(0))
         .alias("gate")
     )

@@ -25,6 +25,39 @@ from airflow_ml_pipeline_spark.sources.catalog import load_table
 
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
+#: heuristic quality-gate thresholds. The DSIR target distribution
+#: (selection.py), the learned-model calibration population and filter
+#: (quality_model.py), and doc_quality/corpus_quality_filtered here all
+#: claim to mirror THE SAME gate — so there is exactly one definition,
+#: composed everywhere (ADVICE r7: four literal restatements would
+#: silently desynchronize on a threshold change).
+GATE_MIN_TOKENS = 20
+GATE_STOP_LO = 0.01
+GATE_STOP_HI = 0.6
+
+
+def sql_quality_gate(col: str = "text") -> str:
+    """DuckDB boolean predicate for the heuristic quality gate over a
+    text column (>= GATE_MIN_TOKENS whitespace tokens, stopword ratio
+    inside [GATE_STOP_LO, GATE_STOP_HI])."""
+    toks = f"string_split({col}, ' ')"
+    return (
+        f"len({toks}) >= {GATE_MIN_TOKENS}\n"
+        f"      AND CAST(len(list_filter({toks},\n"
+        f"            t -> t IN ({_SQL_STOP}))) AS DOUBLE)\n"
+        f"          / len({toks}) BETWEEN {GATE_STOP_LO!r} AND {GATE_STOP_HI!r}"
+    )
+
+
+def quality_gate_cond(n_tok, stop_ratio):
+    """Spark twin of :func:`sql_quality_gate` over precomputed
+    whitespace-token-count and stopword-ratio columns."""
+    return (
+        (n_tok >= GATE_MIN_TOKENS)
+        & (stop_ratio >= GATE_STOP_LO)
+        & (stop_ratio <= GATE_STOP_HI)
+    )
+
 
 @query(
     "doc_stats",
@@ -147,10 +180,7 @@ def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(string_split(text, ' ')), 4) AS unique_ratio,
            round(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0), 4)
                AS length_score,
-           CASE WHEN len(string_split(text, ' ')) >= 20
-                 AND CAST(len(list_filter(string_split(text, ' '),
-                     t -> t IN ({_SQL_STOP}))) AS DOUBLE)
-                     / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+           CASE WHEN {sql_quality_gate()}
                 THEN 1 ELSE 0 END AS quality_pass
     FROM documents
     """,
@@ -182,9 +212,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), n_tok.cast("double") / 100.0), 4).alias(
             "length_score"
         ),
-        F.when(
-            (n_tok >= 20) & (stop_ratio >= 0.01) & (stop_ratio <= 0.6), F.lit(1)
-        )
+        F.when(quality_gate_cond(n_tok, stop_ratio), F.lit(1))
         .otherwise(F.lit(0))
         .alias("quality_pass"),
     )
@@ -269,10 +297,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE len(string_split(text, ' ')) >= 20
-      AND CAST(len(list_filter(string_split(text, ' '),
-            t -> t IN ({_SQL_STOP}))) AS DOUBLE)
-          / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+    WHERE {sql_quality_gate()}
       AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
           / len(string_split(text, ' ')) >= 0.15
     """,
@@ -287,10 +312,7 @@ def corpus_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
     unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     return docs.filter(
-        (n_tok >= 20)
-        & (stop_ratio >= 0.01)
-        & (stop_ratio <= 0.6)
-        & (unique_ratio >= 0.15)
+        quality_gate_cond(n_tok, stop_ratio) & (unique_ratio >= 0.15)
     ).select("doc_id", "lang", "source", "n_chars")
 
 

@@ -157,18 +157,30 @@ def _piece_lens() -> list[int]:
     return sorted({len(p) for p, _ in UNIGRAM_FROZEN_PIECES})
 
 
-def viterbi_obj(word: Column) -> Column:
-    """The integer Viterbi objective of ``word`` under the frozen
+def frozen_scores_map() -> Column:
+    """The frozen piece→score vocabulary as a literal map column."""
+    return F.map_from_arrays(
+        F.lit([p for p, _ in UNIGRAM_FROZEN_PIECES]),
+        F.lit([s for _, s in UNIGRAM_FROZEN_PIECES]).cast("array<bigint>"),
+    )
+
+
+def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
+    """The integer Viterbi objective of ``word`` under a piece
     vocabulary: ``max over segmentations of 128·Σscore − n_pieces``,
     computed as ONE ``F.aggregate`` fold over char positions carrying
     the dp array — windowless, UDF-less, whole-stage-codegen-able.
     dp(i) (1-based prefix length, dp(0)=0 at array slot 1) =
     GREATEST over piece lengths L of dp(i−L) + 128·score(word[i−L+1..i])
-    − 1, with the single-char fallback at score 0."""
-    scores = F.map_from_arrays(
-        F.lit([p for p, _ in UNIGRAM_FROZEN_PIECES]),
-        F.lit([s for _, s in UNIGRAM_FROZEN_PIECES]).cast("array<bigint>"),
-    )
+    − 1, with the single-char fallback at score 0.
+
+    ``scores``: piece→score map column; defaults to the frozen literal
+    vocabulary. A per-row map (e.g. the leave-one-out variants the
+    pruning step builds with ``map_filter``) works identically — a piece
+    absent from the map simply never wins (coalesce to −∞), so the
+    candidate lengths can stay the frozen set."""
+    if scores is None:
+        scores = frozen_scores_map()
 
     def step(acc: Column, i: Column) -> Column:
         cands = [F.element_at(acc, i.cast("int")) - 1]  # L=1, score 0

@@ -104,10 +104,20 @@ def run_available_now(
     stream's duration (restored in the ``finally``). A stream started
     CONCURRENTLY on the same session would inherit the disabled setting
     and could lose watermark-gated output. Every caller in this engine
-    runs streams sequentially (one `run_available_now` at a time); if
-    concurrent streams ever become a supported pattern, scope this
-    per-query instead (ADVICE r6)."""
+    runs streams sequentially (one `run_available_now` at a time) and
+    the guard below ENFORCES that invariant (ADVICE r7): toggling with
+    another stream active raises instead of silently corrupting the
+    concurrent stream's eviction-emitted rows. If concurrent streams
+    ever become a supported pattern, scope this per-query instead."""
     spark = stream_df.sparkSession
+    if skip_no_data_batch:
+        active = [q.name for q in spark.streams.active if q.isActive]
+        if active:
+            raise RuntimeError(
+                "skip_no_data_batch toggles the session-wide "
+                "noDataMicroBatches conf; refusing with other streaming "
+                f"queries active on this session: {active}"
+            )
     _COUNTER["n"] += 1
     name = f"stream_result_{_COUNTER['n']}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

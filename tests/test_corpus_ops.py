@@ -223,6 +223,53 @@ def test_cluster_labels_raise_rather_than_return_partial(spark, monkeypatch):
         corpus_ops.near_dup_cluster_labels(pairs)
 
 
+def test_canonical_by_source_planted_multi_source_cluster(spark):
+    """Planted clusters with known source priorities: the keeper must be
+    the lowest-priority source's lowest doc_id, and the decoded
+    keep_source must be exact even when priority * 10^12 + doc_id
+    exceeds 2^53 (the float-mantissa cliff the old floor(double/1e12)
+    decode fell off — VERDICT r7 item 1b)."""
+    big = 999_999_999_999  # max encodable doc_id (headroom 10^12)
+    clusters = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10), (big, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [
+            # cluster 10: src2 holds the smallest doc_id but src0 wins
+            (10, "src2"), (11, "src0"), (12, "src0"),
+            # cluster 20: mk = 9200000 * 10^12 + 999999999999 is a bigint
+            # whose floor(double/1e12) decode rounds UP to 9200001 — the
+            # competitor's source — so the old float decode misattributed
+            # the keeper to the source it actually beat
+            (big, "src9200000"), (21, "src9200001"),
+        ],
+        "doc_id long, source string",
+    )
+    got = {
+        r.cluster_id: (r.cluster_size, r.keep_doc_id, r.keep_source, r.n_dropped)
+        for r in corpus_ops.canonical_by_source(clusters, docs).collect()
+    }
+    assert got == {
+        10: (3, 11, "src0", 2),
+        20: (2, big, "src9200000", 1),
+    }
+
+
+def test_canonical_by_source_raises_on_unparseable_source(spark):
+    """A source not shaped src<digits> must fail loudly, not be silently
+    unelectable (NULL prio is skipped by MIN on both engines)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    docs = spark.createDataFrame(
+        [(1, "src0"), (2, "commoncrawl")], "doc_id long, source string"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="unparseable source"):
+        corpus_ops.canonical_by_source(clusters, docs).collect()
+
+
 def test_quantization_error_small_relative_to_scale(spark, sf_dir):
     res = corpus_ops.embedding_quantization_error(spark, sf_dir)
     rows = res.collect()

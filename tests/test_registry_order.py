@@ -2,13 +2,14 @@
 ``__spark_entry__.queries()``, so the prefix must spend its budget where
 evidence is thinnest, without ever leaving an operator family unwitnessed.
 
-Round-7 form of the contract: the freeze is lifted, so newly declared
-queries (zero driver rows) must lead the prefix together with any
-oracle-backed query whose only driver row PREDATES its oracle (VERDICT
-r6 ask #2: ``multimodal_decode_stats``); family coverage stays
-CUMULATIVE — a family is covered if a representative is either in the
-current prefix or already has a green row in a committed
-``CORRECTNESS_r0N.json``.
+Round-8 form of the contract: newly declared queries (zero driver rows)
+lead the prefix; the rest of the list covers the ENTIRE registry ordered
+by evidence age, and the list must stay a superset of the registry
+(VERDICT r7 ask #3 — the near_dup_canonical_by_source gap class: a query
+registered but absent from CHECK_PRIORITY silently got no driver slot).
+Family coverage stays CUMULATIVE — a family is covered if a
+representative is either in the current prefix or already has a green
+row in a committed ``CORRECTNESS_r0N.json``.
 """
 
 from __future__ import annotations
@@ -25,19 +26,12 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries whose oracle has no driver hash proof as of round-7 start:
-#: the thirteen queries declared in round 7 (no driver row at all) plus
-#: multimodal_decode_stats, whose only driver row (r2) predates its
-#: oracle (VERDICT r6 ask #2) — these MUST lead the prefix until each
-#: has a post-oracle driver row
+#: queries with no driver row of any kind as of round-8 start:
+#: near_dup_canonical_by_source (registered post-freeze in round 7 —
+#: VERDICT r7 "What's wrong" #1) plus everything declared in round 8.
+#: These MUST lead the prefix until each has a driver row.
 NEVER_WITNESSED = {
-    "multimodal_decode_stats", "doc_quality_model_scores",
-    "doc_quality_model_train", "bpe_decoded_roundtrip",
-    "doc_quality_model_calibration", "stream_errors_before_purchase_outer",
-    "unigram_seed_candidates", "unigram_lm_segmented",
-    "stream_doc_quality_scores", "corpus_model_quality_filtered",
-    "doc_dsir_weights", "doc_ppl_buckets",
-    "lang_temperature_rates", "corpus_lang_temperature_sampled",
+    "near_dup_canonical_by_source",
 }
 
 #: every operator family must have at least one representative with driver
@@ -134,6 +128,18 @@ def test_priority_names_exist_and_are_unique():
     assert len(names) == len(set(names))
     missing = [n for n in names if n not in registry.QUERIES]
     assert missing == []
+
+
+def test_every_registered_query_has_a_priority_slot():
+    """Inverse containment (VERDICT r7 ask #3): a query that registers
+    without appearing in CHECK_PRIORITY gets no explicit driver slot —
+    exactly how near_dup_canonical_by_source shipped with zero evidence
+    in round 7. registry ⊆ CHECK_PRIORITY, checked by name."""
+    unlisted = [n for n in registry.QUERIES if n not in set(entry.CHECK_PRIORITY)]
+    assert unlisted == [], (
+        f"registered queries missing from CHECK_PRIORITY: {unlisted} — "
+        f"add each to the priority list (new queries go at the head)"
+    )
 
 
 def test_never_witnessed_lead_the_prefix():

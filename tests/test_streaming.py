@@ -329,3 +329,27 @@ def test_outer_join_null_rows_need_the_no_data_batch(spark, sf_dir):
         "skip run must not contain null-padded rows"
     )
     assert skipped == {(p, e) for p, e in full if e is not None}
+
+
+def test_skip_no_data_batch_refuses_concurrent_streams(spark, sf_dir):
+    """The skip toggles a SESSION-wide conf: with another stream active
+    the toggle would silently suppress that stream's eviction-emitted
+    rows, so run_available_now must refuse loudly (ADVICE r7)."""
+    bg = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("bg_rate_guard_test")
+        .start()
+    )
+    try:
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        )
+        with pytest.raises(RuntimeError, match="refusing with other streaming"):
+            run_available_now(
+                stream.select("value"), "append", skip_no_data_batch=True
+            )
+    finally:
+        bg.stop()
