@@ -72,6 +72,7 @@ CHECK_PRIORITY = [
     # registry is listed: tests/test_registry_order.py enforces
     # registry == CHECK_PRIORITY as a set (VERDICT r7 ask #3).
     "near_dup_canonical_by_source",
+    "unigram_vocab_pruned",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

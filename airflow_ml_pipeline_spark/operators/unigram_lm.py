@@ -1,5 +1,5 @@
-"""Unigram-LM tokenizer family (SentencePiece-style), round 7 — the
-second tokenizer lifecycle beside BPE (``operators/packing.py``):
+"""Unigram-LM tokenizer family (SentencePiece-style) — the second
+tokenizer lifecycle beside BPE (``operators/packing.py``):
 
 - ``unigram_seed_candidates`` (oracle-checked): seed-vocabulary
   selection — every substring of length 2–6 of every corpus word,
@@ -7,6 +7,10 @@ second tokenizer lifecycle beside BPE (``operators/packing.py``):
   ``freq × (len−1)`` (the coverage-gain heuristic SentencePiece's
   ``make_seed_sentence_pieces`` uses), deterministic top-K under
   (score DESC, piece ASC).
+- ``unigram_vocab_pruned`` (oracle-checked, round 8): the trainer's
+  EM/prune stage — two rounds of leave-one-out Viterbi-loss pruning
+  over the seed vocabulary (VERDICT r7 ask #7), completing
+  seed → prune → frozen-segmenter.
 - ``unigram_lm_segmented`` (oracle-checked): Viterbi segmentation of
   every word under the FROZEN piece vocabulary (the trainer's own
   sf0.01 output, pinned like the BPE merge table and the quality-model
@@ -35,7 +39,7 @@ encoder. The frozen piece table rides as a broadcast map literal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_ml_pipeline_spark.functions.text import tokens
@@ -308,4 +312,226 @@ def unigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_pieces").cast("bigint").alias("n_pieces"),
         F.sum("piece_score").cast("bigint").alias("total_score"),
+    )
+
+
+#: pieces dropped per pruning round (SentencePiece prunes a fixed
+#: shrink factor per EM round; two rounds of 4 here take the 16-piece
+#: seed vocabulary to its final 8)
+PRUNE_PER_ROUND = 4
+
+#: sentinel exclusion meaning "no piece removed" (the full-vocabulary
+#: objective each leave-one-out loss is measured against); the empty
+#: string can never equal a piece (pieces have length >= SEED_MIN_LEN)
+_NO_EXCL = ""
+
+
+def _variant_map(base: Column) -> Column:
+    """Per-row vocabulary map: ``base`` minus the row's ``excl`` piece
+    (the sentinel '' matches nothing, so its row keeps the full map)."""
+    return F.map_filter(base, lambda k, v: k != F.col("excl"))
+
+
+def _loo_losses(wfreq: DataFrame, variants: DataFrame) -> DataFrame:
+    """Leave-one-out loss per piece: ``Σ_w cnt(w)·(obj_full(w) −
+    obj_without_piece(w))`` — the exact integer objective drop the
+    corpus suffers if the piece is removed (SentencePiece's prune
+    criterion, with Viterbi standing in for the lattice likelihood).
+    ``variants`` is (excl, smap) with one sentinel row (excl='') whose
+    map is the full vocabulary."""
+    obj = viterbi_obj(F.col("word"), scores=F.col("smap"))
+    per = wfreq.crossJoin(F.broadcast(variants)).select(
+        "word", "cnt", "excl", obj.alias("obj")
+    )
+    full = per.filter(F.col("excl") == _NO_EXCL).select(
+        "word", F.col("obj").alias("obj_full")
+    )
+    return (
+        per.filter(F.col("excl") != _NO_EXCL)
+        .join(full, "word")
+        .groupBy(F.col("excl").alias("piece"))
+        .agg(
+            F.sum(F.col("cnt") * (F.col("obj_full") - F.col("obj")))
+            .cast("bigint")
+            .alias("loss")
+        )
+    )
+
+
+def _prune_flag(loss_col: str) -> Column:
+    """1 for the PRUNE_PER_ROUND lowest-loss pieces under the total
+    order (loss ASC, piece DESC) — the complement of keeping the top
+    (loss DESC, piece ASC), so keeps and prunes can never disagree."""
+    w = Window.orderBy(F.col(loss_col).asc(), F.col("piece").desc())
+    return (F.row_number().over(w) <= PRUNE_PER_ROUND).cast("int")
+
+
+def _sql_vocab_pruned() -> str:
+    piece_rows = ",\n        ".join(
+        f"('{p}', {s})" for p, s in UNIGRAM_FROZEN_PIECES
+    )
+
+    def dp(tag: str, var: str, extra_where: str) -> str:
+        cands = ["best[i + 1] - 1"]
+        for L in _piece_lens():
+            cands.append(
+                f"COALESCE(CASE WHEN i + 1 >= {L} THEN best[i + 2 - {L}]"
+                f" + (SELECT {_OBJ_M} * s FROM pieces"
+                f" WHERE piece = substr(word, i + 2 - {L}, {L})"
+                f" AND piece <> {tag}.excl{extra_where}) - 1 END,"
+                " -1000000000000)"
+            )
+        greatest = ",\n               ".join(cands)
+        return f"""
+    {tag} AS (
+        SELECT v.word, {var}.excl, 0 AS i, [CAST(0 AS BIGINT)] AS best
+        FROM v CROSS JOIN {var}
+        UNION ALL
+        SELECT word, excl, i + 1,
+               list_append(best, GREATEST(
+               {greatest}))
+        FROM {tag} WHERE i < len(word)
+    )"""
+
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w WHERE word != '' GROUP BY word
+    ),
+    v AS (SELECT word FROM wf),
+    pieces(piece, s) AS (VALUES
+        {piece_rows}),
+    var1 AS (SELECT piece AS excl FROM pieces UNION ALL SELECT '{_NO_EXCL}'),
+    {dp("dp1", "var1", "")},
+    seg1 AS (
+        SELECT word, excl, best[len(word) + 1] AS obj
+        FROM dp1 WHERE i = len(word)
+    ),
+    full1 AS (SELECT word, obj AS obj_full FROM seg1 WHERE excl = '{_NO_EXCL}'),
+    loss1 AS (
+        SELECT s.excl AS piece,
+               CAST(SUM(wf.cnt * (f.obj_full - s.obj)) AS BIGINT) AS loss
+        FROM seg1 s JOIN full1 f USING (word) JOIN wf USING (word)
+        WHERE s.excl <> '{_NO_EXCL}' GROUP BY s.excl
+    ),
+    pruned1 AS (
+        SELECT piece FROM loss1
+        ORDER BY loss ASC, piece DESC LIMIT {PRUNE_PER_ROUND}
+    ),
+    var2 AS (
+        SELECT piece AS excl FROM loss1
+        WHERE piece NOT IN (SELECT piece FROM pruned1)
+        UNION ALL SELECT '{_NO_EXCL}'
+    ),
+    {dp("dp2", "var2",
+        " AND piece NOT IN (SELECT piece FROM pruned1)")},
+    seg2 AS (
+        SELECT word, excl, best[len(word) + 1] AS obj
+        FROM dp2 WHERE i = len(word)
+    ),
+    full2 AS (SELECT word, obj AS obj_full FROM seg2 WHERE excl = '{_NO_EXCL}'),
+    loss2 AS (
+        SELECT s.excl AS piece,
+               CAST(SUM(wf.cnt * (f.obj_full - s.obj)) AS BIGINT) AS loss
+        FROM seg2 s JOIN full2 f USING (word) JOIN wf USING (word)
+        WHERE s.excl <> '{_NO_EXCL}' GROUP BY s.excl
+    ),
+    pruned2 AS (
+        SELECT piece FROM loss2
+        ORDER BY loss ASC, piece DESC LIMIT {PRUNE_PER_ROUND}
+    )
+    SELECT l1.piece,
+           l1.loss AS loss_round1,
+           l2.loss AS loss_round2,
+           CAST(CASE WHEN l1.piece IN (SELECT piece FROM pruned1) THEN 1
+                     WHEN l1.piece IN (SELECT piece FROM pruned2) THEN 2
+                     ELSE 0 END AS BIGINT) AS pruned_round
+    FROM loss1 l1 LEFT JOIN loss2 l2 USING (piece)
+    """
+
+
+@query("unigram_vocab_pruned", oracle=_sql_vocab_pruned())
+def unigram_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM/prune stage completing the unigram-LM trainer lifecycle
+    (seed → PRUNE → frozen segmenter): two pruning rounds, each scoring
+    every surviving piece by its leave-one-out loss — the exact integer
+    drop in the corpus-weighted Viterbi objective if that piece is
+    removed (SentencePiece's prune criterion; the EM lattice likelihood
+    is approximated by the Viterbi path, and scores stay the seed
+    scores rather than being re-estimated — documented deviation) —
+    then dropping the PRUNE_PER_ROUND lowest-loss pieces under the
+    total order (loss ASC, piece DESC). Emits every seed piece with its
+    per-round losses and the round it was pruned in (0 = survivor), so
+    the final vocabulary AND the decision trail are both checked.
+
+    Exactness: objectives, frequencies, and losses are all integers —
+    no float crosses the engines. The oracle restates both rounds as
+    recursive-CTE DPs with the exclusion as a join column.
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregate);
+    all DP work runs over distinct-words × (|pieces|+1) leave-one-out
+    variants, independent of corpus size (Zipf: vocabulary grows ~log).
+    The variant frame broadcasts; round 2's surviving-piece maps are
+    built with map_filter from round 1's 16-row loss frame, so nothing
+    data-sized shuffles. A production 10k-piece trainer batches the
+    leave-one-out variants or uses the analytic lattice loss; the
+    composition — per-variant DP over the distinct vocab — is the
+    operator."""
+    docs = load_spread(spark, sf_dir, "documents")
+    wfreq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    base = frozen_scores_map()
+    piece_names = [p for p, _ in UNIGRAM_FROZEN_PIECES]
+
+    variants1 = (
+        spark.range(1)
+        .select(F.explode(F.lit(piece_names + [_NO_EXCL])).alias("excl"))
+        .select("excl", _variant_map(base).alias("smap"))
+    )
+    l1 = _loo_losses(wfreq, variants1).select(
+        "piece", "loss", _prune_flag("loss").alias("p1")
+    )
+    # the 16-row loss frame is consumed three ways (survivor names,
+    # pruned-set array, final join); pin it so percentile-free but
+    # shuffle-bearing lineage doesn't recompute the DP sweep per branch
+    l1 = l1.localCheckpoint(eager=False)
+
+    pruned1_arr = l1.filter(F.col("p1") == 1).agg(
+        F.sort_array(F.collect_list("piece")).alias("pruned1")
+    )
+    base2 = F.map_filter(
+        base, lambda k, v: ~F.array_contains(F.col("pruned1"), k)
+    )
+    variants2 = (
+        l1.filter(F.col("p1") == 0)
+        .select(F.col("piece").alias("excl"))
+        .unionByName(spark.range(1).select(F.lit(_NO_EXCL).alias("excl")))
+        .crossJoin(F.broadcast(pruned1_arr))
+        .select("excl", _variant_map(base2).alias("smap"))
+    )
+    l2 = _loo_losses(wfreq, variants2).select(
+        "piece",
+        F.col("loss").alias("loss_round2"),
+        _prune_flag("loss").alias("p2"),
+    )
+    return (
+        l1.withColumnRenamed("loss", "loss_round1")
+        .join(l2, "piece", "left")
+        .select(
+            "piece",
+            "loss_round1",
+            "loss_round2",
+            F.when(F.col("p1") == 1, F.lit(1))
+            .when(F.col("p2") == 1, F.lit(2))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pruned_round"),
+        )
     )

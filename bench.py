@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_quantization_error",
     "corpus_token_budget_fill",
     "near_dup_clusters",
+    "near_dup_canonical_by_source",
     "near_dup_pagerank",
     "corpus_shuffled_shards",
     "sequence_packing",
@@ -100,6 +101,7 @@ HEADLINE = [
     "doc_quality_model_scores",
     "doc_quality_model_calibration",
     "unigram_seed_candidates",
+    "unigram_vocab_pruned",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
     "corpus_model_quality_filtered",

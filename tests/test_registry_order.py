@@ -32,6 +32,7 @@ PREFIX = 50
 #: These MUST lead the prefix until each has a driver row.
 NEVER_WITNESSED = {
     "near_dup_canonical_by_source",
+    "unigram_vocab_pruned",
 }
 
 #: every operator family must have at least one representative with driver

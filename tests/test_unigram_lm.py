@@ -129,3 +129,66 @@ def test_seed_candidates_deterministic_and_ranked(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     for r in a:
         assert r.score == r.freq * (len(r.piece) - 1)
+
+
+def test_vocab_pruning_matches_reference_two_rounds(spark, sf_dir):
+    """The two-round leave-one-out pruning must agree with an independent
+    pure-Python implementation on the real corpus: per-piece losses both
+    rounds, and the pruned/survivor partition."""
+    from airflow_ml_pipeline_spark.functions.text import tokens
+    from airflow_ml_pipeline_spark.operators.unigram_lm import (
+        PRUNE_PER_ROUND,
+        unigram_vocab_pruned,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    wc = {
+        r.word: r.cnt
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    def obj(word: str, pcs: dict[str, int]) -> int:
+        s, k = _ref_viterbi(word, pcs)
+        return _OBJ_M * s - k
+
+    def losses(pcs: dict[str, int]) -> dict[str, int]:
+        full = {w: obj(w, pcs) for w in wc}
+        return {
+            p: sum(
+                c * (full[w] - obj(w, {q: s for q, s in pcs.items() if q != p}))
+                for w, c in wc.items()
+            )
+            for p in pcs
+        }
+
+    def prune(l: dict[str, int]) -> set[str]:
+        # loss ASC, piece DESC (stable two-pass sort)
+        order = sorted(sorted(l, reverse=True), key=lambda p: l[p])
+        return set(order[:PRUNE_PER_ROUND])
+
+    pcs1 = dict(UNIGRAM_FROZEN_PIECES)
+    l1 = losses(pcs1)
+    pruned1 = prune(l1)
+    pcs2 = {p: s for p, s in pcs1.items() if p not in pruned1}
+    l2 = losses(pcs2)
+    pruned2 = prune(l2)
+
+    expected = {
+        p: (
+            l1[p],
+            l2.get(p),
+            1 if p in pruned1 else 2 if p in pruned2 else 0,
+        )
+        for p in pcs1
+    }
+    got = {
+        r.piece: (r.loss_round1, r.loss_round2, r.pruned_round)
+        for r in unigram_vocab_pruned(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(1 for v in got.values() if v[2] == 0) == len(pcs1) - 2 * PRUNE_PER_ROUND
