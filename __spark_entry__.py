@@ -73,6 +73,8 @@ CHECK_PRIORITY = [
     # registry == CHECK_PRIORITY as a set (VERDICT r7 ask #3).
     "near_dup_canonical_by_source",
     "unigram_vocab_pruned",
+    "tokenizer_fertility_by_lang",
+    "near_dup_cross_source_matrix",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

@@ -955,3 +955,76 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         F.col("id").alias("doc_id"), "deg", F.round("score", 6).alias("pagerank")
     )
+
+
+@query(
+    "near_dup_cross_source_matrix",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    cs AS (
+        SELECT cc.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cc JOIN documents d USING (doc_id)
+        GROUP BY cc.cluster_id, d.source
+    ),
+    p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1)
+                    ELSE 2 * a.cnt * b.cnt END AS pair2
+        FROM cs a JOIN cs b
+          ON a.cluster_id = b.cluster_id AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(pair2) // 2 AS BIGINT) AS n_doc_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM p WHERE pair2 > 0
+    GROUP BY source_a, source_b
+    """,
+)
+def near_dup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — 'how much does source A
+    duplicate source B': for every unordered source pair, the number of
+    near-duplicate DOC pairs whose members live in those sources and the
+    number of clusters contributing them. The report curation teams read
+    before choosing a canonicalization policy (the decision input to
+    ``near_dup_canonical_by_source``): a heavy off-diagonal cell means
+    one source is largely a mirror of another; a heavy diagonal means
+    within-source duplication dedup alone would catch.
+
+    Scale: per-(cluster, source) counts are one aggregate over the
+    cluster labels frame; the self-join runs on CLUSTER-sized data
+    (near-dup clusters, not the corpus), and pair counts come from the
+    per-source count products — no doc-pair materialization anywhere.
+    All-integer output (pair2 double-counts cross pairs so one `div 2`
+    closes both cases exactly)."""
+    cl = near_dup_clusters(spark, sf_dir)
+    src = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        cl.join(src, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # tiny; consumed by both join sides
+    )
+    a = cs.select(
+        "cluster_id",
+        F.col("source").alias("source_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = cs.select(
+        "cluster_id",
+        F.col("source").alias("source_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    pair2 = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("cnt_a") * (F.col("cnt_a") - 1),
+    ).otherwise(2 * F.col("cnt_a") * F.col("cnt_b"))
+    p = (
+        a.join(b, "cluster_id")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select("source_a", "source_b", pair2.alias("pair2"))
+        .filter(F.col("pair2") > 0)
+    )
+    return p.groupBy("source_a", "source_b").agg(
+        F.expr("CAST(sum(pair2) DIV 2 AS BIGINT)").alias("n_doc_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    )

@@ -535,3 +535,61 @@ def unigram_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pruned_round"),
         )
     )
+
+
+def _sql_fertility() -> str:
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT d.lang, unnest(string_split(d.text, ' ')) AS word
+        FROM documents d
+    ),
+    wf AS (SELECT lang, word FROM w WHERE word != ''),
+    v AS (SELECT DISTINCT word FROM wf),
+    {_sql_viterbi_dp()},
+    per_word AS (
+        SELECT word,
+               (((-obj) % {_OBJ_M}) + {_OBJ_M}) % {_OBJ_M} AS n_pieces
+        FROM seg
+    )
+    SELECT wf.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(len(wf.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN p.n_pieces = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_piece_words
+    FROM wf JOIN per_word p ON wf.word = p.word
+    GROUP BY wf.lang
+    """
+
+
+@query("tokenizer_fertility_by_lang", oracle=_sql_fertility())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per-language word/piece/char totals
+    under the frozen unigram-LM vocabulary — fertility (pieces per word)
+    and compression (chars per piece) are THE evaluation numbers a
+    tokenizer ships with, and per-language fertility skew is the classic
+    multilingual-tokenizer failure (a vocabulary trained on one language
+    over-fragments the others, inflating their training cost per
+    character). Sums only — the ratios are derived client-side, so no
+    float crosses the engines.
+
+    Scale shape: identical to ``unigram_lm_segmented`` — the corpus is
+    exploded once, the DP runs over the DISTINCT-word vocabulary and
+    joins back; the result is |languages| rows."""
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    obj = viterbi_obj(F.col("word"))
+    per_word = vocab.select(
+        "word", F.pmod(-obj, F.lit(_OBJ_M)).alias("n_pieces")
+    )
+    return words.join(per_word, "word").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum((F.col("n_pieces") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_single_piece_words"),
+    )

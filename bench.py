@@ -91,6 +91,7 @@ HEADLINE = [
     "corpus_token_budget_fill",
     "near_dup_clusters",
     "near_dup_canonical_by_source",
+    "near_dup_cross_source_matrix",
     "near_dup_pagerank",
     "corpus_shuffled_shards",
     "sequence_packing",
@@ -102,6 +103,7 @@ HEADLINE = [
     "doc_quality_model_calibration",
     "unigram_seed_candidates",
     "unigram_vocab_pruned",
+    "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",
     "corpus_model_quality_filtered",

@@ -376,3 +376,42 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
         assert abs(got[v][1] - round(score[v], 6)) < 2e-6, v
     total = sum(s for _, s in got.values())
     assert abs(total - 1.0) < 1e-3
+
+
+def test_cross_source_matrix_matches_driver_recount(spark, sf_dir):
+    """The source-pair duplication matrix must equal a driver-side
+    recount over the cluster labels (clusters are test-collectable)."""
+    from collections import Counter, defaultdict
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in corpus_ops.near_dup_clusters(spark, sf_dir).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    per_cluster: dict[int, Counter] = defaultdict(Counter)
+    for doc, cl in labels.items():
+        per_cluster[cl][src[doc]] += 1
+    pairs: Counter = Counter()
+    clusters: Counter = Counter()
+    for cl, counts in per_cluster.items():
+        srcs = sorted(counts)
+        for i, a in enumerate(srcs):
+            for b in srcs[i:]:
+                n = (
+                    counts[a] * (counts[a] - 1) // 2
+                    if a == b
+                    else counts[a] * counts[b]
+                )
+                if n > 0:
+                    pairs[(a, b)] += n
+                    clusters[(a, b)] += 1
+    got = {
+        (r.source_a, r.source_b): (r.n_doc_pairs, r.n_clusters)
+        for r in corpus_ops.near_dup_cross_source_matrix(spark, sf_dir).collect()
+    }
+    assert got == {k: (pairs[k], clusters[k]) for k in pairs}

@@ -33,6 +33,8 @@ PREFIX = 50
 NEVER_WITNESSED = {
     "near_dup_canonical_by_source",
     "unigram_vocab_pruned",
+    "tokenizer_fertility_by_lang",
+    "near_dup_cross_source_matrix",
 }
 
 #: every operator family must have at least one representative with driver

@@ -192,3 +192,25 @@ def test_vocab_pruning_matches_reference_two_rounds(spark, sf_dir):
     }
     assert got == expected
     assert sum(1 for v in got.values() if v[2] == 0) == len(pcs1) - 2 * PRUNE_PER_ROUND
+
+
+def test_fertility_totals_match_segmented(spark, sf_dir):
+    """Metamorphic: per-language fertility totals must re-aggregate to
+    the per-doc segmentation totals (same DP, different grouping)."""
+    from airflow_ml_pipeline_spark.operators.unigram_lm import (
+        tokenizer_fertility_by_lang,
+        unigram_lm_segmented,
+    )
+
+    by_lang = tokenizer_fertility_by_lang(spark, sf_dir).agg(
+        F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p")
+    ).collect()[0]
+    by_doc = unigram_lm_segmented(spark, sf_dir).agg(
+        F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p")
+    ).collect()[0]
+    assert (by_lang.w, by_lang.p) == (by_doc.w, by_doc.p)
+    rows = tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    for r in rows:
+        # fertility is bounded: 1 piece/word min, len(word) pieces max
+        assert r.n_words <= r.n_pieces <= r.n_chars
+        assert 0 <= r.n_single_piece_words <= r.n_words
