@@ -407,3 +407,62 @@ def corpus_lang_temperature_sampled(
         .filter(u < F.col("keep_rate"))
         .select("doc_id", "lang", "n_chars", "keep_rate")
     )
+
+
+def _sql_learnability() -> str:
+    from airflow_ml_pipeline_spark.operators.textstats import (
+        SQL_BIGRAM_LP_CTES,
+    )
+
+    return f"""
+    WITH {SQL_UNIGRAM_LP_CTES},
+    {SQL_BIGRAM_LP_CTES}
+    SELECT lp.doc_id,
+           lp.n_tokens,
+           blp.n_bigrams,
+           lp.avg_logprob AS uni_avg_logprob,
+           blp.sum_logprob AS bi_sum_logprob,
+           CAST(CASE WHEN blp.sum_logprob / blp.n_bigrams > lp.avg_logprob
+                THEN 1 ELSE 0 END AS BIGINT) AS learnable
+    FROM lp JOIN blp USING (doc_id)
+    """
+
+
+@query("doc_learnability_rho", oracle=_sql_learnability())
+def doc_learnability_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model learnability contrast (the RHO-loss / JEST selection
+    signal, model-free edition): score every document under BOTH corpus
+    LMs the engine ships — the unigram model (context-free plausibility)
+    and the interpolated bigram model (local-order plausibility) — and
+    flag docs whose mean bigram logprob beats their mean unigram logprob.
+    Text a stronger-context model explains BETTER than a weaker one is
+    exactly the 'learnable and worth training on' region RHO-1 selects;
+    text where more context does not help is noise or boilerplate. Docs
+    with <2 tokens carry no bigram evidence and are omitted (the bigram
+    scorer's documented contract).
+
+    Exactness: both inputs are committed decimal-lattice sums; the flag
+    compares IEEE doubles produced by the identical expression on both
+    engines, and the raw components are emitted so callers derive any
+    threshold they like — no new rounding boundary is introduced.
+
+    Scale: composes the two LM lineages (each: one vocabulary-shaped
+    aggregate broadcast/shuffle-joined back, one doc-keyed aggregate)
+    with one doc-keyed join — nothing new shuffles beyond the components
+    themselves."""
+    u = doc_unigram_logprob(spark, sf_dir)
+    from airflow_ml_pipeline_spark.operators.textstats import (
+        doc_bigram_logprob,
+    )
+
+    b = doc_bigram_logprob(spark, sf_dir)
+    return u.join(b, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        F.col("avg_logprob").alias("uni_avg_logprob"),
+        F.col("sum_logprob").alias("bi_sum_logprob"),
+        (F.col("sum_logprob") / F.col("n_bigrams") > F.col("avg_logprob"))
+        .cast("bigint")
+        .alias("learnable"),
+    )

@@ -540,44 +540,55 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
 
-
-@query(
-    "doc_bigram_logprob",
-    oracle=f"""
-    WITH tok AS (
+#: The interpolated-bigram scoring pipeline as a reusable CTE chain
+#: ending in ``blp(doc_id, n_bigrams, sum_logprob)`` — shared by
+#: ``doc_bigram_logprob`` and the learnability contrast in selection.py
+#: (one statement of the LM, same extraction pattern as
+#: SQL_UNIGRAM_LP_CTES; CTE names are b-prefixed so both chains compose
+#: in one WITH).
+SQL_BIGRAM_LP_CTES = f"""btok AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
-    uni AS (
+    buni AS (
         SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
-        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t
+        FROM (SELECT unnest(ts) AS t FROM btok) GROUP BY t
     ),
-    total AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_corpus FROM uni),
-    bg AS (
+    btotal AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_corpus FROM buni),
+    bgp AS (
         SELECT doc_id, w1, w2 FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, len(ts)),
                           i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
-            FROM tok WHERE len(ts) >= 2
+            FROM btok WHERE len(ts) >= 2
         ), LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
     ),
-    big AS (
+    bbig AS (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-        FROM bg GROUP BY w1, w2
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(ln(
-                     {BIGRAM_LAMBDA} * (CAST(c12 AS DOUBLE)
-                                        / CAST(u1.c1 AS DOUBLE))
-                     + {round(1 - BIGRAM_LAMBDA, 6)} * (CAST(u2.c1 AS DOUBLE)
-                                                       / n_corpus)
-                 ) AS DECIMAL(25,6))) AS DOUBLE) AS sum_logprob
-    FROM bg
-    JOIN big USING (w1, w2)
-    JOIN uni u1 ON u1.t = bg.w1
-    JOIN uni u2 ON u2.t = bg.w2
-    CROSS JOIN total
-    GROUP BY doc_id
+        FROM bgp GROUP BY w1, w2
+    ),
+    blp AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(ln(
+                         {BIGRAM_LAMBDA} * (CAST(c12 AS DOUBLE)
+                                            / CAST(u1.c1 AS DOUBLE))
+                         + {round(1 - BIGRAM_LAMBDA, 6)}
+                           * (CAST(u2.c1 AS DOUBLE) / n_corpus)
+                     ) AS DECIMAL(25,6))) AS DOUBLE) AS sum_logprob
+        FROM bgp
+        JOIN bbig USING (w1, w2)
+        JOIN buni u1 ON u1.t = bgp.w1
+        JOIN buni u2 ON u2.t = bgp.w2
+        CROSS JOIN btotal
+        GROUP BY doc_id
+    )"""
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH {SQL_BIGRAM_LP_CTES}
+    SELECT doc_id, n_bigrams, sum_logprob FROM blp
     """,
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

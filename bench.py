@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_quality_filtered",
     "doc_top_tfidf_term",
     "doc_unigram_logprob",
+    "doc_learnability_rho",
     "doc_length_zscore_by_lang",
     "doc_token_entropy",
     "doc_token_entropy_udf",

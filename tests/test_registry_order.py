@@ -35,6 +35,7 @@ NEVER_WITNESSED = {
     "unigram_vocab_pruned",
     "tokenizer_fertility_by_lang",
     "near_dup_cross_source_matrix",
+    "doc_learnability_rho",
 }
 
 #: every operator family must have at least one representative with driver

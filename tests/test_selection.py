@@ -96,3 +96,28 @@ def test_temperature_sample_keeps_all_of_the_most_boosted_lang(spark, sf_dir):
     assert kept_by_lang[best] == totals[best]
     dominant = max(rates.values(), key=lambda r: r.p_raw).lang
     assert kept_by_lang.get(dominant, 0) < totals[dominant]
+
+
+def test_learnability_flag_matches_driver_recount(spark, sf_dir):
+    """The learnable flag must equal a driver-side comparison of the two
+    registered LM scores, and every scored doc must appear exactly once."""
+    from airflow_ml_pipeline_spark.operators.selection import (
+        doc_learnability_rho,
+    )
+    from airflow_ml_pipeline_spark.operators.textstats import (
+        doc_bigram_logprob,
+        doc_unigram_logprob,
+    )
+
+    uni = {r.doc_id: r.avg_logprob for r in doc_unigram_logprob(spark, sf_dir).collect()}
+    bi = {
+        r.doc_id: (r.n_bigrams, r.sum_logprob)
+        for r in doc_bigram_logprob(spark, sf_dir).collect()
+    }
+    rows = doc_learnability_rho(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(bi)
+    for r in rows:
+        n_bg, s = bi[r.doc_id]
+        assert r.learnable == int(s / n_bg > uni[r.doc_id])
+        assert r.uni_avg_logprob == uni[r.doc_id]
+        assert r.bi_sum_logprob == s
