@@ -523,7 +523,7 @@ def unigram_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l1.withColumnRenamed("loss", "loss_round1")
-        .join(l2, "piece", "left")
+        .join(F.broadcast(l2), "piece", "left")
         .select(
             "piece",
             "loss_round1",

@@ -89,10 +89,15 @@ QUERIES = [
     ("doc_quality_model_scores", "documents"),
     ("doc_quality_model_calibration", "documents"),
     ("unigram_seed_candidates", "documents"),
+    ("unigram_vocab_pruned", "documents"),
     ("unigram_lm_segmented", "documents"),
+    ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
     ("corpus_model_quality_filtered", "documents"),
     ("doc_dsir_weights", "documents"),
+    ("doc_learnability_rho", "documents"),
+    ("near_dup_canonical_by_source", "documents"),
+    ("near_dup_cross_source_matrix", "documents"),
     ("doc_ppl_buckets", "documents"),
     ("lang_temperature_rates", "documents"),
     ("corpus_lang_temperature_sampled", "documents"),
