@@ -27,6 +27,10 @@ from airflow_ml_pipeline_spark.functions.text import (
     tokens,
 )
 from airflow_ml_pipeline_spark.functions.pairs import sorted_pairs
+from airflow_ml_pipeline_spark.operators.textstats import (
+    quality_gate_cond,
+    sql_quality_gate,
+)
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
@@ -652,13 +656,11 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_STOP_CP = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-
+# the quality gate composed from textstats' single definition (ADVICE r8:
+# literal restatements desynchronize on a threshold change) plus the
+# pipeline's lexical-diversity floor
 _SQL_QUALITY = f"""
-      len(string_split(text, ' ')) >= 20
-      AND CAST(len(list_filter(string_split(text, ' '),
-            t -> t IN ({_SQL_STOP_CP}))) AS DOUBLE)
-          / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+      {sql_quality_gate()}
       AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
           / len(string_split(text, ' ')) >= 0.15
 """
@@ -747,17 +749,22 @@ def prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     All stages compose into one DataFrame lineage: Catalyst prunes text
     out of every post-shingle stage automatically.
     """
+    return _prepared_stages(spark, sf_dir)[3]
+
+
+def _prepared_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The prepared-corpus pipeline with every stage exposed:
+    (raw docs, quality-gated, exact-deduped survivors, near-dup-free
+    final) — one statement of the stages shared by ``corpus_prepared``
+    and ``corpus_curation_funnel``."""
     docs = load_spread(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
     unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    q = docs.filter(
-        (n_tok >= 20)
-        & (stop_ratio >= 0.01)
-        & (stop_ratio <= 0.6)
-        & (unique_ratio >= 0.15)
-    )
+    q = docs.filter(quality_gate_cond(n_tok, stop_ratio) & (unique_ratio >= 0.15))
 
     keepers = (
         q.select(F.md5(F.col("text")).alias("fp"), "doc_id")
@@ -782,12 +789,74 @@ def prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return surv.join(near_dups, "doc_id", "left_anti").select(
+    prepared = surv.join(near_dups, "doc_id", "left_anti").select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return docs, q, surv, prepared
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH {_SQL_PREPARED_CTES}
+    SELECT '0_raw' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    UNION ALL
+    SELECT '1_quality_gate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    FROM q
+    UNION ALL
+    SELECT '2_exact_dedup',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    FROM surv
+    UNION ALL
+    SELECT '3_near_dedup',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT)
+    FROM prepared
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report — doc and token counts surviving each
+    stage of the prepared-corpus pipeline (raw → quality gate → exact
+    dedup → near-dup removal). The release-notes table every dataset
+    paper publishes ("we filtered X%, deduped Y%") and the first thing a
+    curation engineer checks after a pipeline change; stage semantics
+    are THE SAME statement the pipeline runs (`_prepared_stages`), so
+    the report can never drift from the corpus it describes.
+
+    Scale: four bounded aggregates over the staged lineage — raw and
+    gated stages are scan+filter with map-side partial sums; the
+    survivor stage reuses the pipeline's eager checkpoint (consumed here
+    by its aggregate, the LSH discovery, and the final anti-join); the
+    output is 4 rows."""
+    docs, q, surv, prepared = _prepared_stages(spark, sf_dir)
+
+    def counts(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+    final = prepared.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ).select(F.lit("3_near_dedup").alias("stage"), "n_docs", "n_tokens")
+    return (
+        counts(docs, "0_raw")
+        .unionByName(counts(q, "1_quality_gate"))
+        .unionByName(counts(surv, "2_exact_dedup"))
+        .unionByName(final)
     )
 
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_incremental",
     "simhash_md5",
     "corpus_prepared",
+    "corpus_curation_funnel",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
     "simhash_fingerprints",

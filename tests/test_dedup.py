@@ -559,3 +559,28 @@ def test_simhash_banding_equals_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert expected, "corpus plants near-dups; the detector must find some"
+
+
+def test_curation_funnel_monotone_and_matches_stage_counts(spark, sf_dir):
+    """The funnel must be monotone non-increasing and its terminal row
+    must equal corpus_prepared's own count/token totals."""
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        corpus_curation_funnel,
+        corpus_prepared,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in corpus_curation_funnel(spark, sf_dir).collect()
+    }
+    assert list(sorted(rows)) == [
+        "0_raw", "1_quality_gate", "2_exact_dedup", "3_near_dedup"
+    ]
+    stages = [rows[s] for s in sorted(rows)]
+    for (d0, t0), (d1, t1) in zip(stages, stages[1:]):
+        assert d0 >= d1 and t0 >= t1
+    prep = corpus_prepared(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert rows["3_near_dedup"] == (prep.d, prep.t)

@@ -36,6 +36,7 @@ NEVER_WITNESSED = {
     "tokenizer_fertility_by_lang",
     "near_dup_cross_source_matrix",
     "doc_learnability_rho",
+    "corpus_curation_funnel",
 }
 
 #: every operator family must have at least one representative with driver
