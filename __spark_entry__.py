@@ -77,6 +77,7 @@ CHECK_PRIORITY = [
     "near_dup_cross_source_matrix",
     "doc_learnability_rho",
     "corpus_curation_funnel",
+    "stream_ingest_funnel",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

@@ -418,3 +418,191 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest FUNNEL: per-micro-batch observability for the dedup
+# ingester — the ops-side counters (arrivals / gate-passing / unique /
+# new-to-store) every production ingestion pipeline charts. Per-batch
+# numbers are normally boundary-dependent (and thus unoracle-able); here
+# the staging is an EXPLICIT doc_id modulus with mtime-ordered files, so
+# batch k's membership is a pure function of the data and the whole
+# per-batch report is DuckDB-restatable.
+# ---------------------------------------------------------------------------
+
+FUNNEL_N_BATCHES = 4
+
+
+def funnel_dirs(sf_dir: str) -> tuple[str, str, str, str]:
+    """(arrivals, store, stats, checkpoint) for the funnel ingester —
+    separate trio so the range-staged exact ingester is untouched."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{base}-{_corpus_fingerprint(sf_dir)}"
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "funnel_arrivals"),
+        os.path.join(root, "funnel_store"),
+        os.path.join(root, "funnel_stats"),
+        os.path.join(root, "funnel_checkpoint"),
+    )
+
+
+def stage_modulus_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the corpus as FUNNEL_N_BATCHES single-file parquet slices,
+    slice k = docs with ``doc_id % FUNNEL_N_BATCHES == k``, file mtimes
+    strictly ascending in k — the file source processes one file per
+    trigger in (mtime, path) order, so micro-batch k IS modulus class k
+    and every per-batch number becomes oracle-expressible."""
+    arrivals, _, _, _ = funnel_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        os.makedirs(arrivals, exist_ok=True)
+        import time
+
+        t0 = time.time() - 3600
+        for k in range(FUNNEL_N_BATCHES):
+            tmp = os.path.join(arrivals, f".build_{k}.{os.getpid()}")
+            docs.filter(
+                F.col("doc_id") % FUNNEL_N_BATCHES == k
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(arrivals, f"slice_{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + k, t0 + k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return arrivals
+
+
+def funnel_batch(batch_df: DataFrame, batch_id: int, store: str, stats: str) -> None:
+    """foreachBatch body: compute the batch's funnel counters, upsert the
+    fingerprint store (same exactly-once layout as ``upsert_batch``:
+    anti-join prior partitions only, overwrite own partition), write the
+    1-row stats partition last so a retried batch regenerates both."""
+    from airflow_ml_pipeline_spark.functions.text import (
+        STOPWORDS_EN,
+        count_in,
+        tokens,
+    )
+    from airflow_ml_pipeline_spark.operators.textstats import quality_gate_cond
+
+    spark = batch_df.sparkSession
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
+    flagged = batch_df.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        quality_gate_cond(n_tok, stop_ratio).cast("int").alias("gate"),
+    ).localCheckpoint(eager=True)  # consumed by three aggregates + store
+
+    winners = flagged.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    prior = store_before(spark, store, batch_id)
+    new = (
+        winners.join(prior.select("fp"), "fp", "left_anti")
+        if prior is not None
+        else winners
+    )
+    new.write.mode("overwrite").parquet(
+        os.path.join(store, f"batch_id={batch_id}")
+    )
+    row = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        F.sum("gate").cast("bigint").alias("n_gate_passed"),
+        F.count_distinct("fp").cast("bigint").alias("n_unique_fps"),
+    ).crossJoin(
+        spark.read.parquet(os.path.join(store, f"batch_id={batch_id}"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_docs"))
+    )
+    row.write.mode("overwrite").parquet(
+        os.path.join(stats, f"batch_id={batch_id}")
+    )
+
+
+def run_funnel_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """AvailableNow replay of the modulus-staged corpus through the
+    funnel ingester; returns the stats directory. Idempotent per corpus
+    version (checkpointed file progress + per-partition overwrites)."""
+    arrivals, store, stats, checkpoint = funnel_dirs(sf_dir)
+    stage_modulus_stream(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(arrivals, "slice_0.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: funnel_batch(df, bid, store, stats)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
+
+
+def _funnel_oracle() -> str:
+    from airflow_ml_pipeline_spark.operators.textstats import sql_quality_gate
+
+    return f"""
+    WITH a AS (
+        SELECT doc_id, text, doc_id % {FUNNEL_N_BATCHES} AS b FROM documents
+    ),
+    w AS (
+        SELECT b, md5(text) AS fp, MIN(doc_id) AS doc_id
+        FROM a GROUP BY b, md5(text)
+    ),
+    nw AS (
+        SELECT w.b, COUNT(*) AS n_new FROM w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM w w2 WHERE w2.fp = w.fp AND w2.b < w.b
+        )
+        GROUP BY w.b
+    )
+    SELECT CAST(a.b AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CASE WHEN {sql_quality_gate()} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gate_passed,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_fps,
+           CAST(MIN(nw.n_new) AS BIGINT) AS n_new_docs
+    FROM a JOIN nw ON a.b = nw.b
+    GROUP BY a.b
+    """
+
+
+@query("stream_ingest_funnel", oracle=_funnel_oracle())
+def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch ingest funnel for the streaming dedup ingester:
+    arrivals, quality-gate passes, unique fingerprints, and docs new to
+    the store, one row per micro-batch — the ingestion-observability
+    counters an ops dashboard charts, produced inside the exactly-once
+    foreachBatch body itself (a retried batch rewrites its own stats
+    partition, never double-counts). Batch membership is an explicit
+    doc_id modulus over mtime-ordered staged files, so the whole
+    per-batch report is deterministic and DuckDB-restatable — the
+    boundary-dependence that usually makes per-batch streaming numbers
+    unoracle-able is engineered out.
+
+    Scale: each batch does one gate+fingerprint projection (pinned: three
+    aggregates + the store write consume it), one batch-sized winner
+    aggregate, one anti-join against the bounded fingerprint store, and
+    writes 1 stats row; the stats table grows one row per batch."""
+    stats = run_funnel_ingest(spark, sf_dir)
+    return (
+        spark.read.option("basePath", stats)
+        .parquet(stats)
+        .select(
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            "n_arrivals",
+            "n_gate_passed",
+            "n_unique_fps",
+            "n_new_docs",
+        )
+    )

@@ -123,6 +123,7 @@ HEADLINE = [
     "simhash_md5",
     "corpus_prepared",
     "corpus_curation_funnel",
+    "stream_ingest_funnel",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_minhash",
     "simhash_fingerprints",

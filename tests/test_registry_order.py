@@ -37,6 +37,7 @@ NEVER_WITNESSED = {
     "near_dup_cross_source_matrix",
     "doc_learnability_rho",
     "corpus_curation_funnel",
+    "stream_ingest_funnel",
 }
 
 #: every operator family must have at least one representative with driver

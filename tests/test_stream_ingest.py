@@ -132,3 +132,25 @@ def test_stale_ingest_state_is_pruned(spark, sf_dir, tmp_path, monkeypatch):
     assert not stale.exists(), "old different-fingerprint tag must be GC'd"
     assert young.exists(), "young dirs may belong to a concurrent session"
     assert other.exists(), "other corpus basenames are untouched"
+
+
+def test_funnel_rerun_is_stable_and_consistent(spark, sf_dir):
+    """Re-running the funnel ingest against an unchanged corpus is a
+    checkpointed no-op (identical stats), arrivals partition the corpus,
+    and per-batch counters obey the funnel ordering."""
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+    from airflow_ml_pipeline_spark.streaming.ingest import (
+        FUNNEL_N_BATCHES,
+        stream_ingest_funnel,
+    )
+
+    r1 = sorted(map(tuple, stream_ingest_funnel(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, stream_ingest_funnel(spark, sf_dir).collect()))
+    assert r1 == r2
+    assert len(r1) == FUNNEL_N_BATCHES
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r[1] for r in r1) == n_docs
+    for batch_id, n_arr, n_gate, n_uniq, n_new in r1:
+        assert 0 <= n_gate <= n_arr
+        assert 0 < n_uniq <= n_arr
+        assert 0 <= n_new <= n_uniq

@@ -99,6 +99,7 @@ QUERIES = [
     ("near_dup_canonical_by_source", "documents"),
     ("near_dup_cross_source_matrix", "documents"),
     ("corpus_curation_funnel", "documents"),
+    ("stream_ingest_funnel", "documents"),
     ("doc_ppl_buckets", "documents"),
     ("lang_temperature_rates", "documents"),
     ("corpus_lang_temperature_sampled", "documents"),
