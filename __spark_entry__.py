@@ -78,6 +78,7 @@ CHECK_PRIORITY = [
     "doc_learnability_rho",
     "corpus_curation_funnel",
     "stream_ingest_funnel",
+    "multimodal_dedup_by_digest",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

@@ -267,3 +267,44 @@ def multimodal_frame_samples(spark, sf_dir: str) -> DataFrame:
     return sample_frames(media).select(
         "media_id", F.col("frame_ms").cast("bigint").alias("frame_ms")
     )
+
+
+@query(
+    "multimodal_dedup_by_digest",
+    oracle="""
+    SELECT sha256(text) AS digest,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_media_id,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                                    WHEN doc_id % 3 = 1 THEN 'audio'
+                                    ELSE 'video' END) AS BIGINT)
+               AS n_modalities
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_dedup_by_digest(spark, sf_dir: str) -> DataFrame:
+    """Content-addressable media dedup: group payloads by (sha256 digest,
+    byte length) and report copy counts, the canonical keeper (min
+    media_id), and how many MODALITIES the same bytes were ingested under
+    (the classic media-pipeline duplicate: one asset registered as both
+    image and video thumbnail). The step before writing 100 TB of media
+    to blob storage — storage cost scales with distinct digests, not
+    arrivals.
+
+    Scale: the digest is computed map-side from the payload and the
+    payload column is pruned BEFORE the exchange — only (digest, n_bytes,
+    modality, media_id) shuffle, never the bytes; one hash aggregate with
+    map-side partials. The oracle restates digest and byte length over
+    the utf-8 stand-in payload (`sha256(text)`), so the binary
+    plumbing is value-checked end-to-end."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy(
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("media_id").cast("bigint").alias("keep_media_id"),
+        F.count_distinct("modality").cast("bigint").alias("n_modalities"),
+    )

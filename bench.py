@@ -118,6 +118,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "local_supplier_revenue",
     "dedup_exact",
+    "multimodal_dedup_by_digest",
     "dedup_corpus",
     "dedup_incremental",
     "simhash_md5",

@@ -130,3 +130,53 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
         .collect()
     }
     assert all(batch[r.media_id] == r.payload for r in got)
+
+
+def test_digest_dedup_shuffles_digests_not_payloads(spark, sf_dir):
+    """The content-addressable dedup must hash map-side and prune the
+    payload BEFORE the exchange — shipping the bytes through the shuffle
+    is the scale failure the operator exists to avoid. Also: planted
+    duplicate payloads collapse to one digest row with the min keeper."""
+    from airflow_ml_pipeline_spark.operators.multimodal import (
+        multimodal_dedup_by_digest,
+        synthesize_media,
+    )
+
+    df = multimodal_dedup_by_digest(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchanges, "expected at least one Exchange in the plan"
+    for b in exchanges:
+        assert "payload" not in b, f"payload crossed a shuffle:\n{b}"
+
+    docs = spark.createDataFrame(
+        [(0, "same bytes"), (1, "same bytes"), (2, "same bytes"), (5, "other")],
+        "doc_id long, text string",
+    )
+    media = synthesize_media(docs)
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.digest: (r.n_copies, r.keep_media_id, r.n_modalities)
+        for r in media.groupBy(
+            F.sha2(F.col("payload"), 256).alias("digest"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keep_media_id"),
+            F.count_distinct("modality").cast("bigint").alias("n_modalities"),
+        )
+        .collect()
+    }
+    import hashlib
+
+    dup = hashlib.sha256(b"same bytes").hexdigest()
+    other = hashlib.sha256(b"other").hexdigest()
+    assert rows[dup] == (3, 0, 3)  # ids 0,1,2 -> image,audio,video
+    assert rows[other] == (1, 5, 1)

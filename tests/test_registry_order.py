@@ -38,6 +38,7 @@ NEVER_WITNESSED = {
     "doc_learnability_rho",
     "corpus_curation_funnel",
     "stream_ingest_funnel",
+    "multimodal_dedup_by_digest",
 }
 
 #: every operator family must have at least one representative with driver
