@@ -79,6 +79,7 @@ CHECK_PRIORITY = [
     "corpus_curation_funnel",
     "stream_ingest_funnel",
     "multimodal_dedup_by_digest",
+    "embedding_class_prototypes",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

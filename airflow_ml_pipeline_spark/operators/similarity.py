@@ -858,3 +858,113 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.lab").alias("label"),
         F.col("m.c").alias("cos_sim"),
     )
+
+
+PROTO_TOP_K = 5
+
+
+def _sql_class_prototypes() -> str:
+    from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM
+
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, {SQL_DAVG('v')} AS c FROM ex GROUP BY label, dim
+    ),
+    pv AS (
+        SELECT ex.vec_id, ex.label,
+               {SQL_DSUM('ex.v * cent.c')} AS dot6,
+               {SQL_DSUM('ex.v * ex.v')} AS n2v
+        FROM ex JOIN cent USING (label, dim)
+        GROUP BY ex.vec_id, ex.label
+    ),
+    cn AS (
+        SELECT label, {SQL_DSUM('c * c')} AS n2c FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT pv.vec_id, pv.label,
+               round(pv.dot6 / (sqrt(pv.n2v) * sqrt(cn.n2c)), 6)
+                   AS centroid_cosine
+        FROM pv JOIN cn USING (label)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                 PARTITION BY label ORDER BY centroid_cosine DESC, vec_id
+             ) AS rk
+        FROM scored
+    )
+    SELECT vec_id, label, centroid_cosine, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {PROTO_TOP_K}
+    """
+
+
+@query("embedding_class_prototypes", oracle=_sql_class_prototypes())
+def embedding_class_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset/prototype selection: the K most centroid-similar vectors
+    per label — the examples distillation, few-shot eval, and
+    label-auditing pipelines pull ("show me the most representative
+    members of each class"). Cosine to the label centroid, rounded to
+    6dp BEFORE ranking so sum-order ulps can never flip a rank; ties
+    break on vec_id.
+
+    Exactness: the dot product, the vector norm, and the centroid norm
+    all accumulate on the 6dp decimal lattice (order-independent), the
+    centroid itself is the committed decimal-exact `davg`, and the final
+    cosine is one identical IEEE expression on both engines.
+
+    Scale: the centroid frame is labels×dims (broadcast); the exploded
+    join + per-vector aggregate is one pass with map-side partials; the
+    per-class top-K runs on the two-phase `class_row_number` kernel —
+    no one-task-per-label serial window however few labels exist."""
+    from airflow_ml_pipeline_spark.functions.compare import DEC
+    from airflow_ml_pipeline_spark.functions.prefix import class_row_number
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    cent = label_centroids(spark, sf_dir).withColumnRenamed(
+        "centroid_val", "c"
+    )
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast(DEC))
+            .cast("double")
+            .alias("dot6"),
+            F.sum((F.col("v") * F.col("v")).cast(DEC))
+            .cast("double")
+            .alias("n2v"),
+        )
+    )
+    cn = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("n2c")
+    )
+    scored = pv.join(F.broadcast(cn), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot6") / (F.sqrt(F.col("n2v")) * F.sqrt(F.col("n2c"))), 6
+        ).alias("centroid_cosine"),
+    )
+    # class_row_number scans its input 3x (cuts, counts, probe) — pin the
+    # join+aggregate lineage per the kernel's contract
+    scored = scored.localCheckpoint(eager=False)
+    ranked = class_row_number(
+        scored,
+        "label",
+        "centroid_cosine",
+        [F.col("vec_id")],
+        n_buckets=32,
+        descending=True,
+        out="rk",
+    )
+    return ranked.filter(F.col("rk") <= PROTO_TOP_K).select(
+        "vec_id", "label", "centroid_cosine", "rk"
+    )

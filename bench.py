@@ -147,6 +147,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",
+    "embedding_class_prototypes",
     "user_value_totals_salted",
     "user_distinct_values_salted",
     "segment_value_salted_join",

@@ -39,6 +39,7 @@ NEVER_WITNESSED = {
     "corpus_curation_funnel",
     "stream_ingest_funnel",
     "multimodal_dedup_by_digest",
+    "embedding_class_prototypes",
 }
 
 #: every operator family must have at least one representative with driver

@@ -197,3 +197,42 @@ def test_hard_negatives_semantics(spark, sf_dir):
         same = r.role == "positive"
         assert (r.label == r.anchor_label) == same
         assert r.vec_id == best(r.anchor_id, same), (r.anchor_id, r.role)
+
+
+def test_class_prototypes_match_numpy_reference(spark, sf_dir):
+    """Per-label top-K centroid-cosine prototypes must agree with an
+    independent numpy recount (same 6dp pre-rank rounding, vec_id ties)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        PROTO_TOP_K,
+        embedding_class_prototypes,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    expected = set()
+    for label, vecs in by_label.items():
+        c = np.mean([v for _, v in vecs], axis=0)
+        scored = sorted(
+            (
+                (
+                    round(float(np.dot(v, c) / (np.linalg.norm(v) * np.linalg.norm(c))), 6),
+                    vid,
+                )
+                for vid, v in vecs
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (cos, vid) in enumerate(scored[:PROTO_TOP_K], start=1):
+            expected.add((vid, label, rk))
+    got = {
+        (r.vec_id, r.label, r.rk)
+        for r in embedding_class_prototypes(spark, sf_dir).collect()
+    }
+    assert got == expected
