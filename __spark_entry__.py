@@ -80,6 +80,7 @@ CHECK_PRIORITY = [
     "stream_ingest_funnel",
     "multimodal_dedup_by_digest",
     "embedding_class_prototypes",
+    "source_unigram_kl",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

@@ -466,3 +466,81 @@ def doc_learnability_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("learnable"),
     )
+
+
+def _sql_source_kl() -> str:
+    ln6 = "CAST(ln(CAST({x} AS DOUBLE)) AS DECIMAL(25,6))"
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    sb AS (
+        SELECT source, {sql_md5_bucket('t', DSIR_BUCKETS)} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c_sb
+        FROM tok GROUP BY source, b
+    ),
+    cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY b),
+    ns AS (
+        SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_corpus FROM cb)
+    SELECT sb.source,
+           ns.n_s AS n_tokens,
+           round(CAST(SUM(c_sb * ({ln6.format(x='c_sb + 1')}
+                                   - {ln6.format(x='ns.n_s + ' + str(DSIR_BUCKETS))}
+                                   - {ln6.format(x='c_b + 1')}
+                                   + {ln6.format(x='n_corpus + ' + str(DSIR_BUCKETS))}))
+                      AS DOUBLE) / ns.n_s, 6) AS kl_nats
+    FROM sb
+    JOIN cb USING (b)
+    JOIN ns USING (source)
+    CROSS JOIN n
+    GROUP BY sb.source, ns.n_s
+    """
+
+
+@query("source_unigram_kl", oracle=_sql_source_kl())
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional distance of each source from the whole corpus:
+    KL(P_source || P_corpus) over the add-one-smoothed hashed-unigram LM
+    (DSIR's 256-bucket feature space) — the mixing diagnostic behind
+    'which source is most unlike the rest' decisions (a high-KL source
+    dominates temperature/weight tuning; a near-zero one is
+    interchangeable mass). KL = (1/N_s)·Σ_b c_sb·[ln(c_sb+1) − ln(N_s+B)
+    − ln(c_b+1) + ln(N+B)]: every ln is a 6dp decimal, each term is an
+    integer times an exact decimal, so the sum is order-independent and
+    the one double division happens once per source.
+
+    Scale: one token-exploded aggregate to a (sources × 256)-row frame;
+    everything downstream is arithmetic on that bounded frame (the
+    corpus-level counts REUSE it — the corpus is scanned once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    sb = tok.groupBy(
+        "source", md5_bucket(F.col("t"), DSIR_BUCKETS).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_sb"))
+    # sources x 256 rows feeding three aggregates + the final join — pin
+    sb = sb.localCheckpoint(eager=False)
+    cb = sb.groupBy("b").agg(F.sum("c_sb").cast("bigint").alias("c_b"))
+    ns = sb.groupBy("source").agg(F.sum("c_sb").cast("bigint").alias("n_s"))
+    n = cb.agg(F.sum("c_b").cast("bigint").alias("n_corpus"))
+    term = F.col("c_sb") * (
+        _ln6((F.col("c_sb") + 1).cast("double"))
+        - _ln6((F.col("n_s") + DSIR_BUCKETS).cast("double"))
+        - _ln6((F.col("c_b") + 1).cast("double"))
+        + _ln6((F.col("n_corpus") + DSIR_BUCKETS).cast("double"))
+    )
+    return (
+        sb.join(F.broadcast(cb), "b")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", "n_s")
+        .agg(
+            F.round((F.sum(term)).cast("double") / F.col("n_s").cast("double"), 6).alias(
+                "kl_nats"
+            )
+        )
+        .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
+    )

@@ -109,6 +109,7 @@ HEADLINE = [
     "stream_doc_quality_scores",
     "corpus_model_quality_filtered",
     "doc_dsir_weights",
+    "source_unigram_kl",
     "doc_ppl_buckets",
     "lang_temperature_rates",
     "corpus_lang_temperature_sampled",

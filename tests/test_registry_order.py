@@ -40,6 +40,7 @@ NEVER_WITNESSED = {
     "stream_ingest_funnel",
     "multimodal_dedup_by_digest",
     "embedding_class_prototypes",
+    "source_unigram_kl",
 }
 
 #: every operator family must have at least one representative with driver

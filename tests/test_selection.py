@@ -121,3 +121,65 @@ def test_learnability_flag_matches_driver_recount(spark, sf_dir):
         assert r.learnable == int(s / n_bg > uni[r.doc_id])
         assert r.uni_avg_logprob == uni[r.doc_id]
         assert r.bi_sum_logprob == s
+
+
+def test_source_kl_matches_python_recount(spark, sf_dir):
+    """Per-source KL must equal an independent pure-Python recount on the
+    same decimal lattice (Decimal(repr(ln)) quantized HALF_UP to 6dp)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from airflow_ml_pipeline_spark.functions.text import tokens
+    from airflow_ml_pipeline_spark.operators.selection import (
+        DSIR_BUCKETS,
+        source_unigram_kl,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        .collect()
+    )
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    from collections import Counter
+
+    c_sb: Counter = Counter()
+    for r in rows:
+        c_sb[(r.source, bucket(r.t))] += 1
+    c_b: Counter = Counter()
+    n_s: Counter = Counter()
+    for (s, b), c in c_sb.items():
+        c_b[b] += c
+        n_s[s] += c
+    n = sum(c_b.values())
+    q6 = Decimal("0.000001")
+
+    def ln6(x: float) -> Decimal:
+        return Decimal(repr(math.log(x))).quantize(q6, rounding=ROUND_HALF_UP)
+
+    expected = {}
+    for s in n_s:
+        tot = Decimal(0)
+        for (s2, b), c in c_sb.items():
+            if s2 != s:
+                continue
+            tot += c * (
+                ln6(c + 1)
+                - ln6(n_s[s] + DSIR_BUCKETS)
+                - ln6(c_b[b] + 1)
+                + ln6(n + DSIR_BUCKETS)
+            )
+        expected[s] = (n_s[s], round(float(tot) / n_s[s], 6))
+    got = {
+        r.source: (r.n_tokens, r.kl_nats)
+        for r in source_unigram_kl(spark, sf_dir).collect()
+    }
+    assert got == expected
