@@ -100,6 +100,9 @@ QUERIES = [
     ("near_dup_cross_source_matrix", "documents"),
     ("corpus_curation_funnel", "documents"),
     ("stream_ingest_funnel", "documents"),
+    ("multimodal_dedup_by_digest", "documents"),
+    ("embedding_class_prototypes", "embeddings"),
+    ("source_unigram_kl", "documents"),
     ("doc_ppl_buckets", "documents"),
     ("lang_temperature_rates", "documents"),
     ("corpus_lang_temperature_sampled", "documents"),
