@@ -538,3 +538,35 @@ def test_class_row_number_matches_partitioned_window(spark):
             ).collect()
         }
         assert got == expected, f"descending={descending}"
+
+
+def test_source_kl_scans_corpus_once_and_broadcasts(spark, sf_dir):
+    """source_unigram_kl's corpus-level counts REUSE the per-(source,
+    bucket) frame (pinned lazily, so the checkpoint leaf subsumes the
+    one parquet scan in the displayed plan): at most one documents scan
+    may appear, and every join against the bounded count frames must
+    broadcast — a sort-merge would shuffle the 256-row side's partner."""
+    plan = _plan(registry.QUERIES["source_unigram_kl"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_class_prototypes_broadcast_centroids(spark, sf_dir):
+    """embedding_class_prototypes joins the exploded vectors against the
+    labels x dims centroid frame: that side must broadcast (shuffling the
+    exploded n x d rows on (label, dim) is the scale failure), and the
+    plan must be cartesian-free."""
+    plan = _plan(registry.QUERIES["embedding_class_prototypes"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cross_source_matrix_no_cartesian_no_text_after_clusters(spark, sf_dir):
+    """The source-pair matrix self-joins per-(cluster, source) COUNTS —
+    never doc pairs and never text: the plan must be cartesian-free and
+    no post-cluster stage may read the text column (the count products
+    carry everything)."""
+    plan = _plan(registry.QUERIES["near_dup_cross_source_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
