@@ -75,6 +75,7 @@ def run_available_now(
     output_mode: str = "complete",
     shuffle_partitions: int = 8,
     skip_no_data_batch: bool = False,
+    collect_progress: list | None = None,
 ) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow) into a memory sink and return the result table.
@@ -136,9 +137,31 @@ def run_available_now(
             .start()
         )
         query.awaitTermination()
+        if collect_progress is not None:
+            import json as _json
+
+            for p in query.recentProgress:
+                collect_progress.append(
+                    _json.loads(p.json) if hasattr(p, "json") else p
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
     return spark.table(name)
+
+
+def rows_dropped_by_watermark(progress: list[dict]) -> int:
+    """Total late rows the state store REFUSED across a run — the
+    data-loss observability counter an ingestion dashboard alerts on
+    (summed over every micro-batch's stateOperators). Collected via
+    ``run_available_now(..., collect_progress=[...])``; Spark only
+    counts a drop after the window's state is evicted, so a zero here
+    plus a shrinking input/output gap means late rows MERGED, not
+    vanished."""
+    total = 0
+    for p in progress:
+        for op in p.get("stateOperators", []) or []:
+            total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    return total

@@ -415,3 +415,36 @@ def test_cross_source_matrix_matches_driver_recount(spark, sf_dir):
         for r in corpus_ops.near_dup_cross_source_matrix(spark, sf_dir).collect()
     }
     assert got == {k: (pairs[k], clusters[k]) for k in pairs}
+
+
+def test_canonical_by_source_random_clusters_match_recount(spark):
+    """Property check: on random cluster/source assignments the arg-min
+    kernel must equal a driver-side recount (min (prio, doc_id) per
+    cluster) — catches encode/decode bugs planted fixtures might miss."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = rng.randint(3, 40)
+        docs = []
+        clusters = []
+        for doc_id in range(n):
+            clusters.append((doc_id, rng.randint(0, 5)))
+            docs.append((doc_id, f"src{rng.randint(0, 9_000_000)}"))
+        cl = spark.createDataFrame(clusters, "doc_id long, cluster_id long")
+        dd = spark.createDataFrame(docs, "doc_id long, source string")
+        expected = {}
+        prio = {d: int(s[3:]) for d, s in docs}
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for d, c in clusters:
+            members[c].append(d)
+        for c, ds in members.items():
+            keep = min(ds, key=lambda d: (prio[d], d))
+            expected[c] = (len(ds), keep, f"src{prio[keep]}", len(ds) - 1)
+        got = {
+            r.cluster_id: (r.cluster_size, r.keep_doc_id, r.keep_source, r.n_dropped)
+            for r in corpus_ops.canonical_by_source(cl, dd).collect()
+        }
+        assert got == expected, f"seed={seed}"

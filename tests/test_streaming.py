@@ -353,3 +353,45 @@ def test_skip_no_data_batch_refuses_concurrent_streams(spark, sf_dir):
             )
     finally:
         bg.stop()
+
+
+def test_progress_reports_watermark_dropped_rows(spark, tmp_path):
+    """The observability counter: the same three-batch late-row replay as
+    test_watermark_drops_late_rows must report EXACTLY one
+    numRowsDroppedByWatermark in the collected query progress — the
+    signal an ingestion dashboard alerts on (silently vanishing late
+    rows are a data-loss incident)."""
+    from airflow_ml_pipeline_spark.streaming.sources import (
+        rows_dropped_by_watermark,
+    )
+
+    ts = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    stage = str(tmp_path / "stream_src")
+    os.makedirs(stage, exist_ok=True)
+    now = time.time()
+    rows1 = [(1, ts(0, 10), 1, 1.0), (2, ts(0, 20), 1, 1.0)] + [
+        (10 + h, ts(h, 0), 1, 1.0) for h in range(1, 6)
+    ]
+    rows2 = [(50, ts(6, 0), 1, 1.0), (51, ts(7, 0), 1, 1.0)]
+    rows3 = [(99, ts(0, 30), 1, 1.0), (100, ts(8, 0), 1, 1.0)]
+    _write_single_file(spark, rows1, os.path.join(stage, "f1.parquet"), now - 100)
+    _write_single_file(spark, rows2, os.path.join(stage, "f2.parquet"), now - 50)
+    _write_single_file(spark, rows3, os.path.join(stage, "f3.parquet"), now)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    windowed = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    progress: list[dict] = []
+    run_available_now(windowed, "append", collect_progress=progress)
+    assert progress, "recentProgress must be captured"
+    assert rows_dropped_by_watermark(progress) == 1
