@@ -279,3 +279,57 @@ def test_runtime_bloom_prunes_fact_side(spark):
         assert "might_contain" not in plan_of(j3)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning_fires_on_selective_dim(spark, tmp_path):
+    """Joining a date-partitioned fact with a comparison-filtered dim must
+    inject a dynamicpruning partition filter into the fact scan (only
+    matching partitions are read — the Catalyst win the date-partitioned
+    layout exists for). Gotcha pinned here: Spark's isLikelySelective
+    requires a COMPARISON/IN/LIKE predicate — a bare boolean attribute
+    filter ('WHERE d.is_holiday') never triggers DPP, so dims should
+    carry comparable attributes."""
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    fact_dir = str(tmp_path / "evp")
+    dim_dir = str(tmp_path / "dim")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(fact_dir)
+    dates = spark.read.parquet(fact_dir).select("event_date").distinct()
+    dates.select(
+        "event_date", F.dayofmonth("event_date").alias("dom")
+    ).write.mode("overwrite").parquet(dim_dir)
+    spark.read.parquet(fact_dir).createOrReplaceTempView("dpp_fact")
+    spark.read.parquet(dim_dir).createOrReplaceTempView("dpp_dim")
+
+    def plan_of(sql: str) -> str:
+        df = spark.sql(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    fired = plan_of(
+        "SELECT f.event_date, COUNT(*) n FROM dpp_fact f "
+        "JOIN dpp_dim d ON f.event_date = d.event_date "
+        "WHERE d.dom <= 2 GROUP BY f.event_date"
+    )
+    assert "dynamicpruningexpression" in fired, fired
+
+    # result sanity: pruned plan equals an unpartitioned recompute
+    got = {
+        (str(r.event_date), r.n)
+        for r in spark.sql(
+            "SELECT f.event_date, COUNT(*) n FROM dpp_fact f "
+            "JOIN dpp_dim d ON f.event_date = d.event_date "
+            "WHERE d.dom <= 2 GROUP BY f.event_date"
+        ).collect()
+    }
+    expected = {
+        (str(r.event_date), r.n)
+        for r in ev.withColumn("event_date", F.to_date("ts"))
+        .filter(F.dayofmonth("event_date") <= 2)
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
