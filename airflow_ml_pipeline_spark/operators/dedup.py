@@ -765,6 +765,7 @@ def _prepared_stages(
     stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
     unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     q = docs.filter(quality_gate_cond(n_tok, stop_ratio) & (unique_ratio >= 0.15))
+    q = q.localCheckpoint(eager=False)
 
     keepers = (
         q.select(F.md5(F.col("text")).alias("fp"), "doc_id")
