@@ -81,6 +81,7 @@ CHECK_PRIORITY = [
     "multimodal_dedup_by_digest",
     "embedding_class_prototypes",
     "source_unigram_kl",
+    "events_steps_to_purchase",
     # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
     "customers_no_open_orders",
     "event_value_hour_stats",

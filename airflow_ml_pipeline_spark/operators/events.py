@@ -425,3 +425,66 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+#: recursion cap for the linked-list walk — bounds both engines' CTE
+#: iteration count (Spark's recursion level limit defaults to 100)
+WALK_CAP = 50
+
+
+def _sql_steps_to_purchase(table: str = "events") -> str:
+    """The recursive walk, shared verbatim by BOTH engines — Spark 4 runs
+    WITH RECURSIVE natively, so the oracle and the plan are one SQL
+    statement over different table bindings."""
+    return f"""
+    WITH RECURSIVE linked AS (
+        SELECT user_id, event_id, event_type,
+               LEAD(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM {table}
+    ),
+    walk AS (
+        SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
+        FROM linked WHERE rn = 1
+        UNION ALL
+        SELECT l.user_id, l.event_type, l.nxt, w.depth + 1
+        FROM walk w JOIN linked l
+          ON l.user_id = w.user_id AND l.event_id = w.nxt
+        WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
+    )
+    SELECT user_id,
+           CAST(MAX(depth) AS BIGINT) AS walked,
+           CAST(COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                  THEN depth END), -1) AS BIGINT)
+               AS steps_to_purchase,
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                   THEN depth END) IS NOT NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS reached
+    FROM walk
+    GROUP BY user_id
+    """
+
+
+@query("events_steps_to_purchase", oracle=_sql_steps_to_purchase())
+def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steps from each user's FIRST event to their first purchase, walked
+    over the per-user event linked list with Spark 4's native
+    ``WITH RECURSIVE`` — the first declared query on the recursive-CTE
+    surface (until 4.0 these shapes needed driver-side iteration like the
+    engine's CC/PageRank loops). The walk is strictly LINEAR (each row
+    has exactly one ``lead`` successor), so the recursion does path
+    FOLLOWING, not path enumeration — no combinatorial blowup, bounded
+    by WALK_CAP on both engines. The ORACLE IS THE SAME SQL: both
+    engines execute the identical statement over the same table, so the
+    check pins Spark's recursive execution itself against DuckDB's.
+
+    Scale: the linked list is one window pass (shuffle on user_id);
+    each recursion level is a join of the frontier (<= |users| rows)
+    against the linked table — frontier-sized work per level, never
+    corpus x corpus. ``walked`` < WALK_CAP or reached=1 certifies
+    per-user termination; -1 marks no purchase within the cap."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_walk_src")
+    return spark.sql(_sql_steps_to_purchase("events_walk_src"))

@@ -58,6 +58,7 @@ HEADLINE = [
     "purchase_last_view_asof",
     "events_trailing_burst",
     "events_gap_fill",
+    "events_steps_to_purchase",
     "events_hourly",
     "events_hourly_continuous",
     "events_sliding_daily",

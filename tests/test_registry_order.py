@@ -41,6 +41,7 @@ NEVER_WITNESSED = {
     "multimodal_dedup_by_digest",
     "embedding_class_prototypes",
     "source_unigram_kl",
+    "events_steps_to_purchase",
 }
 
 #: every operator family must have at least one representative with driver

@@ -148,3 +148,39 @@ def test_fuzzy_matches_insert_delete_pairs(spark):
     finally:
         rx.load_table = orig
     assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1}
+
+
+def test_steps_to_purchase_matches_python_walk(spark, sf_dir):
+    """The recursive-CTE walk must equal a driver-side linked-list walk
+    (same (ts, event_id) total order, same cap)."""
+    from airflow_ml_pipeline_spark.operators.events import (
+        WALK_CAP,
+        events_steps_to_purchase,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        steps, reached, walked = -1, 0, 0
+        for depth, (_, _, et) in enumerate(evs):
+            walked = depth
+            if et == "purchase":
+                steps, reached = depth, 1
+                break
+            if depth >= WALK_CAP:
+                break
+        expected[u] = (walked, steps, reached)
+    got = {
+        r.user_id: (r.walked, r.steps_to_purchase, r.reached)
+        for r in events_steps_to_purchase(spark, sf_dir).collect()
+    }
+    assert got == expected

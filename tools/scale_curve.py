@@ -57,6 +57,7 @@ QUERIES = [
     ("embedding_near_dup_pairs", "embeddings"),
     ("purchase_last_view_asof", "events"),
     ("events_trailing_burst", "events"),
+    ("events_steps_to_purchase", "events"),
     ("doc_unigram_logprob", "documents"),
     ("embedding_decontamination", "embeddings"),
     ("corpus_weighted_sample", "documents"),
