@@ -9,14 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-8 rotation (VERDICT r7 asks #1/#3/#4): the prefix leads with
-near_dup_canonical_by_source — the one query with zero driver evidence
-(registered post-freeze in r7; its arg-min decode is integer-exact as
-of this round) — and any queries newly declared in round 8, then every
-cohort strictly by the age of its latest committed driver row (the r1
-smoke-era names first, then r3, r5, r6, r7). The whole registry is
-listed so a query can no longer register without a priority slot; the
-ordering contract lives in tests/test_registry_order.py.
+Round-9 rotation (VERDICT r8 ask #3): every query now has a committed
+driver row (the r8 prefix witnessed the last 11), so the head is any
+queries newly declared in round 9, then the four r3-cohort names the r8
+prefix did not reach, then cohorts strictly by the age of their latest
+committed driver row (r5 first; the 50 names the r8 driver just checked
+go last). The whole registry is listed so a query can no longer
+register without a priority slot; the ordering contract lives in
+tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -64,65 +64,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence and
 #: round-8 queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-8 rotation (VERDICT r7 asks #1 + #4) ----
-    # Head: the zero-evidence query (near_dup_canonical_by_source —
-    # registered post-freeze in r7, decode fixed this round) and any
-    # queries newly declared in round 8; then cohorts strictly by the
-    # age of their latest committed driver row (r1 first). The full
-    # registry is listed: tests/test_registry_order.py enforces
-    # registry == CHECK_PRIORITY as a set (VERDICT r7 ask #3).
-    "near_dup_canonical_by_source",
-    "unigram_vocab_pruned",
-    "tokenizer_fertility_by_lang",
-    "near_dup_cross_source_matrix",
-    "doc_learnability_rho",
-    "corpus_curation_funnel",
-    "stream_ingest_funnel",
-    "multimodal_dedup_by_digest",
-    "embedding_class_prototypes",
-    "source_unigram_kl",
-    "events_steps_to_purchase",
-    # -- latest driver row: round 1 — r1 (smoke-era evidence, never re-witnessed since) --
-    "customers_no_open_orders",
-    "event_value_hour_stats",
-    "grouping_sets_revenue",
-    "lineitem_distinct_stats",
-    "priority_order_counts",
-    "revenue_by_segment",
-    "small_quantity_revenue",
-    "top_orders_by_revenue",
-    # -- latest driver row: round 3 --
-    "brand_supplier_counts",
-    "corpus_decontaminated",
-    "corpus_weighted_sample",
-    "customer_pseudonymized",
-    "dedup_incremental",
-    "doc_pii_scrub",
-    "doc_unigram_logprob",
-    "dominant_part_suppliers",
-    "embedding_activation_stats",
-    "embedding_decontamination",
-    "embedding_dim_stats",
-    "embedding_near_dup_pairs",
-    "events_funnel",
-    "events_hourly_continuous",
-    "events_latest_by_key",
-    "events_sessionized",
-    "events_trailing_burst",
-    "forecast_revenue_change",
-    "lang_nchars_median_udaf",
-    "langid_heuristic",
-    "local_supplier_revenue",
-    "multimodal_frame_samples",
-    "nation_eventtype_matrix",
-    "nation_market_share",
-    "nation_value_concentration",
-    "orders_retention_cohort",
-    "part_best_supplier",
-    "part_type_edit_distance",
-    "purchase_last_view_asof",
-    "segment_acctbal_top_decile",
-    "segment_balance_flags",
+    # ---- round-9 rotation (VERDICT r8 ask #3) ----
+    # Head: queries newly declared in round 9 (zero driver rows) as
+    # they land, then the 4 r3-cohort names the r8 prefix did not
+    # reach, then cohorts strictly by the age of their latest
+    # committed driver row (r5 -> r6 -> r7 -> the r8-witnessed 50,
+    # whose evidence is newest). Full registry listed; the ordering
+    # contract lives in tests/test_registry_order.py.
+    # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",
     "simhash_md5",
@@ -279,6 +228,57 @@ CHECK_PRIORITY = [
     "token_frequencies",
     "unigram_lm_segmented",
     "unigram_seed_candidates",
+    # -- latest driver row: round 8 (newest evidence, checked last) --
+    "near_dup_canonical_by_source",
+    "unigram_vocab_pruned",
+    "tokenizer_fertility_by_lang",
+    "near_dup_cross_source_matrix",
+    "doc_learnability_rho",
+    "corpus_curation_funnel",
+    "stream_ingest_funnel",
+    "multimodal_dedup_by_digest",
+    "embedding_class_prototypes",
+    "source_unigram_kl",
+    "events_steps_to_purchase",
+    "customers_no_open_orders",
+    "event_value_hour_stats",
+    "grouping_sets_revenue",
+    "lineitem_distinct_stats",
+    "priority_order_counts",
+    "revenue_by_segment",
+    "small_quantity_revenue",
+    "top_orders_by_revenue",
+    "brand_supplier_counts",
+    "corpus_decontaminated",
+    "corpus_weighted_sample",
+    "customer_pseudonymized",
+    "dedup_incremental",
+    "doc_pii_scrub",
+    "doc_unigram_logprob",
+    "dominant_part_suppliers",
+    "embedding_activation_stats",
+    "embedding_decontamination",
+    "embedding_dim_stats",
+    "embedding_near_dup_pairs",
+    "events_funnel",
+    "events_hourly_continuous",
+    "events_latest_by_key",
+    "events_sessionized",
+    "events_trailing_burst",
+    "forecast_revenue_change",
+    "lang_nchars_median_udaf",
+    "langid_heuristic",
+    "local_supplier_revenue",
+    "multimodal_frame_samples",
+    "nation_eventtype_matrix",
+    "nation_market_share",
+    "nation_value_concentration",
+    "orders_retention_cohort",
+    "part_best_supplier",
+    "part_type_edit_distance",
+    "purchase_last_view_asof",
+    "segment_acctbal_top_decile",
+    "segment_balance_flags",
 ]
 
 

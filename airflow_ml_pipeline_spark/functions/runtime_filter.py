@@ -26,13 +26,6 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-_CONFS = {
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": None,
-}
-
-
 @contextmanager
 def runtime_bloom(
     spark: SparkSession,

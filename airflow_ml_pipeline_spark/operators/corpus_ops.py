@@ -479,12 +479,18 @@ def canonical_by_source(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     (doc_id, cluster_id[, cluster_size]); ``docs`` is (doc_id, source)
     with sources shaped ``src<digits>``. Pure integer encode/decode —
     tested past the 2^53 float cliff in tests/test_corpus_ops.py."""
-    # try_cast: ANSI cast would throw Spark's generic CAST_INVALID_INPUT
-    # first; NULL-then-raise keeps the error message naming the source
+    # Shape guard (ADVICE r8): only the documented shape src<digits> with
+    # no leading zeros and prio small enough that prio*10^12 + doc_id
+    # stays inside int64 may elect a canonical copy. A looser
+    # substring+try_cast accepted src007 (mis-ranked: parsed as 7) and
+    # silently truncated 11+-digit suffixes; NULL-then-raise keeps the
+    # error message naming the offending source.
+    max_prio = (2**63 - 1) // _PRIO_KEY - 1  # doc_id < 10^12 by encoding
+    shape_ok = F.col("source").rlike(r"^src(0|[1-9][0-9]{0,6})$")
     raw_prio = F.substring("source", 4, 10).try_cast("bigint")
     src = docs.select(
         "doc_id",
-        F.when(raw_prio.isNotNull(), raw_prio)
+        F.when(shape_ok & (raw_prio <= F.lit(max_prio)), raw_prio)
         .otherwise(
             F.raise_error(
                 F.concat(

@@ -571,8 +571,8 @@ def _funnel_oracle() -> str:
            CAST(SUM(CASE WHEN {sql_quality_gate()} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_gate_passed,
            CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_fps,
-           CAST(MIN(nw.n_new) AS BIGINT) AS n_new_docs
-    FROM a JOIN nw ON a.b = nw.b
+           CAST(COALESCE(MIN(nw.n_new), 0) AS BIGINT) AS n_new_docs
+    FROM a LEFT JOIN nw ON a.b = nw.b
     GROUP BY a.b
     """
 

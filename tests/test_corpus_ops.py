@@ -270,6 +270,34 @@ def test_canonical_by_source_raises_on_unparseable_source(spark):
         corpus_ops.canonical_by_source(clusters, docs).collect()
 
 
+def test_canonical_by_source_rejects_off_shape_numeric_sources(spark):
+    """ADVICE r8: leading zeros (src007 would parse as 7 and be
+    mis-ranked/misreported), >7-digit suffixes (substring(4,10)
+    truncation), and priorities whose encode overflows int64 must all
+    raise, not silently win or lose under a wrong decoded identity."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    for bad in ("src007", "src12345678", "src00", "src9999999"):
+        docs = spark.createDataFrame(
+            [(1, "src0"), (2, bad)], "doc_id long, source string"
+        )
+        with pytest.raises((Py4JJavaError, Exception), match="unparseable source"):
+            corpus_ops.canonical_by_source(clusters, docs).collect()
+
+
+def test_canonical_by_source_accepts_max_encodable_priority(spark):
+    """Largest in-bound priority (9223370: encode stays < 2^63 for every
+    doc_id < 10^12) must still round-trip exactly."""
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    docs = spark.createDataFrame(
+        [(1, "src9223370"), (2, "src9223370")], "doc_id long, source string"
+    )
+    rows = corpus_ops.canonical_by_source(clusters, docs).collect()
+    assert [(r.keep_doc_id, r.keep_source) for r in rows] == [(1, "src9223370")]
+
+
 def test_quantization_error_small_relative_to_scale(spark, sf_dir):
     res = corpus_ops.embedding_quantization_error(spark, sf_dir)
     rows = res.collect()

@@ -26,23 +26,14 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row of any kind as of round-8 start:
-#: near_dup_canonical_by_source (registered post-freeze in round 7 —
-#: VERDICT r7 "What's wrong" #1) plus everything declared in round 8.
-#: These MUST lead the prefix until each has a driver row.
-NEVER_WITNESSED = {
-    "near_dup_canonical_by_source",
-    "unigram_vocab_pruned",
-    "tokenizer_fertility_by_lang",
-    "near_dup_cross_source_matrix",
-    "doc_learnability_rho",
-    "corpus_curation_funnel",
-    "stream_ingest_funnel",
-    "multimodal_dedup_by_digest",
-    "embedding_class_prototypes",
-    "source_unigram_kl",
-    "events_steps_to_purchase",
-}
+#: queries with no driver row of any kind as of round-9 start. The r8
+#: prefix witnessed all 11 names that were listed here (every row green
+#: in CORRECTNESS_r08.json), so the set was pruned to empty per VERDICT
+#: r8 ask #3 — a stale entry would protect queries that no longer need
+#: protection at the expense of the oldest-evidence cohorts. Every query
+#: newly declared in round 9 MUST be added here (and to the head of
+#: CHECK_PRIORITY) until it earns a driver row.
+NEVER_WITNESSED: set[str] = set()
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
