@@ -71,6 +71,8 @@ CHECK_PRIORITY = [
     # committed driver row (r5 -> r6 -> r7 -> the r8-witnessed 50,
     # whose evidence is newest). Full registry listed; the ordering
     # contract lives in tests/test_registry_order.py.
+    # -- round-9 new queries (zero driver rows until the r9 run) --
+    "unigram_vocab_em",
     # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",

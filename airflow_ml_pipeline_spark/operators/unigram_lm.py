@@ -169,20 +169,13 @@ def frozen_scores_map() -> Column:
     )
 
 
-def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
-    """The integer Viterbi objective of ``word`` under a piece
-    vocabulary: ``max over segmentations of 128·Σscore − n_pieces``,
-    computed as ONE ``F.aggregate`` fold over char positions carrying
-    the dp array — windowless, UDF-less, whole-stage-codegen-able.
-    dp(i) (1-based prefix length, dp(0)=0 at array slot 1) =
-    GREATEST over piece lengths L of dp(i−L) + 128·score(word[i−L+1..i])
-    − 1, with the single-char fallback at score 0.
-
-    ``scores``: piece→score map column; defaults to the frozen literal
-    vocabulary. A per-row map (e.g. the leave-one-out variants the
-    pruning step builds with ``map_filter``) works identically — a piece
-    absent from the map simply never wins (coalesce to −∞), so the
-    candidate lengths can stay the frozen set."""
+def viterbi_dp(word: Column, scores: Column | None = None) -> Column:
+    """The full Viterbi dp ARRAY for ``word`` (slot i+1 = best objective
+    of the length-i prefix, dp(0)=0 at slot 1) — the shared kernel
+    behind :func:`viterbi_obj` (which reads the final slot) and
+    :func:`viterbi_backtrace_pieces` (which walks the array back to
+    recover the optimal segmentation's pieces). One ``F.aggregate`` fold
+    over char positions — windowless, UDF-less."""
     if scores is None:
         scores = frozen_scores_map()
 
@@ -205,11 +198,27 @@ def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
             )
         return F.concat(acc, F.array(F.greatest(*cands)))
 
-    dp = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.length(word)),
         F.array(F.lit(0).cast("bigint")),
         step,
     )
+
+
+def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
+    """The integer Viterbi objective of ``word`` under a piece
+    vocabulary: ``max over segmentations of 128·Σscore − n_pieces``,
+    the final slot of :func:`viterbi_dp`.
+    dp(i) (1-based prefix length, dp(0)=0 at array slot 1) =
+    GREATEST over piece lengths L of dp(i−L) + 128·score(word[i−L+1..i])
+    − 1, with the single-char fallback at score 0.
+
+    ``scores``: piece→score map column; defaults to the frozen literal
+    vocabulary. A per-row map (e.g. the leave-one-out variants the
+    pruning step builds with ``map_filter``) works identically — a piece
+    absent from the map simply never wins (coalesce to −∞), so the
+    candidate lengths can stay the frozen set."""
+    dp = viterbi_dp(word, scores)
     # the objective encoding (128·Σscore − n_pieces) is only a valid
     # lexicographic order while n_pieces ≤ word length < _OBJ_M; a
     # 128+-char token would corrupt it IDENTICALLY in both engines, so
@@ -225,6 +234,84 @@ def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
     return F.element_at(dp, F.length(word) + 1) + F.coalesce(
         guard.cast("bigint"), F.lit(0)
     )
+
+
+def viterbi_backtrace_pieces(
+    word: Column, dp: Column, scores: Column | None = None
+) -> Column:
+    """The VOCABULARY pieces used by the deterministic optimal
+    segmentation of ``word``, recovered by walking the :func:`viterbi_dp`
+    array back from the end — the E-step extraction the hard-EM score
+    re-estimation round needs. Tie-break between equally-optimal
+    segmentations: at every position the SHORTEST step that achieves the
+    dp value wins, scanning the single-char fallback first then piece
+    lengths ascending — a fixed total order both engines implement, so
+    ties can never desync the usage counts. Single-char fallback steps
+    contribute no piece (the vocabulary has no length-1 pieces:
+    SEED_MIN_LEN = 2). One ``F.aggregate`` fold carrying (pos, used);
+    the final assert_true proves the walk consumed the whole word —
+    a cascade miss fails the job, never under-counts silently.
+
+    ``dp`` must be a MATERIALIZED column (computed in a prior select),
+    not an inline expression — higher-order-function lambdas are
+    excluded from common-subexpression elimination, so an inline dp
+    would re-run the whole forward DP once per backtrace step."""
+    if scores is None:
+        scores = frozen_scores_map()
+
+    def val(p: Column) -> Column:  # dp value of the length-p prefix
+        return F.element_at(dp, (p + 1).cast("int"))
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc["pos"]
+        chosen = F.when(
+            val(pos - 1) - 1 == val(pos),
+            F.struct(
+                F.lit(1).alias("l"), F.lit(None).cast("string").alias("p")
+            ),
+        )
+        for L in _piece_lens():
+            piece = F.substring(word, (pos - L + 1).cast("int"), F.lit(L))
+            hit = F.when(
+                pos >= L,
+                F.when(
+                    F.element_at(scores, piece).isNotNull()
+                    & (
+                        val(pos - L)
+                        + F.element_at(scores, piece) * _OBJ_M
+                        - 1
+                        == val(pos)
+                    ),
+                    F.lit(True),
+                ).otherwise(F.lit(False)),
+            ).otherwise(F.lit(False))
+            chosen = chosen.when(
+                hit, F.struct(F.lit(L).alias("l"), piece.alias("p"))
+            )
+        nxt = F.struct(
+            (pos - chosen["l"]).alias("pos"),
+            F.when(
+                chosen["p"].isNotNull(),
+                F.concat(acc["used"], F.array(chosen["p"])),
+            )
+            .otherwise(acc["used"])
+            .alias("used"),
+        )
+        return F.when(pos <= 0, acc).otherwise(nxt)
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.struct(
+            F.length(word).cast("bigint").alias("pos"),
+            F.array().cast("array<string>").alias("used"),
+        ),
+        step,
+    )
+    done = F.assert_true(
+        walked["pos"] == 0,
+        F.concat(F.lit("unigram backtrace: cascade missed on word "), word),
+    )
+    return F.when(done.isNull(), walked["used"]).otherwise(walked["used"])
 
 
 def _sql_viterbi_dp() -> str:
@@ -596,4 +683,149 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_pieces") == 1).cast("bigint"))
         .cast("bigint")
         .alias("n_single_piece_words"),
+    )
+
+
+#: new-score scale for the hard-EM re-estimation round: scores are
+#: re-expressed as integer parts-per-million of total piece usage — a
+#: monotone transform of the piece probability SentencePiece's M-step
+#: computes, kept on an integer lattice so no float (log-prob) crosses
+#: the engines. Documented deviation: SentencePiece stores log p as
+#: float; ranking/pruning decisions depend only on the order, which the
+#: ppm lattice preserves (ties broken by piece name downstream).
+_EM_PPM = 10**6
+
+
+def _sql_vocab_em() -> str:
+    def chosen_l_cases() -> str:
+        cases = ["WHEN best[pos] - 1 = best[pos + 1] THEN 1"]
+        for L in _piece_lens():
+            # pos < L makes the conjunction FALSE before the (garbage)
+            # negative list index could matter: DuckDB best[-k] indexes
+            # from the END without erroring, so the guard conjunct is
+            # load-bearing, exactly like the forward DP's CASE
+            cases.append(
+                f"WHEN pos >= {L} AND best[pos - {L} + 1]"
+                f" + {_OBJ_M} * (SELECT s FROM pieces"
+                f" WHERE piece = substr(word, pos - {L} + 1, {L})) - 1"
+                f" = best[pos + 1] THEN {L}"
+            )
+        return "\n                    ".join(cases)
+
+    return f"""
+    WITH RECURSIVE w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w WHERE word != '' GROUP BY word
+    ),
+    v AS (SELECT word FROM wf),
+    {_sql_viterbi_dp()},
+    bt AS (
+        SELECT word, CAST(len(word) AS BIGINT) AS pos, best,
+               CAST([] AS VARCHAR[]) AS used
+        FROM dp WHERE i = len(word)
+        UNION ALL
+        SELECT word, pos - chosen_l, best,
+               CASE WHEN chosen_l > 1
+                    THEN list_append(used,
+                         substr(word, pos - chosen_l + 1, chosen_l))
+                    ELSE used END
+        FROM (
+            SELECT word, pos, best, used,
+                   CASE {chosen_l_cases()}
+                   END AS chosen_l
+            FROM bt WHERE pos > 0
+        )
+    ),
+    up AS (
+        SELECT word, unnest(used) AS piece FROM bt WHERE pos = 0
+    ),
+    usage AS (
+        SELECT up.piece,
+               CAST(SUM(wf.cnt) AS BIGINT) AS usage,
+               CAST(COUNT(DISTINCT up.word) AS BIGINT) AS words_using
+        FROM up JOIN wf USING (word) GROUP BY up.piece
+    ),
+    tot AS (
+        SELECT CAST(COALESCE(SUM(usage), 0) AS BIGINT) AS total_usage
+        FROM usage
+    )
+    SELECT p.piece,
+           CAST(p.s AS BIGINT) AS old_score,
+           CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage,
+           CAST(COALESCE(u.words_using, 0) AS BIGINT) AS words_using,
+           CAST(CASE WHEN t.total_usage > 0
+                     THEN COALESCE(u.usage, 0) * {_EM_PPM} // t.total_usage
+                     ELSE 0 END AS BIGINT) AS new_score_ppm
+    FROM pieces p LEFT JOIN usage u ON u.piece = p.piece CROSS JOIN tot t
+    """
+
+
+@query("unigram_vocab_em", oracle=_sql_vocab_em())
+def unigram_vocab_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM re-estimation round the r8 pruning stage deviated from
+    (VERDICT r8 ask #6): SentencePiece re-estimates piece scores BETWEEN
+    prune rounds from the corpus's own segmentation; this query runs one
+    hard-EM (Viterbi) round under the frozen vocabulary. E-step: every
+    distinct word's optimal segmentation is recovered by backtracing the
+    integer Viterbi dp array (deterministic shortest-step-first
+    tie-break, identical cascade on both engines). M-step: per-piece
+    corpus-weighted usage counts (Σ word-freq × times-used), re-expressed
+    as integer ppm of total usage — the monotone integer stand-in for
+    SentencePiece's log-prob M-step (no float crosses the engines).
+    Emits every frozen piece with old score, usage, distinct words
+    using it, and the re-estimated ppm score; pieces the segmenter never
+    uses surface with usage 0 — exactly the pieces the next prune round
+    would drop first.
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregate);
+    forward DP + backtrace run over the DISTINCT-word vocabulary only
+    (Zipf-small), the usage aggregate is bounded by |vocab pieces|, and
+    the final frame is |pieces| rows joined broadcast-side. The backtrace
+    reads a MATERIALIZED dp column — inline, the HOF-lambda CSE exclusion
+    would re-run the forward DP once per backtrace step."""
+    docs = load_spread(spark, sf_dir, "documents")
+    wfreq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dp = wfreq.select("word", "cnt", viterbi_dp(F.col("word")).alias("dp"))
+    used = dp.select(
+        "word",
+        "cnt",
+        viterbi_backtrace_pieces(F.col("word"), F.col("dp")).alias("used"),
+    )
+    uses = used.select("word", "cnt", F.explode("used").alias("piece"))
+    usage = uses.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("usage"),
+        F.countDistinct("word").cast("bigint").alias("words_using"),
+    )
+    total = usage.agg(
+        F.coalesce(F.sum("usage"), F.lit(0)).cast("bigint").alias("total_usage")
+    )
+    pieces = spark.createDataFrame(
+        UNIGRAM_FROZEN_PIECES, "piece string, old_score bigint"
+    )
+    return (
+        pieces.join(F.broadcast(usage), "piece", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            "old_score",
+            F.coalesce("usage", F.lit(0)).cast("bigint").alias("usage"),
+            F.coalesce("words_using", F.lit(0))
+            .cast("bigint")
+            .alias("words_using"),
+            F.when(
+                F.col("total_usage") > 0,
+                F.expr(f"coalesce(usage, 0) * {_EM_PPM} div total_usage"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("new_score_ppm"),
+        )
     )

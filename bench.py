@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_quality_model_calibration",
     "unigram_seed_candidates",
     "unigram_vocab_pruned",
+    "unigram_vocab_em",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

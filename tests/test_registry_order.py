@@ -33,7 +33,9 @@ PREFIX = 50
 #: protection at the expense of the oldest-evidence cohorts. Every query
 #: newly declared in round 9 MUST be added here (and to the head of
 #: CHECK_PRIORITY) until it earns a driver row.
-NEVER_WITNESSED: set[str] = set()
+NEVER_WITNESSED: set[str] = {
+    "unigram_vocab_em",
+}
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history

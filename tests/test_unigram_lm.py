@@ -214,3 +214,126 @@ def test_fertility_totals_match_segmented(spark, sf_dir):
         # fertility is bounded: 1 piece/word min, len(word) pieces max
         assert r.n_words <= r.n_pieces <= r.n_chars
         assert 0 <= r.n_single_piece_words <= r.n_words
+
+
+# ---- hard-EM backtrace (unigram_vocab_em, round 9) ----
+
+def _ref_backtrace(word: str, pieces: dict[str, int]) -> list[str]:
+    """Independent backtrace with the SAME deterministic tie-break the
+    engine and the DuckDB oracle implement: at every position the
+    shortest step achieving the dp value wins, scanning the single-char
+    fallback first then piece lengths ascending. Returns the vocabulary
+    pieces used (single-char fallback steps contribute nothing), in
+    walk order (end of word -> start)."""
+    n = len(word)
+    NEG = -(10**15)
+    dp = [0] + [NEG] * n
+    lens = sorted({len(p) for p in pieces})
+    for i in range(1, n + 1):
+        best = dp[i - 1] - 1
+        for L in lens:
+            if L <= i:
+                s = pieces.get(word[i - L : i])
+                if s is not None:
+                    best = max(best, dp[i - L] + s * _OBJ_M - 1)
+        dp[i] = best
+    used, pos = [], n
+    while pos > 0:
+        if dp[pos - 1] - 1 == dp[pos]:
+            pos -= 1
+            continue
+        for L in lens:
+            if L <= pos:
+                s = pieces.get(word[pos - L : pos])
+                if s is not None and dp[pos - L] + s * _OBJ_M - 1 == dp[pos]:
+                    used.append(word[pos - L : pos])
+                    pos -= L
+                    break
+        else:
+            raise AssertionError(f"cascade missed at {pos} in {word!r}")
+    return used
+
+
+def _spark_backtrace(spark, words: list[str]) -> dict[str, list[str]]:
+    from airflow_ml_pipeline_spark.operators.unigram_lm import (
+        viterbi_backtrace_pieces,
+        viterbi_dp,
+    )
+
+    sdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    dp = sdf.select("word", viterbi_dp(F.col("word")).alias("dp"))
+    rows = dp.select(
+        "word", viterbi_backtrace_pieces(F.col("word"), F.col("dp")).alias("u")
+    ).collect()
+    return {r.word: list(r.u) for r in rows}
+
+
+def test_backtrace_matches_reference_on_corpus_vocab(spark, sf_dir):
+    """Every corpus word's recovered piece sequence matches the
+    independent backtrace — pins the E-step the hard-EM round counts."""
+    from airflow_ml_pipeline_spark.functions.text import tokens
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    words = [
+        r.word
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .collect()
+    ]
+    pieces = dict(UNIGRAM_FROZEN_PIECES)
+    got = _spark_backtrace(spark, words)
+    for w in words:
+        assert got[w] == _ref_backtrace(w, pieces), w
+
+
+def test_backtrace_adversarial_words(spark):
+    pieces = dict(UNIGRAM_FROZEN_PIECES)
+    words = [
+        "z", "er", "erer", "customer", "columns", "xyzzy",
+        "stomerer", "batchbatch", "windowcustom", "custocustom",
+    ]
+    got = _spark_backtrace(spark, words)
+    for w in words:
+        assert got[w] == _ref_backtrace(w, pieces), (w, got[w])
+    assert got["z"] == []
+    assert got["er"] == ["er"]
+    assert got["erer"] == ["er", "er"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=list("custermolnwbafi"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_backtrace_random_parity(words):
+    from airflow_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("prop", master="local[4]")
+    pieces = dict(UNIGRAM_FROZEN_PIECES)
+    got = _spark_backtrace(spark, words)
+    for w in words:
+        assert got[w] == _ref_backtrace(w, pieces), w
+
+
+def test_vocab_em_usage_consistency(spark, sf_dir):
+    """The EM round's counts are internally consistent: usage >=
+    words_using (a using word uses the piece >= once, cnt >= 1), ppm
+    scores sum to <= 10^6 (floor division), every piece appears exactly
+    once, and at least one piece has positive usage on the corpus."""
+    from airflow_ml_pipeline_spark.operators.unigram_lm import unigram_vocab_em
+
+    rows = unigram_vocab_em(spark, sf_dir).collect()
+    assert sorted(r.piece for r in rows) == sorted(
+        p for p, _ in UNIGRAM_FROZEN_PIECES
+    )
+    assert sum(r.new_score_ppm for r in rows) <= 10**6
+    assert any(r.usage > 0 for r in rows)
+    for r in rows:
+        assert r.usage >= r.words_using >= 0
+        assert (r.usage == 0) == (r.new_score_ppm == 0) or r.new_score_ppm >= 0
