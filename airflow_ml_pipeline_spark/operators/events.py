@@ -432,16 +432,20 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
 WALK_CAP = 50
 
 
-def _sql_walk_over_linked(linked: str) -> str:
-    """The recursive walk over a prepared ``linked(user_id, event_id,
-    event_type, nxt, rn)`` relation — the text both engines run (Spark
-    binds a materialized temp view; the oracle binds an inline CTE)."""
-    return f"""
-    WITH RECURSIVE walk AS (
+def _walk_body(linked: str) -> str:
+    """The walk CTE body + final aggregate both engines run VERBATIM
+    over a prepared ``linked(user_id, event_id, event_type, nxt, rn)``
+    relation (Spark binds a materialized temp view; the oracle binds an
+    inline CTE). The BROADCAST hint is a Spark join-strategy comment
+    (each recursion level hash-joins the frontier against the cap-bounded
+    linked table in place instead of shuffle-joining it — A/B r9); DuckDB
+    parses it as a plain comment, so the statement stays identical."""
+    return f"""walk AS (
         SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
         FROM {linked} WHERE rn = 1
         UNION ALL
-        SELECT l.user_id, l.event_type, l.nxt, w.depth + 1
+        SELECT /*+ BROADCAST(l) */ l.user_id, l.event_type, l.nxt,
+               w.depth + 1
         FROM walk w JOIN {linked} l
           ON l.user_id = w.user_id AND l.event_id = w.nxt
         WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
@@ -459,10 +463,20 @@ def _sql_walk_over_linked(linked: str) -> str:
     """
 
 
-def _sql_steps_to_purchase(table: str = "events") -> str:
-    """Oracle form: the same walk with the linked list as an inline CTE."""
+def _sql_walk_over_linked(linked: str) -> str:
     return f"""
-    WITH RECURSIVE linked AS (
+    WITH RECURSIVE {_walk_body(linked)}"""
+
+
+def _sql_steps_to_purchase(table: str = "events") -> str:
+    """Oracle form: the SAME walk body (verbatim — one generator) with
+    the linked list as an inline CTE, capped at rn <= WALK_CAP + 1 like
+    the Spark side: a depth-d walk row has rn = d + 1, so rows past the
+    cap are unreachable by construction and pre-dropping them bounds the
+    per-level join input to |users|·(cap+1) regardless of how many
+    events a user has."""
+    return f"""
+    WITH RECURSIVE linked_all AS (
         SELECT user_id, event_id, event_type,
                LEAD(event_id) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
@@ -470,26 +484,8 @@ def _sql_steps_to_purchase(table: str = "events") -> str:
                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM {table}
     ),
-    walk AS (
-        SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
-        FROM linked WHERE rn = 1
-        UNION ALL
-        SELECT l.user_id, l.event_type, l.nxt, w.depth + 1
-        FROM walk w JOIN linked l
-          ON l.user_id = w.user_id AND l.event_id = w.nxt
-        WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
-    )
-    SELECT user_id,
-           CAST(MAX(depth) AS BIGINT) AS walked,
-           CAST(COALESCE(MIN(CASE WHEN event_type = 'purchase'
-                                  THEN depth END), -1) AS BIGINT)
-               AS steps_to_purchase,
-           CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
-                                   THEN depth END) IS NOT NULL
-                THEN 1 ELSE 0 END AS BIGINT) AS reached
-    FROM walk
-    GROUP BY user_id
-    """
+    linked AS (SELECT * FROM linked_all WHERE rn <= {WALK_CAP + 1}),
+    {_walk_body("linked")}"""
 
 
 @query("events_steps_to_purchase", oracle=_sql_steps_to_purchase())
@@ -508,22 +504,35 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the linked list is one window pass (shuffle on user_id),
     MATERIALIZED before the recursion — written inline as a CTE, Spark's
     UnionLoop re-evaluates the window every recursion level (measured
-    8.6x super-linear curve: 25 s at sf0.1); pinned, each level is a
-    join of the frontier (<= |users| rows) against the stored table —
-    frontier-sized work per level, never corpus x corpus (2.0 s at
-    sf0.1, 0.9x curve). ``walked`` < WALK_CAP or reached=1 certifies
-    per-user termination; -1 marks no purchase within the cap."""
+    8.6x super-linear curve: 25 s at sf0.1); pinned, capped at
+    rn <= WALK_CAP+1 (depth-d rows have rn = d+1, so the cap drops only
+    unreachable rows and bounds the stored table to |users|·(cap+1)
+    regardless of history length), and per-level BROADCAST-joined, each
+    level is a frontier-sized hash join in place — never corpus x corpus
+    and never a per-level shuffle (10.2 s median, n=4 single-session, at
+    sf0.1; the floor is UnionLoop's ~0.2 s/level job overhead x WALK_CAP
+    levels, so cost is recursion DEPTH, not data size — SCALING.md r9).
+    ``walked`` < WALK_CAP or reached=1 certifies per-user termination;
+    -1 marks no purchase within the cap."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
 
     order = [F.col("ts"), F.col("event_id")]
     w = W.partitionBy("user_id").orderBy(*order)
-    linked = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.lead("event_id").over(w).alias("nxt"),
-        F.row_number().over(w).alias("rn"),
-    ).localCheckpoint(eager=False)
+    linked = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lead("event_id").over(w).alias("nxt"),
+            F.row_number().over(w).alias("rn"),
+        )
+        # depth-d rows have rn = d + 1: nothing past WALK_CAP + 1 is
+        # reachable, and the cap bounds the stored table (hence every
+        # level's broadcast build) to |users|·(cap+1) rows even for
+        # users with unbounded event histories
+        .filter(F.col("rn") <= WALK_CAP + 1)
+        .localCheckpoint(eager=False)
+    )
     linked.createOrReplaceTempView("events_walk_linked")
     return spark.sql(_sql_walk_over_linked("events_walk_linked"))
