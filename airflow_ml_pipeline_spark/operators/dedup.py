@@ -173,10 +173,12 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "near_dup_pairs_jaccard",
-    oracle=f"""
-    WITH toks AS (
+#: The exact 3-gram-Jaccard pair kernel over ``documents`` as DuckDB CTEs
+#: — ONE statement shared by ``near_dup_pairs_jaccard``'s oracle and the
+#: threshold-sensitivity histogram (the same refactor rule as
+#: ``_SQL_PREPARED_CTES``: a lineage consumed by several oracles is
+#: stated once so the twins can never drift apart).
+_SQL_PAIR_KERNEL_CTES = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
@@ -193,7 +195,13 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "near_dup_pairs_jaccard",
+    oracle=f"""
+    WITH {_SQL_PAIR_KERNEL_CTES}
     SELECT doc_a, doc_b,
            round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 6) AS jaccard
     FROM pairs

@@ -144,10 +144,20 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
         return F.when(rel <= tol, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
 
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
+    # Two separate single-row aggregates, cross-joined: two COUNT(DISTINCT)
+    # on different keys in ONE aggregate make Spark plan an Expand (x3 row
+    # multiplication), and the exact-percentile + QuantileSummaries buffers
+    # riding those expanded rows were the suite's only measured spill
+    # (310 MB at sf0.01, shuffle-economy audit r9). Split, the heavy
+    # sketch/percentile buffers aggregate over un-expanded rows and the
+    # distinct pass carries only narrow key columns; spill drops to zero
+    # for one extra (column-pruned) scan.
+    distincts = li.agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
@@ -155,6 +165,7 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
         F.expr("percentile(l_extendedprice, 0.99D)").alias("exact_p99"),
     )
+    agg = sketches.crossJoin(F.broadcast(distincts))
     return agg.select(
         "n_rows",
         "exact_parts",

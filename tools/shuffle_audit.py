@@ -1,15 +1,25 @@
-"""Shuffle-economy audit: run representative queries with the Spark event
-log enabled and report measured bytes — input read, shuffle write, spill —
-per query. PLANS.md proves the plan SHAPE (what shuffles); this measures
-the plan ECONOMY (how much), the number that actually decides 100 TB
-viability: a query whose shuffle-write is a small fraction of its input
-is shipping aggregates/fingerprints, not data.
+"""Shuffle-economy audit: run declared queries with the Spark event log
+enabled and report measured rows/bytes — input read, shuffle write,
+spill — per query. PLANS.md proves the plan SHAPE (what shuffles); this
+measures the plan ECONOMY (how much), the number that actually decides
+100 TB viability: a query whose shuffle-write is a small fraction of its
+input is shipping aggregates/fingerprints, not data.
 
 One SparkSession for all queries (event log keyed by job group), parsed
 from the JSON event log after stop. Writes a markdown table to stdout;
-paste into SCALING.md.
+paste into SCALING.md. ``--json PATH`` additionally writes the raw
+per-query metrics for machine consumption (tests/test_shuffle_economy.py
+runs this tool as a subprocess — event logging is a SparkContext-creation
+option, so the audit needs its own JVM, not the shared test session).
 
-Usage: python tools/shuffle_audit.py [sf_dir] [query ...]
+Default query set (round 9, VERDICT r8 ask #5): EVERY declared query
+except the ``stream_*`` family — Structured Streaming micro-batch jobs
+are submitted from the stream execution thread, which does not inherit
+the caller's thread-local job group, so their stages cannot be
+attributed per-query here (their scale posture is measured by
+tools/ingest_scale_bench.py instead).
+
+Usage: python tools/shuffle_audit.py [--json PATH] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -19,32 +29,22 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
-
-DEFAULT_QUERIES = [
-    "pricing_summary",
-    "revenue_by_segment",
-    "dedup_exact",
-    "corpus_prepared",
-    "near_dup_pairs_jaccard",
-    "near_dup_clusters",
-    "doc_dsir_weights",
-    "source_unigram_kl",
-    "unigram_vocab_pruned",
-    "bm25_topk",
-    "embedding_class_prototypes",
-    "multimodal_dedup_by_digest",
-    "sequence_packing",
-    "token_zipf_fit",
-]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or DEFAULT_QUERIES
+def default_names() -> list[str]:
+    import __spark_entry__ as entrymod
 
+    return [n for n in entrymod.queries() if not n.startswith("stream_")]
+
+
+def run_audit(sf_dir: str, names: list[str]) -> dict[str, dict[str, int]]:
+    """Run ``names`` under an event-logged session and return per-query
+    {input_rows, shuffle_rows, shuffle_write, spill}. Creates and stops
+    its own SparkSession — call from a fresh process (event logging is a
+    context-creation config; getOrCreate on an existing context would
+    silently not log)."""
     log_dir = tempfile.mkdtemp(prefix="spark_evlog_")
-    os.environ.setdefault("SPARK_GRAFT_EVENTLOG", log_dir)
 
     from pyspark.sql import SparkSession
 
@@ -141,6 +141,19 @@ def main() -> None:
                 "internal.metrics.diskBytesSpilled",
             ):
                 m["spill"] += val
+    return metrics
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = args[1:] or default_names()
+
+    metrics = run_audit(sf_dir, names)
 
     def mb(x: int) -> str:
         return f"{x / 1048576:.1f}"
@@ -159,6 +172,9 @@ def main() -> None:
             f"| {n} | {m['input_rows']} | {m['shuffle_rows']} | {ratio:.3f} "
             f"| {mb(m['shuffle_write'])} | {mb(m['spill'])} |"
         )
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": metrics}, f, indent=1)
 
 
 if __name__ == "__main__":
