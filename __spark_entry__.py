@@ -73,6 +73,12 @@ CHECK_PRIORITY = [
     # contract lives in tests/test_registry_order.py.
     # -- round-9 new queries (zero driver rows until the r9 run) --
     "unigram_vocab_em",
+    "corpus_funnel_by_source",
+    "near_dup_jaccard_histogram",
+    "source_learnability_mix",
+    "langid_confusion",
+    "pii_prevalence_by_source",
+    "embedding_split_drift",
     # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",

@@ -870,6 +870,154 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_funnel_by_source",
+    oracle=f"""
+    WITH {_SQL_PREPARED_CTES}
+    SELECT '0_raw' AS stage, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '1_quality_gate', source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    FROM q GROUP BY source
+    UNION ALL
+    SELECT '2_exact_dedup', source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    FROM surv GROUP BY source
+    UNION ALL
+    SELECT '3_near_dedup', source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT)
+    FROM prepared GROUP BY source
+    """,
+)
+def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel BY SOURCE — each pipeline stage's doc/token
+    survival broken down per source, the table that actually drives
+    curation decisions (the aggregate funnel says "we dropped 40%"; this
+    says WHICH source the drop came from — the input to source-priority
+    rules, mixture re-weighting, and crawl-quality triage). Stage
+    semantics are the pipeline's own ``_prepared_stages`` statement, same
+    as ``corpus_curation_funnel`` — the per-source view can never drift
+    from either the corpus or the aggregate funnel.
+
+    Scale: identical lineage to the aggregate funnel (the survivor
+    checkpoint is shared); each stage adds only a |sources|-keyed
+    aggregate with map-side partials, output |stages|x|sources| rows."""
+    docs, q, surv, prepared = _prepared_stages(spark, sf_dir)
+
+    def counts(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ).select(F.lit(stage).alias("stage"), "source", "n_docs", "n_tokens")
+
+    final = prepared.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ).select(F.lit("3_near_dedup").alias("stage"), "source", "n_docs", "n_tokens")
+    return (
+        counts(docs, "0_raw")
+        .unionByName(counts(q, "1_quality_gate"))
+        .unionByName(counts(surv, "2_exact_dedup"))
+        .unionByName(final)
+    )
+
+
+@query(
+    "near_dup_jaccard_histogram",
+    oracle=f"""
+    WITH {_SQL_PAIR_KERNEL_CTES},
+    jac AS (
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS j
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = doc_a
+        JOIN sizes s2 ON s2.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+              >= {NEAR_DUP_THRESHOLD}
+    ),
+    b AS (
+        SELECT CAST(floor(j * 20) AS BIGINT) AS j_bucket, doc_a, doc_b
+        FROM jac
+    ),
+    d AS (
+        SELECT j_bucket, doc_a AS d FROM b
+        UNION ALL
+        SELECT j_bucket, doc_b FROM b
+    )
+    SELECT b2.j_bucket,
+           b2.j_bucket / 20.0 AS j_lo,
+           b2.n_pairs,
+           d2.n_docs
+    FROM (SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM b GROUP BY j_bucket) b2
+    JOIN (SELECT j_bucket, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+          FROM d GROUP BY j_bucket) d2 USING (j_bucket)
+    """,
+)
+def near_dup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity histogram over the EXACT near-dup pair
+    kernel: verified pairs bucketed by Jaccard in 0.05-wide bands from
+    the 0.5 threshold up, with pair and distinct-doc counts per band —
+    the curve a curation team reads before moving the dedup threshold
+    (how many more pairs does 0.45 admit? how much mass sits just above
+    0.5?). Bucketing uses the UNROUNDED integer-ratio double on both
+    engines (identical IEEE value → identical floor), so band edges can
+    never flake.
+
+    Scale: one bounded aggregate over the pair kernel's output (pairs,
+    not documents); the kernel itself is the documented exact twin — the
+    production curve would be estimated from the MinHash signatures'
+    agreement fractions, this is its checkable ground truth."""
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("n"),
+    )
+    pairs = _pair_shared_counts(sh)
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    b = (
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .select(
+            F.floor(jac * 20).cast("bigint").alias("j_bucket"),
+            "doc_a",
+            "doc_b",
+        )
+        # the bucketed pair frame feeds two aggregates (pair counts +
+        # distinct docs); its lineage is the full posting-list pair
+        # explosion — pin the (pair-sized, narrow) output once
+        .localCheckpoint(eager=False)
+    )
+    n_pairs = b.groupBy("j_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        b.select("j_bucket", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("j_bucket")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "j_bucket").select(
+        "j_bucket",
+        (F.col("j_bucket") / 20.0).alias("j_lo"),
+        "n_pairs",
+        "n_docs",
+    )
+
+
+@query(
     "doc_winnowing_md5",
     oracle=f"""
     WITH grams AS (

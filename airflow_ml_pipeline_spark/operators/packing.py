@@ -378,6 +378,96 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pii_prevalence_by_source",
+    oracle=f"""
+    WITH aug AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com phone 555-0100-'
+                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
+        FROM documents
+    ),
+    counted AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+                   AS e,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+                   AS p,
+               CAST(len(regexp_extract_all(
+                    regexp_replace(regexp_replace(t, '{PII_EMAIL}',
+                                   '[EMAIL]', 'g'),
+                                   '{PII_PHONE}', '[PHONE]', 'g'),
+                    '{PII_IDNUM}')) AS BIGINT) AS i
+        FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_pii
+    FROM counted GROUP BY source
+    """,
+)
+def pii_prevalence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII prevalence report by source: per-source totals of each PII
+    class plus affected-doc counts — the compliance dashboard a curation
+    team reviews before release, and the prioritization input for which
+    crawls need scrub-and-rescan first. Detection is `doc_pii_scrub`'s
+    own patterns IN ITS ORDER (ids counted after email/phone redaction,
+    so an id inside a phone tail can't double-count) over the same
+    deterministic PII augmentation — the report can never disagree with
+    the scrubber.
+
+    Scale: pure per-row RE2-safe regexp projection then one
+    |sources|-keyed aggregate with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-0100-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ssn 123456789"),
+        ).alias("t"),
+    )
+    counted = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("e"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("p"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(
+                    F.regexp_replace("t", PII_EMAIL, "[EMAIL]"),
+                    PII_PHONE,
+                    "[PHONE]",
+                ),
+                F.lit(PII_IDNUM),
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("i"),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("i").cast("bigint").alias("n_ids"),
+        F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+    )
+
+
 BPE_N_MERGES = 8
 
 

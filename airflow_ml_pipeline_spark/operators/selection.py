@@ -544,3 +544,75 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("n_s").alias("n_tokens"), "kl_nats")
     )
+
+
+def _sql_learnability_mix() -> str:
+    from airflow_ml_pipeline_spark.operators.textstats import (
+        SQL_BIGRAM_LP_CTES,
+    )
+
+    return f"""
+    WITH {SQL_UNIGRAM_LP_CTES},
+    {SQL_BIGRAM_LP_CTES},
+    learn AS (
+        SELECT lp.doc_id,
+               CAST(CASE WHEN blp.sum_logprob / blp.n_bigrams
+                              > lp.avg_logprob
+                    THEN 1 ELSE 0 END AS BIGINT) AS learnable
+        FROM lp JOIN blp USING (doc_id)
+    ),
+    per_src AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l.learnable) AS BIGINT) AS n_learnable
+        FROM learn l JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(n_learnable) AS BIGINT) AS t FROM per_src)
+    SELECT source, n_docs, n_learnable,
+           CAST(CASE WHEN t > 0 THEN n_learnable * 1000000 // t
+                     ELSE 0 END AS BIGINT) AS mix_weight_ppm
+    FROM per_src CROSS JOIN tot
+    """
+
+
+@query("source_learnability_mix", oracle=_sql_learnability_mix())
+def source_learnability_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture weights from the two-model learnability signal —
+    the DoReMi/RHO-flavored composition: aggregate `doc_learnability_rho`'s
+    per-doc flag by source and re-express each source's learnable-doc
+    count as integer ppm of the corpus total. Sources whose documents a
+    stronger-context model explains better get proportionally more
+    sampling weight; boilerplate-heavy sources shrink. n_docs counts
+    SCORED docs (the <2-token docs the bigram scorer omits by contract
+    are absent on both engines). Integer counts and floor-division ppm —
+    no float crosses the engines.
+
+    Scale: the per-doc flag lineage is the two LM components (each one
+    vocabulary aggregate + one doc aggregate); this adds one
+    |sources|-keyed aggregate and a 1-row broadcast total."""
+    flags = doc_learnability_rho(spark, sf_dir).select("doc_id", "learnable")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        flags.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("learnable").cast("bigint").alias("n_learnable"),
+        )
+    )
+    tot = per_src.agg(
+        F.coalesce(F.sum("n_learnable"), F.lit(0)).cast("bigint").alias("t")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_learnable",
+        F.when(
+            F.col("t") > 0,
+            F.expr("n_learnable * 1000000 div t"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mix_weight_ppm"),
+    )

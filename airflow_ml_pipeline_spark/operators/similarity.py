@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, davg
+from airflow_ml_pipeline_spark.functions.compare import SQL_DAVG, SQL_DSUM, davg
 from airflow_ml_pipeline_spark.functions.vectors import dot, l2_norm
 from airflow_ml_pipeline_spark.plans.registry import query
 from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
@@ -967,4 +967,79 @@ def embedding_class_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("rk") <= PROTO_TOP_K).select(
         "vec_id", "label", "centroid_cosine", "rk"
+    )
+
+
+@query(
+    "embedding_split_drift",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS side,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim,
+               {SQL_DAVG('CASE WHEN side = 0 THEN v END')} AS c_a,
+               {SQL_DAVG('CASE WHEN side = 1 THEN v END')} AS c_b
+        FROM ex GROUP BY label, dim
+    ),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT c.label, counts.n_a, counts.n_b,
+           round({SQL_DSUM('(c_a - c_b) * (c_a - c_b)')}, 6)
+               AS drift_l2sq
+    FROM cent c JOIN counts ON counts.label = c.label
+    GROUP BY c.label, counts.n_a, counts.n_b
+    """,
+)
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between two halves of the corpus (vec_id parity —
+    the deterministic stand-in for 'last week's batch vs this week's'):
+    per-label squared L2 distance between the two halves' centroids,
+    with per-side counts. THE monitoring number for embedding-space
+    shift — a re-embedded model, an upstream feature change, or
+    distribution drift moves the per-class centroid before it moves
+    downstream metrics; per-label resolution names which class moved.
+
+    Exactness: per-(label,dim,side) centroids are exact-decimal sums
+    divided by exact counts (bit-identical doubles on both engines);
+    the per-dim squared diffs — identical doubles — are summed through
+    the decimal lattice (dsum), so dimension order can't flip a bit.
+
+    Scale: one posexplode + (label,dim)-keyed aggregate with BOTH side
+    centroids as conditional aggregates in one pass (no self-join, no
+    second scan); everything downstream is |labels| x dims rows."""
+    from airflow_ml_pipeline_spark.functions.compare import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = F.col("vec_id") % 2
+    ex = emb.select(
+        "label",
+        side.alias("side"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        davg(F.when(F.col("side") == 0, F.col("v"))).alias("c_a"),
+        davg(F.when(F.col("side") == 1, F.col("v"))).alias("c_b"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((side == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((side == 1).cast("int")).cast("bigint").alias("n_b"),
+    )
+    diff = F.col("c_a") - F.col("c_b")
+    drift = cent.groupBy("label").agg(
+        F.round(dsum(diff * diff), 6).alias("drift_l2sq")
+    )
+    return drift.join(F.broadcast(counts), "label").select(
+        "label", "n_a", "n_b", "drift_l2sq"
     )

@@ -228,6 +228,19 @@ def _langid_scores_sql() -> str:
     return ", ".join(cases)
 
 
+#: the marker-argmax prediction CASE — ONE statement shared by the
+#: per-doc langid oracle and the confusion-matrix oracle
+_SQL_LANGID_PRED = """CASE
+             WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'unknown'
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+                THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END"""
+
+
 @query(
     "langid_heuristic",
     oracle=f"""
@@ -236,15 +249,7 @@ def _langid_scores_sql() -> str:
         FROM documents
     )
     SELECT doc_id, lang_tag,
-           CASE
-             WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0
-                THEN 'unknown'
-             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
-                THEN 'en'
-             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
-             WHEN score_es >= score_fr THEN 'es'
-             ELSE 'fr'
-           END AS predicted_lang
+           {_SQL_LANGID_PRED} AS predicted_lang
     FROM scored
     """,
 )
@@ -289,6 +294,41 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", F.col("lang").alias("lang_tag"), pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_tag, {_langid_scores_sql()}
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang_tag, {_SQL_LANGID_PRED} AS predicted_lang
+        FROM scored
+    )
+    SELECT lang_tag, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang_tag, predicted_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: corpus label vs marker-argmax
+    prediction, doc counts per (label, predicted) cell — the evaluation
+    table that decides whether the cheap classifier is good enough to
+    route documents (diagonal = agreement; the 'unknown' column is the
+    abstention rate; off-diagonal cells name the confusable pairs). The
+    prediction is ``langid_heuristic``'s own argmax, stated once on each
+    engine, so the matrix can never drift from the per-doc query.
+
+    Scale: the marker scoring is the same zero-shuffle projection as
+    langid_heuristic; the matrix adds one |langs|^2-keyed aggregate with
+    map-side partials."""
+    pred = langid_heuristic(spark, sf_dir)
+    return pred.groupBy("lang_tag", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
 
 

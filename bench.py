@@ -106,6 +106,12 @@ HEADLINE = [
     "unigram_seed_candidates",
     "unigram_vocab_pruned",
     "unigram_vocab_em",
+    "corpus_funnel_by_source",
+    "near_dup_jaccard_histogram",
+    "source_learnability_mix",
+    "langid_confusion",
+    "pii_prevalence_by_source",
+    "embedding_split_drift",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

@@ -570,3 +570,56 @@ def test_cross_source_matrix_no_cartesian_no_text_after_clusters(spark, sf_dir):
     carry everything)."""
     plan = _plan(registry.QUERIES["near_dup_cross_source_matrix"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- round-9 additions ----
+
+def test_vocab_em_usage_joins_broadcast_and_no_cartesian(spark, sf_dir):
+    """unigram_vocab_em: the |pieces|-sized usage/total frames must
+    broadcast into the final projection (shuffling the 16-row side's
+    partner would be the scale failure) and the plan must be
+    cartesian-free apart from the single-row total (Spark plans a 1-row
+    broadcast nested loop for it, which is fine — but never a
+    CartesianProduct)."""
+    plan = _plan(registry.QUERIES["unigram_vocab_em"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_funnel_by_source_reuses_survivor_checkpoint(spark, sf_dir):
+    """corpus_funnel_by_source shares the pipeline's staged lineage: the
+    survivor stage rides the eager checkpoint (an RDD scan leaf), so the
+    plan may scan the parquet corpus at most twice (raw + gated stages —
+    the gated stage's filter is pushed to its own scan) and must contain
+    no cartesian."""
+    plan = _plan(registry.QUERIES["corpus_funnel_by_source"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_jaccard_histogram_aggregates_pinned_pairs(spark, sf_dir):
+    """near_dup_jaccard_histogram consumes the bucketed pair frame twice
+    (pair counts + distinct docs); the frame is pinned, so the displayed
+    plan's leaves are the checkpoint RDD — the posting-list pair
+    explosion must not appear once per consumer."""
+    plan = _plan(registry.QUERIES["near_dup_jaccard_histogram"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan  # both branches read the pinned RDD
+
+
+def test_split_drift_single_pass_centroids(spark, sf_dir):
+    """embedding_split_drift computes BOTH side centroids as conditional
+    aggregates in one (label, dim) pass — no self-join of the centroid
+    frame (a second exploded scan would double the dominant cost), and
+    the per-label counts frame broadcasts."""
+    plan = _plan(registry.QUERIES["embedding_split_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_learnability_mix_broadcasts_total(spark, sf_dir):
+    """source_learnability_mix: the 1-row total joins by broadcast, and
+    the per-source aggregate must not introduce a cartesian."""
+    plan = _plan(registry.QUERIES["source_learnability_mix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan

@@ -35,6 +35,12 @@ PREFIX = 50
 #: CHECK_PRIORITY) until it earns a driver row.
 NEVER_WITNESSED: set[str] = {
     "unigram_vocab_em",
+    "corpus_funnel_by_source",
+    "near_dup_jaccard_histogram",
+    "source_learnability_mix",
+    "langid_confusion",
+    "pii_prevalence_by_source",
+    "embedding_split_drift",
 }
 
 #: every operator family must have at least one representative with driver
