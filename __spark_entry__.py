@@ -79,6 +79,10 @@ CHECK_PRIORITY = [
     "langid_confusion",
     "pii_prevalence_by_source",
     "embedding_split_drift",
+    "packing_efficiency_report",
+    "bpe_fertility_by_lang",
+    "corpus_shard_skew_report",
+    "stream_pii_scrub_ingest",
     # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",

@@ -301,6 +301,51 @@ PII_PHONE = r"\d{3}-\d{4}-\d+"
 PII_IDNUM = r"\b\d{9}\b"
 
 
+def pii_counted(docs: DataFrame, *keep: str) -> DataFrame:
+    """The PII detection kernel stated ONCE for every consumer
+    (``doc_pii_scrub``, ``pii_prevalence_by_source``, the streaming
+    scrub-on-ingest): append the deterministic PII augmentation (the
+    synthetic corpus has no digits — the injected tokens guarantee every
+    pattern fires, so the kernel is value-checked rather than vacuously
+    green), then count emails/phones, redact them, and count bare ids in
+    the REDACTED text (the scrub order: an id inside a phone tail never
+    double-counts). Returns (*keep, n_emails, n_phones, n_ids, t2) where
+    ``t2`` is the email/phone-redacted text ready for the id redaction
+    pass. Pure per-row RE2-safe regexp projection — zero shuffles."""
+    aug = docs.select(
+        *keep,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-0100-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ssn 123456789"),
+        ).alias("t"),
+    )
+    counted = aug.select(
+        *keep,
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ).alias("t2"),
+    )
+    return counted.select(
+        *keep,
+        "n_emails",
+        "n_phones",
+        F.size(F.regexp_extract_all("t2", F.lit(PII_IDNUM), 0))
+        .cast("bigint")
+        .alias("n_ids"),
+        "t2",
+    )
+
+
 @query(
     "doc_pii_scrub",
     oracle=f"""
@@ -344,36 +389,11 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     backtracking) which is what you want before pointing a regex at
     100 TB of text."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com phone 555-0100-"),
-            F.col("doc_id").cast("string"),
-            F.lit(" ssn 123456789"),
-        ).alias("t"),
-    )
-    counted = aug.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
-        .cast("bigint")
-        .alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace("t", PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
-        ).alias("t2"),
-    )
-    return counted.select(
+    return pii_counted(docs, "doc_id").select(
         "doc_id",
         "n_emails",
         "n_phones",
-        F.size(F.regexp_extract_all("t2", F.lit(PII_IDNUM), 0))
-        .cast("bigint")
-        .alias("n_ids"),
+        "n_ids",
         F.md5(F.regexp_replace("t2", PII_IDNUM, "[ID]")).alias("scrubbed_md5"),
     )
 
@@ -424,47 +444,14 @@ def pii_prevalence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row RE2-safe regexp projection then one
     |sources|-keyed aggregate with map-side partials."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
-        "source",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com phone 555-0100-"),
-            F.col("doc_id").cast("string"),
-            F.lit(" ssn 123456789"),
-        ).alias("t"),
-    )
-    counted = aug.select(
-        "source",
-        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
-        .cast("bigint")
-        .alias("e"),
-        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
-        .cast("bigint")
-        .alias("p"),
-        F.size(
-            F.regexp_extract_all(
-                F.regexp_replace(
-                    F.regexp_replace("t", PII_EMAIL, "[EMAIL]"),
-                    PII_PHONE,
-                    "[PHONE]",
-                ),
-                F.lit(PII_IDNUM),
-                0,
-            )
-        )
-        .cast("bigint")
-        .alias("i"),
-    )
+    counted = pii_counted(docs, "source")
+    hits = F.col("n_emails") + F.col("n_phones") + F.col("n_ids")
     return counted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("e").cast("bigint").alias("n_emails"),
-        F.sum("p").cast("bigint").alias("n_phones"),
-        F.sum("i").cast("bigint").alias("n_ids"),
-        F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("int"))
-        .cast("bigint")
-        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ids").cast("bigint").alias("n_ids"),
+        F.sum((hits > 0).cast("int")).cast("bigint").alias("n_docs_with_pii"),
     )
 
 
@@ -816,4 +803,157 @@ def bpe_decoded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.sum(F.lit(1) - F.col("rt_ok")) == 0, F.lit(1))
         .otherwise(F.lit(0))
         .alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_token
+        FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(FLOOR((SUM(n_tokens) - 1) / {SEQ_LEN}.0) + 1 AS BIGINT)
+               AS n_seqs,
+           CAST((FLOOR((SUM(n_tokens) - 1) / {SEQ_LEN}.0) + 1) * {SEQ_LEN}
+                - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+           CAST(SUM(CASE WHEN FLOOR((start_token + n_tokens - 1)
+                                    / {SEQ_LEN}.0)
+                              > FLOOR(start_token / {SEQ_LEN}.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs,
+           CAST(SUM(CASE WHEN start_token % {SEQ_LEN} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_aligned_docs
+    FROM packed
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency summary over `sequence_packing`'s own
+    assignment (composed, not restated — the report can never disagree
+    with the packer): total training sequences, tail padding waste,
+    docs that cross a sequence boundary (attention-mask resets /
+    truncation pressure), and docs that happen to start boundary-aligned.
+    THE numbers a training team reads to size SEQ_LEN and judge whether
+    best-fit packing is worth its shuffle over plain concat-and-chunk.
+
+    Scale: one bounded aggregate over the packer's output (per-doc
+    offsets via the distributed two-phase prefix sum); 1 row out."""
+    p = sequence_packing(spark, sf_dir)
+    total = F.sum("n_tokens")
+    n_seqs = F.floor((total - 1) / SEQ_LEN) + 1
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        n_seqs.cast("bigint").alias("n_seqs"),
+        (n_seqs * SEQ_LEN - total).cast("bigint").alias("pad_tokens"),
+        F.sum("crosses_boundary").cast("bigint").alias("n_crossing_docs"),
+        F.sum((F.col("start_token") % SEQ_LEN == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_boundary_aligned_docs"),
+    )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH w AS (
+        SELECT d.lang, unnest(string_split(d.text, ' ')) AS word
+        FROM documents d
+    ),
+    wf AS (SELECT lang, word FROM w WHERE word != ''),
+    v AS (SELECT DISTINCT word FROM wf),
+    e AS (SELECT word, {_sql_bpe_token_count()} AS word_tokens FROM v)
+    SELECT wf.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.word_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(wf.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN e.word_tokens = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_token_words
+    FROM wf JOIN e ON wf.word = e.word
+    GROUP BY wf.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE fertility audit by language — the frozen-merge-table twin of
+    `tokenizer_fertility_by_lang` (unigram-LM), so the two tokenizer
+    lifecycles the engine ships are evaluated with the SAME yardstick:
+    per-language word/token/char totals plus fully-merged word counts.
+    Comparing the two tables is the tokenizer bake-off a data team runs
+    before freezing a vocabulary. Sums only; ratios derive client-side.
+
+    Scale: corpus exploded once; the merge-chain encode runs over the
+    DISTINCT-word vocabulary (Zipf-small) and joins back — identical
+    lineage to `bpe_encoded_corpus` with a |langs|-keyed final
+    aggregate."""
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    sym_str = bpe_symbol_string(F.col("word"))
+    per_word = vocab.select(
+        "word",
+        F.size(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"))
+        .cast("bigint")
+        .alias("word_tokens"),
+    )
+    return words.join(per_word, "word").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("word_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum((F.col("word_tokens") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_single_token_words"),
+    )
+
+
+@query(
+    "corpus_shard_skew_report",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(instr('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY shard
+    """,
+)
+def corpus_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard doc/token totals under `corpus_shuffled_shards`' md5
+    assignment — the straggler predictor: a trainer reading 16 shard
+    files is paced by the largest one, and token skew (not doc skew) is
+    what actually sizes a shard's step count. Shard assignment is the
+    sharder's own expression, stated once on each engine.
+
+    Scale: one |shards|-keyed aggregate with map-side partials; at
+    100 TB this is the report you check BEFORE launching the write —
+    md5 sharding is binomially tight, and a skewed report means the
+    doc_id space itself is pathological."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _shard("doc_id").alias("shard"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )

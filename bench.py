@@ -112,6 +112,10 @@ HEADLINE = [
     "langid_confusion",
     "pii_prevalence_by_source",
     "embedding_split_drift",
+    "packing_efficiency_report",
+    "bpe_fertility_by_lang",
+    "corpus_shard_skew_report",
+    "stream_pii_scrub_ingest",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

@@ -41,6 +41,10 @@ NEVER_WITNESSED: set[str] = {
     "langid_confusion",
     "pii_prevalence_by_source",
     "embedding_split_drift",
+    "packing_efficiency_report",
+    "bpe_fertility_by_lang",
+    "corpus_shard_skew_report",
+    "stream_pii_scrub_ingest",
 }
 
 #: every operator family must have at least one representative with driver

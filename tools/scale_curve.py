@@ -91,6 +91,17 @@ QUERIES = [
     ("doc_quality_model_calibration", "documents"),
     ("unigram_seed_candidates", "documents"),
     ("unigram_vocab_pruned", "documents"),
+    ("unigram_vocab_em", "documents"),
+    ("corpus_funnel_by_source", "documents"),
+    ("near_dup_jaccard_histogram", "documents"),
+    ("source_learnability_mix", "documents"),
+    ("langid_confusion", "documents"),
+    ("pii_prevalence_by_source", "documents"),
+    ("embedding_split_drift", "embeddings"),
+    ("packing_efficiency_report", "documents"),
+    ("bpe_fertility_by_lang", "documents"),
+    ("corpus_shard_skew_report", "documents"),
+    ("stream_pii_scrub_ingest", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
