@@ -600,6 +600,10 @@ def source_learnability_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("learnable").cast("bigint").alias("n_learnable"),
         )
+        # |sources|-row frame consumed twice (total + final projection) —
+        # unpinned, BOTH LM lineages re-run per consumer (same rule as
+        # the vocab-EM usage pin)
+        .localCheckpoint(eager=False)
     )
     tot = per_src.agg(
         F.coalesce(F.sum("n_learnable"), F.lit(0)).cast("bigint").alias("t")

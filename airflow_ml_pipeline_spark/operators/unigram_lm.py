@@ -799,6 +799,14 @@ def unigram_vocab_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         viterbi_backtrace_pieces(F.col("word"), F.col("dp")).alias("used"),
     )
+    # Pin the backtrace output BEFORE the explode: a Generate whose
+    # generator child is the fold/cascade expression tree costs ~6.5 s of
+    # per-stage machinery at sf0.1 (measured — the same frame noop-writes
+    # in 2.7 s unexploded, 9.3 s exploded); pinned, the explode reads a
+    # plain attribute off the vocab-sized materialized frame and the
+    # whole query runs in ~1 s. The pin also covers usage's two
+    # consumers (total + final join) — nothing upstream re-runs.
+    used = used.localCheckpoint(eager=False)
     uses = used.select("word", "cnt", F.explode("used").alias("piece"))
     usage = uses.groupBy("piece").agg(
         F.sum("cnt").cast("bigint").alias("usage"),
