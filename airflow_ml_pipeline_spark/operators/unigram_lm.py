@@ -15,6 +15,10 @@ tokenizer lifecycle beside BPE (``operators/packing.py``):
   every word under the FROZEN piece vocabulary (the trainer's own
   sf0.01 output, pinned like the BPE merge table and the quality-model
   weights) — per-doc word/piece/score totals.
+- ``unigram_vocab_em`` (oracle-checked, round 9): one hard-EM score
+  re-estimation round — dp-array backtrace recovers each distinct
+  word's optimal segmentation, corpus-weighted piece usage becomes
+  integer-ppm scores (the SentencePiece M-step on an integer lattice).
 
 The Viterbi DP runs entirely JVM-side as an ``F.aggregate`` fold over
 char positions with an integer objective — no UDFs, no windows, no
