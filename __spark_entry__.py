@@ -83,6 +83,8 @@ CHECK_PRIORITY = [
     "bpe_fertility_by_lang",
     "corpus_shard_skew_report",
     "stream_pii_scrub_ingest",
+    "quality_rule_breakdown",
+    "events_dau_wau",
     # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",

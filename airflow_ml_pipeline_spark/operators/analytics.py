@@ -900,3 +900,64 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(c1.cast("long")), zero).alias("n_step2_24h"),
         F.coalesce(F.sum(c2.cast("long")), zero).alias("n_step3_24h"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    reach AS (
+        SELECT day + o AS rday, user_id
+        FROM du, LATERAL unnest(range(0, 7)) AS u(o)
+    ),
+    wau AS (
+        SELECT rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM reach GROUP BY rday
+    )
+    SELECT CAST(d.day AS BIGINT) AS epoch_day,
+           d.dau,
+           w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and stickiness (DAU/WAU) — the
+    engagement headline every product dashboard leads with. WAU for day
+    d counts distinct users active in [d-6, d], computed by fanning each
+    (day, user) pair out to the 7 report days it reaches — a bounded x7
+    row expansion of the DISTINCT daily-active frame (never the raw
+    events), which distributes as a plain aggregate instead of the
+    unsupported distinct-over-range-window. Days are tz-proof epoch-day
+    integers (floor of epoch-microseconds / 86.4e9); stickiness is
+    integer ppm (floor division) so no float crosses the engines. Only
+    days with activity are reported (a day with dau=0 has no row —
+    matching the DISTINCT frame on both engines).
+
+    Scale: the distinct (day, user) aggregate is the one real shuffle
+    (map-side partials collapse each partition to its active pairs); the
+    x7 fan-out and both counts are |days x users|-bounded, orders of
+    magnitude under the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    reach = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("rday"),
+        "user_id",
+    )
+    wau = reach.groupBy(F.col("rday").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("bigint").alias("epoch_day"),
+        "dau",
+        "wau",
+        F.expr("dau * 1000000 div wau").cast("bigint").alias("stickiness_ppm"),
+    )

@@ -49,14 +49,43 @@ def sql_quality_gate(col: str = "text") -> str:
     )
 
 
+def sql_gate_rules(col: str = "text") -> dict[str, str]:
+    """The gate's individual rules as DuckDB predicates — the SAME
+    constants as :func:`sql_quality_gate` (whose BETWEEN is exactly
+    stop_ratio_lo AND stop_ratio_hi; pinned by
+    tests/test_textstats_rules.py). Per-rule form exists for the
+    diagnostics breakdown — the composed gate stays the one filter every
+    pipeline consumer uses."""
+    toks = f"string_split({col}, ' ')"
+    stop_ratio = (
+        f"CAST(len(list_filter({toks}, t -> t IN ({_SQL_STOP})))"
+        f" AS DOUBLE) / len({toks})"
+    )
+    return {
+        "min_tokens": f"len({toks}) >= {GATE_MIN_TOKENS}",
+        "stop_ratio_lo": f"{stop_ratio} >= {GATE_STOP_LO!r}",
+        "stop_ratio_hi": f"{stop_ratio} <= {GATE_STOP_HI!r}",
+    }
+
+
+def gate_rule_conds(n_tok, stop_ratio) -> dict:
+    """The gate's individual rules as Spark conditions over precomputed
+    token-count and stopword-ratio columns — the single statement both
+    :func:`quality_gate_cond` (their conjunction) and the per-rule
+    breakdown compose."""
+    return {
+        "min_tokens": n_tok >= GATE_MIN_TOKENS,
+        "stop_ratio_lo": stop_ratio >= GATE_STOP_LO,
+        "stop_ratio_hi": stop_ratio <= GATE_STOP_HI,
+    }
+
+
 def quality_gate_cond(n_tok, stop_ratio):
     """Spark twin of :func:`sql_quality_gate` over precomputed
-    whitespace-token-count and stopword-ratio columns."""
-    return (
-        (n_tok >= GATE_MIN_TOKENS)
-        & (stop_ratio >= GATE_STOP_LO)
-        & (stop_ratio <= GATE_STOP_HI)
-    )
+    whitespace-token-count and stopword-ratio columns — the conjunction
+    of :func:`gate_rule_conds`."""
+    rules = gate_rule_conds(n_tok, stop_ratio)
+    return rules["min_tokens"] & rules["stop_ratio_lo"] & rules["stop_ratio_hi"]
 
 
 @query(
@@ -294,6 +323,64 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", F.col("lang").alias("lang_tag"), pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "quality_rule_breakdown",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT ({sql_gate_rules()['min_tokens']})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_min_tokens,
+           CAST(SUM(CASE WHEN NOT ({sql_gate_rules()['stop_ratio_lo']})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop_ratio_lo,
+           CAST(SUM(CASE WHEN NOT ({sql_gate_rules()['stop_ratio_hi']})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop_ratio_hi,
+           CAST(SUM(CASE WHEN {sql_quality_gate()}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM documents GROUP BY lang
+    """,
+)
+def quality_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule diagnostics for the quality gate, by language: how many
+    docs fail EACH rule (a doc can fail several) and how many pass the
+    whole gate — the tuning table for the thresholds themselves. The
+    aggregate gate says "38% dropped"; this says WHICH rule did the
+    dropping and whether it discriminates by language (a stopword-ratio
+    rule tuned on English is the classic multilingual false-reject).
+    Rules are ``gate_rule_conds`` — the gate's own components, stated
+    once; the conjunction≡gate identity is test-pinned, so the
+    breakdown can never disagree with the filter.
+
+    Scale: one scan, per-row token/ratio projection, |langs|-keyed
+    aggregate with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    frame = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (count_in(toks, STOPWORDS_EN).cast("double") / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+    )
+    rules = gate_rule_conds(F.col("n_tok"), F.col("stop_ratio"))
+    return frame.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((~rules["min_tokens"]).cast("int"))
+        .cast("bigint")
+        .alias("n_fail_min_tokens"),
+        F.sum((~rules["stop_ratio_lo"]).cast("int"))
+        .cast("bigint")
+        .alias("n_fail_stop_ratio_lo"),
+        F.sum((~rules["stop_ratio_hi"]).cast("int"))
+        .cast("bigint")
+        .alias("n_fail_stop_ratio_hi"),
+        F.sum(
+            quality_gate_cond(F.col("n_tok"), F.col("stop_ratio")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_pass"),
     )
 
 

@@ -116,6 +116,8 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "corpus_shard_skew_report",
     "stream_pii_scrub_ingest",
+    "quality_rule_breakdown",
+    "events_dau_wau",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

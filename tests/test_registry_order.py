@@ -45,6 +45,8 @@ NEVER_WITNESSED: set[str] = {
     "bpe_fertility_by_lang",
     "corpus_shard_skew_report",
     "stream_pii_scrub_ingest",
+    "quality_rule_breakdown",
+    "events_dau_wau",
 }
 
 #: every operator family must have at least one representative with driver

@@ -102,6 +102,8 @@ QUERIES = [
     ("bpe_fertility_by_lang", "documents"),
     ("corpus_shard_skew_report", "documents"),
     ("stream_pii_scrub_ingest", "documents"),
+    ("quality_rule_breakdown", "documents"),
+    ("events_dau_wau", "events"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
