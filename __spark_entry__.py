@@ -85,6 +85,10 @@ CHECK_PRIORITY = [
     "stream_pii_scrub_ingest",
     "quality_rule_breakdown",
     "events_dau_wau",
+    # newly ORACLED in r9 (had rows-only driver rows; the hash check is
+    # new evidence): re-witness at head
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
     # -- r3 cohort, not reached by the 50-name r8 prefix --
     "segment_value_salted_join",
     "ship_delay_profile",
@@ -193,7 +197,6 @@ CHECK_PRIORITY = [
     "user_event_profile",
     # -- latest driver row: round 7 --
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "benchmark_contamination",
     "bpe_decoded_roundtrip",
     "bpe_merge_candidates",
@@ -273,7 +276,6 @@ CHECK_PRIORITY = [
     "embedding_activation_stats",
     "embedding_decontamination",
     "embedding_dim_stats",
-    "embedding_near_dup_pairs",
     "events_funnel",
     "events_hourly_continuous",
     "events_latest_by_key",

@@ -137,6 +137,26 @@ def hyperplanes(seed: int = LSH_SEED, n_planes: int = N_PLANES, dims: int = 64):
     return rng.standard_normal((n_planes, dims))
 
 
+def sql_lsh_bucket(col: str = "embedding") -> str:
+    """DuckDB twin of :func:`lsh_bucket` for the STANDING seeded planes:
+    per-plane dot products written as explicit LEFT-ASSOCIATIVE addition
+    chains over {v!r}-interpolated plane literals, so every intermediate
+    double is bit-identical to Spark's sequential ``F.aggregate`` fold
+    (0.0 + t1 ≡ t1; left-assoc `a + b + c` ≡ the fold) — the sign test
+    ``d > 0`` then can NEVER flip between engines, which is what makes
+    the LSH bucket codes (and therefore the candidate sets of the two
+    ANN queries) deterministic enough to oracle. list_sum would agree up
+    to ulps — fine under round(6), not fine for a sign."""
+    parts = []
+    for i, plane in enumerate(hyperplanes()):
+        terms = " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE) * {float(v)!r}"
+            for j, v in enumerate(plane)
+        )
+        parts.append(f"(CASE WHEN {terms} > 0 THEN {1 << i} ELSE 0 END)")
+    return "\n         + ".join(parts)
+
+
 def lsh_bucket(emb_col: F.Column, planes) -> F.Column:
     """Sign-bit bucket id: bit i = (embedding · plane_i) > 0. Pure column
     arithmetic — the planes are literals baked into the plan (tiny: n_planes
@@ -159,13 +179,41 @@ def lsh_bucket(emb_col: F.Column, planes) -> F.Column:
     return bucket
 
 
-@query("ann_lsh_topk")  # rows-only: LSH recall is probabilistic by design
+def _sql_ann_lsh() -> str:
+    return f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+           {sql_lsh_bucket()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT embedding AS qvec, bucket AS qbucket
+        FROM b WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT b.vec_id, b.label,
+           {SQL_COS_VS_QVEC} AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE bit_count(xor(b.bucket, q.qbucket)) <= 2
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("ann_lsh_topk", oracle=_sql_ann_lsh())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH with multi-probe (hamming<=2
     neighbors of the query bucket): score only candidates whose bucket is
     within 2 bit flips — (1+n+n(n-1)/2)/2^n of the corpus — then exact
     cosine on the survivors. tests/test_similarity.py measures recall vs the
-    brute-force baseline."""
+    brute-force baseline.
+
+    ORACLE-CHECKED since round 9 (was rows-only): the seeded planes are
+    deterministic literals, the oracle restates each plane dot as the
+    bit-exact left-associative chain (`sql_lsh_bucket` — a sign can
+    never flip between engines), the multi-probe mask set is exactly
+    hamming<=2 (`bit_count(xor(...)) <= 2`), and the cosine re-rank
+    reuses the green `SQL_COS_VS_QVEC` twin — so the whole probabilistic
+    INDEX layout is pinned, not just its recall."""
     planes = hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
@@ -294,14 +342,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.4
 
 
-@query("embedding_near_dup_pairs")  # rows-only: LSH candidate generation
+def _sql_emb_near_dup() -> str:
+    cos = """(
+        list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65),
+            i -> CAST(bb.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE))))))"""
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+           {sql_lsh_bucket()} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               round({cos}, 6) AS cos_sim
+        FROM b a JOIN b bb
+          ON a.vec_id < bb.vec_id
+         AND bit_count(xor(a.bucket, bb.bucket)) <= 1
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM scored WHERE cos_sim >= {COSINE_DUP_THRESHOLD!r}
+    """
+
+
+@query("embedding_near_dup_pairs", oracle=_sql_emb_near_dup())
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH bucket join generates
     candidates (hamming<=1 between bucket codes via per-band self-join),
     exact cosine keeps pairs >= threshold. The pairwise work touches only
     bucket-collision pairs — the corpus never self-joins.
     tests/test_similarity.py checks the survivors against a brute-force
-    pair scan."""
+    pair scan.
+
+    ORACLE-CHECKED since round 9 (was rows-only): bucket codes restated
+    bit-exactly (`sql_lsh_bucket`), candidates are exactly the
+    hamming<=1 pairs (each vector registers its bucket + all 1-flip
+    neighbors; sharing a code ⟺ bit_count(xor) <= 1), and the keep
+    decision compares the ROUNDED cosine on both engines (the value the
+    query reports), so a sub-ulp disagreement at the threshold cannot
+    flip membership."""
     planes = hyperplanes()
     emb = load_spread(spark, sf_dir, "embeddings")
     # Stage materialization via localCheckpoint, NOT cache(): the bucketed
@@ -361,10 +443,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
+    # keep-decision on the ROUNDED similarity — the reported value — so
+    # the oracle's identically-rounded compare can never disagree at the
+    # threshold by an ulp (r9: this query gained a value oracle)
     return (
         cands.join(ea, "id_a")
-        .filter(sim >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
 
 

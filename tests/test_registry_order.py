@@ -47,6 +47,9 @@ NEVER_WITNESSED: set[str] = {
     "stream_pii_scrub_ingest",
     "quality_rule_breakdown",
     "events_dau_wau",
+    # r9: rows-only -> value-oracled; hash evidence not yet witnessed
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
 }
 
 #: every operator family must have at least one representative with driver
