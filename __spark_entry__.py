@@ -85,6 +85,7 @@ CHECK_PRIORITY = [
     "stream_pii_scrub_ingest",
     "quality_rule_breakdown",
     "events_dau_wau",
+    "near_dup_cluster_size_histogram",
     # newly ORACLED in r9 (had rows-only driver rows; the hash check is
     # new evidence): re-witness at head
     "ann_lsh_topk",

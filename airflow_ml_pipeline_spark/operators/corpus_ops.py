@@ -414,6 +414,50 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    sized AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+    FROM sized GROUP BY cluster_size
+    """,
+)
+def near_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution over the near-dup components — the
+    dedup-savings curve: n_dropped summed over rows is exactly the
+    documents cluster-level dedup removes, and the size profile is what
+    justifies the greedy pairwise drop in `corpus_prepared` (near-dup
+    graphs are overwhelmingly 2-3-doc components; a heavy tail here
+    would demand the transitive policy instead). Composes
+    `near_dup_clusters`' own labels; the oracle reuses the shared
+    recursive-CTE cluster lineage (`_SQL_CC_CTES`).
+
+    Scale: one |distinct sizes|-keyed aggregate over the cluster-sized
+    frame — output is a handful of rows at any corpus size."""
+    cl = near_dup_clusters(spark, sf_dir)
+    sized = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 #: doc_id headroom in the (priority, doc_id) arg-min encoding — one
 #: bigint carries both, exact while doc_id < 10^12 and priority <
 #: ~9.2e6 (bigint bound: prio * 10^12 + doc_id < 2^63). The decode is

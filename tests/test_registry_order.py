@@ -47,6 +47,7 @@ NEVER_WITNESSED: set[str] = {
     "stream_pii_scrub_ingest",
     "quality_rule_breakdown",
     "events_dau_wau",
+    "near_dup_cluster_size_histogram",
     # r9: rows-only -> value-oracled; hash evidence not yet witnessed
     "ann_lsh_topk",
     "embedding_near_dup_pairs",

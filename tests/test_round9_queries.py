@@ -185,3 +185,17 @@ def test_dau_wau_python_parity(spark, sf_dir):
         assert got[d].dau == len(users)
         assert got[d].wau == len(wau)
         assert got[d].stickiness_ppm == len(users) * 10**6 // len(wau)
+
+
+def test_cluster_size_histogram_matches_clusters(spark, sf_dir):
+    hist = {r.cluster_size: r for r in _rows(
+        spark, sf_dir, "near_dup_cluster_size_histogram")}
+    clusters = _rows(spark, sf_dir, "near_dup_clusters")
+    sizes: dict[int, set] = defaultdict(set)
+    for r in clusters:
+        sizes[r.cluster_size].add(r.cluster_id)
+    assert set(hist) == set(sizes)
+    for sz, ids in sizes.items():
+        assert hist[sz].n_clusters == len(ids)
+        assert hist[sz].n_docs == sz * len(ids)
+        assert hist[sz].n_dropped == (sz - 1) * len(ids)

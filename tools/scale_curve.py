@@ -104,6 +104,7 @@ QUERIES = [
     ("stream_pii_scrub_ingest", "documents"),
     ("quality_rule_breakdown", "documents"),
     ("events_dau_wau", "events"),
+    ("near_dup_cluster_size_histogram", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
