@@ -472,8 +472,18 @@ _PRIO_KEY = 10**12
     oracle=f"""
     WITH RECURSIVE {_SQL_CC_CTES},
     j AS (
+        -- same shape guard as the Spark side (r9 review: the guard was
+        -- one-sided — the oracle silently mis-ranked src007 while the
+        -- engine raised): only src<digits> with no leading zeros and an
+        -- int64-safe priority may elect; anything else errors loudly
         SELECT cc.doc_id, cc.cluster_id,
-               CAST(substr(d.source, 4) AS BIGINT) AS prio
+               CASE WHEN regexp_matches(d.source,
+                         '^src(0|[1-9][0-9]{{0,6}})$')
+                     AND CAST(substr(d.source, 4) AS BIGINT)
+                         <= {(2**63 - 1) // _PRIO_KEY - 1}
+                    THEN CAST(substr(d.source, 4) AS BIGINT)
+                    ELSE CAST(error('unparseable source ' || d.source)
+                              AS BIGINT) END AS prio
         FROM cc JOIN documents d USING (doc_id)
     ),
     k AS (

@@ -91,10 +91,12 @@ def corpus_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sequence_packing",
-    oracle=f"""
-    WITH scored AS (
+#: The packer's ordering + global-offset semantics as DuckDB CTEs
+#: ``scored -> packed(doc_id, n_tokens, start_token)`` — ONE statement
+#: shared by ``sequence_packing``'s oracle and the efficiency report's
+#: (r9 review: the report restated the packer's CTEs verbatim, so an
+#: ordering change updated in one could silently desync the other).
+_SQL_PACKED_CTES = """scored AS (
         SELECT doc_id,
                md5(CAST(doc_id AS VARCHAR)) AS h,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -107,7 +109,13 @@ def corpus_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS start_token
         FROM scored
-    )
+    )"""
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH {_SQL_PACKED_CTES}
     SELECT doc_id, n_tokens, start_token,
            CAST(FLOOR(start_token / {SEQ_LEN}.0) AS BIGINT) AS first_seq,
            CAST(FLOOR((start_token + n_tokens - 1) / {SEQ_LEN}.0)
@@ -301,6 +309,39 @@ PII_PHONE = r"\d{3}-\d{4}-\d+"
 PII_IDNUM = r"\b\d{9}\b"
 
 
+def SQL_PII_COUNTED_CTES(key: str = "doc_id") -> str:
+    """DuckDB twin of :func:`pii_counted` as CTEs ``aug -> counted ->
+    pii(k, n_emails, n_phones, n_ids, t2)`` with ``k = {key}`` — ONE
+    statement for the scrub, prevalence, and streaming-ingest oracles
+    (r9 review: the augmentation + count SQL was stated three times
+    while the Spark side was already factored)."""
+    return f"""aug AS (
+        SELECT {key} AS k,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com phone 555-0100-'
+                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
+        FROM documents
+    ),
+    counted AS (
+        SELECT k,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(t, '{PII_EMAIL}',
+                              '[EMAIL]', 'g'),
+                              '{PII_PHONE}', '[PHONE]', 'g') AS t2
+        FROM aug
+    ),
+    pii AS (
+        SELECT k, n_emails, n_phones,
+               CAST(len(regexp_extract_all(t2, '{PII_IDNUM}')) AS BIGINT)
+                   AS n_ids,
+               t2
+        FROM counted
+    )"""
+
+
 def pii_counted(docs: DataFrame, *keep: str) -> DataFrame:
     """The PII detection kernel stated ONCE for every consumer
     (``doc_pii_scrub``, ``pii_prevalence_by_source``, the streaming
@@ -349,27 +390,10 @@ def pii_counted(docs: DataFrame, *keep: str) -> DataFrame:
 @query(
     "doc_pii_scrub",
     oracle=f"""
-    WITH aug AS (
-        SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com phone 555-0100-'
-                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
-        FROM documents
-    ),
-    counted AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
-                   AS n_emails,
-               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
-                   AS n_phones,
-               regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
-                              '{PII_PHONE}', '[PHONE]', 'g') AS t2
-        FROM aug
-    )
-    SELECT doc_id, n_emails, n_phones,
-           CAST(len(regexp_extract_all(t2, '{PII_IDNUM}')) AS BIGINT) AS n_ids,
+    WITH {SQL_PII_COUNTED_CTES("doc_id")}
+    SELECT k AS doc_id, n_emails, n_phones, n_ids,
            md5(regexp_replace(t2, '{PII_IDNUM}', '[ID]', 'g')) AS scrubbed_md5
-    FROM counted
+    FROM pii
     """,
 )
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,34 +425,15 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pii_prevalence_by_source",
     oracle=f"""
-    WITH aug AS (
-        SELECT source,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com phone 555-0100-'
-                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
-        FROM documents
-    ),
-    counted AS (
-        SELECT source,
-               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
-                   AS e,
-               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
-                   AS p,
-               CAST(len(regexp_extract_all(
-                    regexp_replace(regexp_replace(t, '{PII_EMAIL}',
-                                   '[EMAIL]', 'g'),
-                                   '{PII_PHONE}', '[PHONE]', 'g'),
-                    '{PII_IDNUM}')) AS BIGINT) AS i
-        FROM aug
-    )
-    SELECT source,
+    WITH {SQL_PII_COUNTED_CTES("source")}
+    SELECT k AS source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(e) AS BIGINT) AS n_emails,
-           CAST(SUM(p) AS BIGINT) AS n_phones,
-           CAST(SUM(i) AS BIGINT) AS n_ids,
-           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_docs_with_pii
-    FROM counted GROUP BY source
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ids) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ids > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM pii GROUP BY k
     """,
 )
 def pii_prevalence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +457,19 @@ def pii_prevalence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").cast("bigint").alias("n_phones"),
         F.sum("n_ids").cast("bigint").alias("n_ids"),
         F.sum((hits > 0).cast("int")).cast("bigint").alias("n_docs_with_pii"),
+    )
+
+
+def bpe_word_token_count(word) -> "F.Column":
+    """Exact BPE token count of ``word`` under the frozen merges — the
+    delimited-symbol-string length, stated ONCE for every Spark consumer
+    (encode corpus + fertility audit), mirroring the SQL side's
+    `_sql_bpe_token_count` (r9 review: the expression was copy-pasted
+    per query)."""
+    sym_str = bpe_symbol_string(word)
+    return (
+        F.size(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"))
+        .cast("bigint")
     )
 
 
@@ -718,12 +736,8 @@ def bpe_encoded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the merge-table literal still paid ~2 s per execution in
     # HOF interpretation. The fold algebra itself stays pinned by the
     # pure-Python parity test against `bpe_apply_merge`.)
-    sym_str = bpe_symbol_string(F.col("word"))
     per_word = vocab.select(
-        "word",
-        F.size(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"))
-        .cast("bigint")
-        .alias("word_tokens"),
+        "word", bpe_word_token_count(F.col("word")).alias("word_tokens")
     )
     return words.join(per_word, "word").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -809,20 +823,7 @@ def bpe_decoded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "packing_efficiency_report",
     oracle=f"""
-    WITH scored AS (
-        SELECT doc_id,
-               md5(CAST(doc_id AS VARCHAR)) AS h,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents
-    ),
-    packed AS (
-        SELECT doc_id, n_tokens,
-               CAST(COALESCE(SUM(n_tokens) OVER (
-                    ORDER BY h, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS start_token
-        FROM scored
-    )
+    WITH {_SQL_PACKED_CTES}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(FLOOR((SUM(n_tokens) - 1) / {SEQ_LEN}.0) + 1 AS BIGINT)
@@ -901,12 +902,8 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.select("word").distinct()
-    sym_str = bpe_symbol_string(F.col("word"))
     per_word = vocab.select(
-        "word",
-        F.size(F.split(F.btrim(sym_str, F.lit("|")), "\\|\\|"))
-        .cast("bigint")
-        .alias("word_tokens"),
+        "word", bpe_word_token_count(F.col("word")).alias("word_tokens")
     )
     return words.join(per_word, "word").groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -409,6 +409,16 @@ def corpus_lang_temperature_sampled(
     )
 
 
+#: the learnability DECISION as one SQL expression over the joined
+#: lp/blp frames — shared by the per-doc oracle and the mixture oracle
+#: (r9 review: the CASE was duplicated; a retuned margin in one would
+#: silently desync the weights from the flags they aggregate)
+SQL_LEARNABLE_FLAG = (
+    "CAST(CASE WHEN blp.sum_logprob / blp.n_bigrams > lp.avg_logprob"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
 def _sql_learnability() -> str:
     from airflow_ml_pipeline_spark.operators.textstats import (
         SQL_BIGRAM_LP_CTES,
@@ -422,8 +432,7 @@ def _sql_learnability() -> str:
            blp.n_bigrams,
            lp.avg_logprob AS uni_avg_logprob,
            blp.sum_logprob AS bi_sum_logprob,
-           CAST(CASE WHEN blp.sum_logprob / blp.n_bigrams > lp.avg_logprob
-                THEN 1 ELSE 0 END AS BIGINT) AS learnable
+           {SQL_LEARNABLE_FLAG} AS learnable
     FROM lp JOIN blp USING (doc_id)
     """
 
@@ -556,9 +565,7 @@ def _sql_learnability_mix() -> str:
     {SQL_BIGRAM_LP_CTES},
     learn AS (
         SELECT lp.doc_id,
-               CAST(CASE WHEN blp.sum_logprob / blp.n_bigrams
-                              > lp.avg_logprob
-                    THEN 1 ELSE 0 END AS BIGINT) AS learnable
+               {SQL_LEARNABLE_FLAG} AS learnable
         FROM lp JOIN blp USING (doc_id)
     ),
     per_src AS (
@@ -600,9 +607,10 @@ def source_learnability_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("learnable").cast("bigint").alias("n_learnable"),
         )
-        # |sources|-row frame consumed twice (total + final projection) —
-        # unpinned, BOTH LM lineages re-run per consumer (same rule as
-        # the vocab-EM usage pin)
+        # |sources|-row frame consumed twice (total + final projection);
+        # the total rides a broadcast whose build job materializes this
+        # lazy checkpoint first, so both LM lineages run once — unpinned
+        # they re-ran per consumer (A/B r9: 2.2 s median after)
         .localCheckpoint(eager=False)
     )
     tot = per_src.agg(

@@ -315,7 +315,17 @@ def viterbi_backtrace_pieces(
         walked["pos"] == 0,
         F.concat(F.lit("unigram backtrace: cascade missed on word "), word),
     )
-    return F.when(done.isNull(), walked["used"]).otherwise(walked["used"])
+    # arithmetic dependence keeps the guard ALIVE: a when(done.isNull(),
+    # used).otherwise(used) has identical branches and Catalyst's
+    # SimplifyConditionals deletes the assert entirely (r9 review,
+    # verified on the optimized plan). slice(used, 1 + coalesce(assert,
+    # 0), size) is the full array on success and throws on a cascade
+    # miss — same idiom as viterbi_obj's objective guard.
+    return F.slice(
+        walked["used"],
+        F.lit(1) + F.coalesce(done.cast("int"), F.lit(0)),
+        F.size(walked["used"]),
+    )
 
 
 def _sql_viterbi_dp() -> str:
@@ -809,7 +819,9 @@ def unigram_vocab_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in 2.7 s unexploded, 9.3 s exploded); pinned, the explode reads a
     # plain attribute off the vocab-sized materialized frame and the
     # whole query runs in ~1 s. The pin also covers usage's two
-    # consumers (total + final join) — nothing upstream re-runs.
+    # consumers (total + final join): the broadcast-build jobs
+    # materialize the lazy checkpoint before the main query reads it,
+    # so nothing upstream re-runs (verified by the 1.96 s A/B median).
     used = used.localCheckpoint(eager=False)
     uses = used.select("word", "cnt", F.explode("used").alias("piece"))
     usage = uses.groupBy("piece").agg(

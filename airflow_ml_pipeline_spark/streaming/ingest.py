@@ -694,38 +694,17 @@ def run_pii_scrub_ingest(spark: SparkSession, sf_dir: str) -> str:
 
 def _pii_ingest_oracle() -> str:
     from airflow_ml_pipeline_spark.operators.packing import (
-        PII_EMAIL,
-        PII_IDNUM,
-        PII_PHONE,
+        SQL_PII_COUNTED_CTES,
     )
 
     return f"""
-    WITH aug AS (
-        SELECT doc_id % {FUNNEL_N_BATCHES} AS b,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com phone 555-0100-'
-                    || CAST(doc_id AS VARCHAR) || ' ssn 123456789' AS t
-        FROM documents
-    ),
-    counted AS (
-        SELECT b,
-               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
-                   AS e,
-               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
-                   AS p,
-               CAST(len(regexp_extract_all(
-                    regexp_replace(regexp_replace(t, '{PII_EMAIL}',
-                                   '[EMAIL]', 'g'),
-                                   '{PII_PHONE}', '[PHONE]', 'g'),
-                    '{PII_IDNUM}')) AS BIGINT) AS i
-        FROM aug
-    )
-    SELECT CAST(b AS BIGINT) AS batch_id,
+    WITH {SQL_PII_COUNTED_CTES(f"doc_id % {FUNNEL_N_BATCHES}")}
+    SELECT CAST(k AS BIGINT) AS batch_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(e) AS BIGINT) AS n_emails,
-           CAST(SUM(p) AS BIGINT) AS n_phones,
-           CAST(SUM(i) AS BIGINT) AS n_ids
-    FROM counted GROUP BY b
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ids) AS BIGINT) AS n_ids
+    FROM pii GROUP BY k
     """
 
 

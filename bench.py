@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_pii_scrub_ingest",
     "quality_rule_breakdown",
     "events_dau_wau",
+    "near_dup_cluster_size_histogram",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

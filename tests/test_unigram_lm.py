@@ -337,3 +337,23 @@ def test_vocab_em_usage_consistency(spark, sf_dir):
     for r in rows:
         assert r.usage >= r.words_using >= 0
         assert (r.usage == 0) == (r.new_score_ppm == 0) or r.new_score_ppm >= 0
+
+
+def test_backtrace_cascade_miss_fails_loud(spark):
+    """The cascade-miss guard must survive optimization (r9 review: a
+    when(cond, x).otherwise(x) with identical branches gets its
+    assert_true DELETED by SimplifyConditionals — verified on the
+    optimized plan; the slice-dependence idiom keeps it alive). A dp
+    array no step can explain must raise, never return a partial
+    piece list."""
+    import pytest
+    from airflow_ml_pipeline_spark.operators.unigram_lm import (
+        viterbi_backtrace_pieces,
+    )
+
+    df = spark.createDataFrame([("er",)], "word string")
+    bad_dp = F.lit([0, -999, -999]).cast("array<bigint>")
+    with pytest.raises(Exception, match="cascade missed"):
+        df.select(
+            viterbi_backtrace_pieces(F.col("word"), bad_dp).alias("u")
+        ).collect()
