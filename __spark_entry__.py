@@ -86,6 +86,7 @@ CHECK_PRIORITY = [
     "quality_rule_breakdown",
     "events_dau_wau",
     "near_dup_cluster_size_histogram",
+    "corpus_training_mix_fill",
     # newly ORACLED in r9 (had rows-only driver rows; the hash check is
     # new evidence): re-witness at head
     "ann_lsh_topk",

@@ -555,13 +555,15 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_learnability_mix() -> str:
+def _sql_mix_ctes() -> str:
+    """CTE chain ``lp, blp, learn, per_src, tot`` — the per-source
+    learnability aggregation stated ONCE for the mixture-weight oracle
+    and the training-mix materialization oracle."""
     from airflow_ml_pipeline_spark.operators.textstats import (
         SQL_BIGRAM_LP_CTES,
     )
 
-    return f"""
-    WITH {SQL_UNIGRAM_LP_CTES},
+    return f"""{SQL_UNIGRAM_LP_CTES},
     {SQL_BIGRAM_LP_CTES},
     learn AS (
         SELECT lp.doc_id,
@@ -575,10 +577,21 @@ def _sql_learnability_mix() -> str:
         FROM learn l JOIN documents d USING (doc_id)
         GROUP BY d.source
     ),
-    tot AS (SELECT CAST(SUM(n_learnable) AS BIGINT) AS t FROM per_src)
+    tot AS (SELECT CAST(SUM(n_learnable) AS BIGINT) AS t FROM per_src)"""
+
+
+#: the ppm weight expression over per_src CROSS JOIN tot — shared text
+SQL_MIX_PPM = (
+    "CAST(CASE WHEN t > 0 THEN n_learnable * 1000000 // t"
+    " ELSE 0 END AS BIGINT)"
+)
+
+
+def _sql_learnability_mix() -> str:
+    return f"""
+    WITH {_sql_mix_ctes()}
     SELECT source, n_docs, n_learnable,
-           CAST(CASE WHEN t > 0 THEN n_learnable * 1000000 // t
-                     ELSE 0 END AS BIGINT) AS mix_weight_ppm
+           {SQL_MIX_PPM} AS mix_weight_ppm
     FROM per_src CROSS JOIN tot
     """
 
@@ -627,4 +640,119 @@ def source_learnability_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("mix_weight_ppm"),
+    )
+
+
+#: fraction of the corpus's tokens the materialized training mix may
+#: use, in ppm (scale-free: the budget grows with the corpus, so the
+#: query exercises quota pressure at every SF instead of degenerating
+#: to keep-everything at small scale)
+MIX_FILL_PPM = 500_000
+
+
+def _sql_mix_fill() -> str:
+    toks = "string_split(text, ' ')"
+    return f"""
+    WITH {_sql_mix_ctes()},
+    weights AS (
+        SELECT source, {SQL_MIX_PPM} AS ppm
+        FROM per_src CROSS JOIN tot
+    ),
+    totc AS (
+        SELECT CAST(SUM(len({toks})) AS BIGINT) AS total_tokens
+        FROM documents
+    ),
+    scoredd AS (
+        SELECT doc_id, source,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct({toks})) AS DOUBLE)
+                     / len({toks}), 6) AS score
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM scoredd
+    ),
+    q AS (
+        SELECT w.source,
+               CAST((totc.total_tokens * {MIX_FILL_PPM} // 1000000)
+                    * w.ppm // 1000000 AS BIGINT) AS quota_tokens
+        FROM weights w CROSS JOIN totc
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, q.quota_tokens
+    FROM cum c JOIN q USING (source)
+    WHERE c.cum_tokens <= q.quota_tokens
+    """
+
+
+@query("corpus_training_mix_fill", oracle=_sql_mix_fill())
+def corpus_training_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the training mix — the capstone composition that
+    turns the selection signals into an actual dataset: each source gets
+    a token quota proportional to its learnability mixture weight
+    (`source_learnability_mix`'s own ppm over a scale-free corpus-half
+    budget), and the quota is filled with the source's highest-quality
+    documents (the budget-fill diversity score) under a per-source
+    running token sum. This is the operator a data-recipe paper's
+    "sampled X% of source S" sentence describes; emitting the doc-level
+    fill (with each doc's running position and its source's quota) makes
+    the whole recipe auditable, not just its totals.
+
+    Exactness: quotas are two chained integer floor-divisions; the
+    quality score is the 6dp-rounded integer-ratio double both engines
+    compute identically; running sums are bigint.
+
+    Scale: one corpus projection (token counts + score; pinned — the
+    HOF token explode feeds the total aggregate AND the ranked fill),
+    the per-source running sum parallelizes across sources (at 100 TB a
+    single giant source composes the bucket-grid two-phase prefix sum
+    exactly like corpus_token_budget_fill — the per-source window is the
+    |sources| >> cores regime's shape), and the quota/weight frames are
+    |sources|-sized broadcasts over the two LM lineages."""
+    mix = source_learnability_mix(spark, sf_dir).select(
+        "source", "mix_weight_ppm"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    scored = tok.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"),
+            6,
+        ).alias("score"),
+    ).localCheckpoint(eager=False)
+    total = scored.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    quotas = mix.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.expr(
+            f"(total_tokens * {MIX_FILL_PPM} div 1000000)"
+            f" * mix_weight_ppm div 1000000"
+        )
+        .cast("bigint")
+        .alias("quota_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return (
+        cum.join(F.broadcast(quotas), "source")
+        .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "quota_tokens")
     )

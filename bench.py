@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_rule_breakdown",
     "events_dau_wau",
     "near_dup_cluster_size_histogram",
+    "corpus_training_mix_fill",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

@@ -48,6 +48,7 @@ NEVER_WITNESSED: set[str] = {
     "quality_rule_breakdown",
     "events_dau_wau",
     "near_dup_cluster_size_histogram",
+    "corpus_training_mix_fill",
     # r9: rows-only -> value-oracled; hash evidence not yet witnessed
     "ann_lsh_topk",
     "embedding_near_dup_pairs",

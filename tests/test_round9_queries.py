@@ -199,3 +199,29 @@ def test_cluster_size_histogram_matches_clusters(spark, sf_dir):
         assert hist[sz].n_clusters == len(ids)
         assert hist[sz].n_docs == sz * len(ids)
         assert hist[sz].n_dropped == (sz - 1) * len(ids)
+
+
+def test_training_mix_fill_respects_quotas_and_ranking(spark, sf_dir):
+    """The materialized mix never exceeds any source's quota, fills in
+    quality order (running sums strictly increase along the rank), and
+    its quotas re-derive from the mixture weights and corpus size."""
+    from airflow_ml_pipeline_spark.operators.selection import MIX_FILL_PPM
+
+    fill = _rows(spark, sf_dir, "corpus_training_mix_fill")
+    mix = {r.source: r.mix_weight_ppm
+           for r in _rows(spark, sf_dir, "source_learnability_mix")}
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")).collect()[0].t
+    budget = total * MIX_FILL_PPM // 10**6
+    per_src: dict[str, list] = defaultdict(list)
+    for r in fill:
+        per_src[r.source].append(r)
+        assert r.quota_tokens == budget * mix[r.source] // 10**6
+        assert r.cum_tokens <= r.quota_tokens
+    for src, rows in per_src.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run  # contiguous prefix, no gaps

@@ -105,6 +105,7 @@ QUERIES = [
     ("quality_rule_breakdown", "documents"),
     ("events_dau_wau", "events"),
     ("near_dup_cluster_size_histogram", "documents"),
+    ("corpus_training_mix_fill", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
