@@ -9,12 +9,13 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-9 rotation (VERDICT r8 ask #3): every query now has a committed
-driver row (the r8 prefix witnessed the last 11), so the head is any
-queries newly declared in round 9, then the four r3-cohort names the r8
-prefix did not reach, then cohorts strictly by the age of their latest
-committed driver row (r5 first; the 50 names the r8 driver just checked
-go last). The whole registry is listed so a query can no longer
+Round-10 rotation (VERDICT r9 ask #1): every query has a committed
+driver row and every oracle-backed query is green on its latest row, so
+the head is any queries newly declared in round 10, then the rows-only
+-> oracle promotions (their hash check is new evidence), then the 20
+r5-evidence stragglers the r9 prefix did not reach, then cohorts
+strictly by the age of their latest committed driver row (r6 first; the
+50 names the r9 driver just checked go last). The whole registry is listed so a query can no longer
 register without a priority slot; the ordering contract lives in
 tests/test_registry_order.py.
 """
@@ -64,68 +65,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence and
 #: round-8 queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-9 rotation (VERDICT r8 ask #3) ----
-    # Head: queries newly declared in round 9 (zero driver rows) as
-    # they land, then the 4 r3-cohort names the r8 prefix did not
-    # reach, then cohorts strictly by the age of their latest
-    # committed driver row (r5 -> r6 -> r7 -> the r8-witnessed 50,
-    # whose evidence is newest). Full registry listed; the ordering
-    # contract lives in tests/test_registry_order.py.
-    # -- round-9 new queries (zero driver rows until the r9 run) --
-    "unigram_vocab_em",
-    "corpus_funnel_by_source",
-    "near_dup_jaccard_histogram",
-    "source_learnability_mix",
-    "langid_confusion",
-    "pii_prevalence_by_source",
-    "embedding_split_drift",
-    "packing_efficiency_report",
-    "bpe_fertility_by_lang",
-    "corpus_shard_skew_report",
-    "stream_pii_scrub_ingest",
-    "quality_rule_breakdown",
-    "events_dau_wau",
-    "near_dup_cluster_size_histogram",
-    "corpus_training_mix_fill",
-    # newly ORACLED in r9 (had rows-only driver rows; the hash check is
-    # new evidence): re-witness at head
-    "ann_lsh_topk",
-    "embedding_near_dup_pairs",
-    # -- r3 cohort, not reached by the 50-name r8 prefix --
-    "segment_value_salted_join",
-    "ship_delay_profile",
-    "simhash_md5",
-    "user_value_totals_salted",
-    # -- latest driver row: round 5 --
-    "basket_brand_pairs",
-    "bm25_topk",
-    "bpe_encoded_corpus",
-    "bpe_trained_merges",
-    "brand_discount_qty_slope",
-    "cdc_chunk_dedup",
-    "corpus_prepared",
-    "corpus_sketch_stats",
-    "customer_drift_profile",
-    "customer_fuzzy_matches",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "dedup_source_priority",
-    "doc_bigram_logprob",
-    "doc_containment_md5",
-    "doc_dup_span_coverage",
-    "doc_dup_span_scrubbed",
-    "doc_ngram_novelty",
-    "doc_stats",
-    "doc_token_entropy",
-    "embedding_corr_matrix",
-    "embedding_hard_negatives",
-    "embedding_pca_variance",
-    "event_transition_matrix",
-    "events_anomaly_zscore",
-    "events_funnel_windowed",
-    "events_gap_fill",
-    "knn_cosine_bruteforce",
-    "multimodal_features",
+    # ---- round-10 rotation (VERDICT r9 ask #1) ----
+    # Head: queries newly declared in round 10 (zero driver rows) as
+    # they land, then the rows-only->oracle promotions (hash evidence
+    # is new), then the 20 r5-evidence stragglers the r9 prefix did not
+    # reach (judge-computed list, VERDICT r9), then cohorts strictly by
+    # the age of their latest committed driver row (r6 -> r7 -> r8 ->
+    # the 50 names the r9 driver just checked go last). Full registry
+    # listed; the ordering contract lives in tests/test_registry_order.py.
+    # -- round-10 new queries (zero driver rows until the r10 run) --
+    # -- r10 rows-only -> oracle promotions: re-witness hash at head --
+    "simhash_fingerprints",
+    "doc_winnowing_fingerprints",
+    "near_dup_pairs_minhash",
+    # -- the 20 r5-evidence stragglers (oldest committed rows) --
     "near_dup_clusters",
     "near_dup_incremental",
     "near_dup_pagerank",
@@ -161,7 +114,6 @@ CHECK_PRIORITY = [
     "doc_chunks_udtf",
     "doc_length_histogram",
     "doc_token_entropy_udf",
-    "doc_winnowing_fingerprints",
     "embedding_norms",
     "errors_before_purchase",
     "events_hourly",
@@ -191,7 +143,6 @@ CHECK_PRIORITY = [
     "segment_price_quantiles",
     "segment_status_pivot",
     "segment_top_orders",
-    "simhash_fingerprints",
     "sole_supplier_returns",
     "supplier_volume",
     "token_counts_bpeish",
@@ -233,7 +184,6 @@ CHECK_PRIORITY = [
     "multimodal_decode_stats",
     "nation_balance_unpivot",
     "near_dup_pairs_jaccard",
-    "near_dup_pairs_minhash",
     "stream_dedup_user_event_keys",
     "stream_doc_quality_scores",
     "stream_errors_before_purchase_outer",
@@ -247,7 +197,7 @@ CHECK_PRIORITY = [
     "token_frequencies",
     "unigram_lm_segmented",
     "unigram_seed_candidates",
-    # -- latest driver row: round 8 (newest evidence, checked last) --
+    # -- latest driver row: round 8 --
     "near_dup_canonical_by_source",
     "unigram_vocab_pruned",
     "tokenizer_fertility_by_lang",
@@ -297,6 +247,57 @@ CHECK_PRIORITY = [
     "purchase_last_view_asof",
     "segment_acctbal_top_decile",
     "segment_balance_flags",
+    # -- latest driver row: round 9 (newest evidence, checked last) --
+    "unigram_vocab_em",
+    "corpus_funnel_by_source",
+    "near_dup_jaccard_histogram",
+    "source_learnability_mix",
+    "langid_confusion",
+    "pii_prevalence_by_source",
+    "embedding_split_drift",
+    "packing_efficiency_report",
+    "bpe_fertility_by_lang",
+    "corpus_shard_skew_report",
+    "stream_pii_scrub_ingest",
+    "quality_rule_breakdown",
+    "events_dau_wau",
+    "near_dup_cluster_size_histogram",
+    "corpus_training_mix_fill",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "segment_value_salted_join",
+    "ship_delay_profile",
+    "simhash_md5",
+    "user_value_totals_salted",
+    "basket_brand_pairs",
+    "bm25_topk",
+    "bpe_encoded_corpus",
+    "bpe_trained_merges",
+    "brand_discount_qty_slope",
+    "cdc_chunk_dedup",
+    "corpus_prepared",
+    "corpus_sketch_stats",
+    "customer_drift_profile",
+    "customer_fuzzy_matches",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "dedup_source_priority",
+    "doc_bigram_logprob",
+    "doc_containment_md5",
+    "doc_dup_span_coverage",
+    "doc_dup_span_scrubbed",
+    "doc_ngram_novelty",
+    "doc_stats",
+    "doc_token_entropy",
+    "embedding_corr_matrix",
+    "embedding_hard_negatives",
+    "embedding_pca_variance",
+    "event_transition_matrix",
+    "events_anomaly_zscore",
+    "events_funnel_windowed",
+    "events_gap_fill",
+    "knn_cosine_bruteforce",
+    "multimodal_features",
 ]
 
 

@@ -650,6 +650,23 @@ def source_learnability_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_FILL_PPM = 500_000
 
 
+def _ppm_scale(expr: str, ppm, idiv: str) -> str:
+    """floor((expr) * ppm / 1e6) without the large intermediate.
+
+    Exact identity: with a = q*1e6 + r, floor(a*p/1e6) = q*p +
+    floor(r*p/1e6) — so the rewrite never changes a quota by even one
+    token. It matters at the 100 TB posture (ADVICE r9): the naive
+    ``total_tokens * ppm`` wraps int64 above ~1.8e13 tokens — non-ANSI
+    Spark wraps SILENTLY (negative quotas -> empty mix) while DuckDB
+    errors. Here every intermediate is bounded by max(expr, 1e12).
+    ``idiv`` is the dialect's integer-division token (Spark ``div``,
+    DuckDB ``//``)."""
+    return (
+        f"(({expr}) {idiv} 1000000) * ({ppm})"
+        f" + (({expr}) % 1000000) * ({ppm}) {idiv} 1000000"
+    )
+
+
 def _sql_mix_fill() -> str:
     toks = "string_split(text, ' ')"
     return f"""
@@ -678,8 +695,8 @@ def _sql_mix_fill() -> str:
     ),
     q AS (
         SELECT w.source,
-               CAST((totc.total_tokens * {MIX_FILL_PPM} // 1000000)
-                    * w.ppm // 1000000 AS BIGINT) AS quota_tokens
+               CAST({_ppm_scale(_ppm_scale("totc.total_tokens", MIX_FILL_PPM, "//"),
+                                "w.ppm", "//")} AS BIGINT) AS quota_tokens
         FROM weights w CROSS JOIN totc
     )
     SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, q.quota_tokens
@@ -731,9 +748,14 @@ def corpus_training_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quotas = mix.crossJoin(F.broadcast(total)).select(
         "source",
+        # overflow-safe quota (see _ppm_scale): exact same value as the
+        # naive product chain, but intermediates stay <= total_tokens
         F.expr(
-            f"(total_tokens * {MIX_FILL_PPM} div 1000000)"
-            f" * mix_weight_ppm div 1000000"
+            _ppm_scale(
+                _ppm_scale("total_tokens", MIX_FILL_PPM, "div"),
+                "mix_weight_ppm",
+                "div",
+            )
         )
         .cast("bigint")
         .alias("quota_tokens"),

@@ -187,7 +187,11 @@ def _sql_ann_lsh() -> str:
         FROM embeddings
     ),
     q AS (
-        SELECT embedding AS qvec, bucket AS qbucket
+        -- CAST matters: SQL_COS_VS_QVEC's documented contract is
+        -- q(qvec DOUBLE[]); without it the qvec norm term runs in
+        -- float32 on DuckDB while Spark folds in double, and the
+        -- 6dp-rounded hash can flip at rounding boundaries (ADVICE r9)
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec, bucket AS qbucket
         FROM b WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT b.vec_id, b.label,

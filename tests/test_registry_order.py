@@ -26,33 +26,14 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row of any kind as of round-9 start. The r8
-#: prefix witnessed all 11 names that were listed here (every row green
-#: in CORRECTNESS_r08.json), so the set was pruned to empty per VERDICT
-#: r8 ask #3 — a stale entry would protect queries that no longer need
-#: protection at the expense of the oldest-evidence cohorts. Every query
-#: newly declared in round 9 MUST be added here (and to the head of
-#: CHECK_PRIORITY) until it earns a driver row.
-NEVER_WITNESSED: set[str] = {
-    "unigram_vocab_em",
-    "corpus_funnel_by_source",
-    "near_dup_jaccard_histogram",
-    "source_learnability_mix",
-    "langid_confusion",
-    "pii_prevalence_by_source",
-    "embedding_split_drift",
-    "packing_efficiency_report",
-    "bpe_fertility_by_lang",
-    "corpus_shard_skew_report",
-    "stream_pii_scrub_ingest",
-    "quality_rule_breakdown",
-    "events_dau_wau",
-    "near_dup_cluster_size_histogram",
-    "corpus_training_mix_fill",
-    # r9: rows-only -> value-oracled; hash evidence not yet witnessed
-    "ann_lsh_topk",
-    "embedding_near_dup_pairs",
-}
+#: queries with no driver row of any kind as of round-10 start. The r9
+#: prefix witnessed all 17 names that were listed here (every row green
+#: in CORRECTNESS_r09.json, now committed), so the set is pruned to
+#: empty per VERDICT r9 ask #1 — a stale entry would protect queries
+#: that no longer need protection at the expense of the oldest-evidence
+#: cohorts. Every query newly declared in round 10 MUST be added here
+#: (and to the head of CHECK_PRIORITY) until it earns a driver row.
+NEVER_WITNESSED: set[str] = set()
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
