@@ -38,6 +38,20 @@ def test_minhash_recovers_high_jaccard_pairs(spark, sf_dir, exact_pairs):
     assert all(p in exact_pairs for p in found)
 
 
+def test_minhash_equals_exact_kernel_on_test_corpus(spark, sf_dir, exact_pairs):
+    """The r10 promotion contract: near_dup_pairs_minhash's DRIVER oracle
+    is the exact pair kernel, so LSH-discovered must equal exhaustive —
+    pair set AND jaccard values — on the committed corpora (measured
+    complete at sf0.001/0.01/0.1; P(candidate|J=0.5) ~ 0.99/pair). If
+    this fails after a minhash-family change, the driver row would go
+    red: either restore recall or demote the query to rows-only."""
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.near_dup_pairs_minhash(spark, sf_dir).collect()
+    }
+    assert mh == exact_pairs
+
+
 def test_minhash_signature_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     s1 = {r.doc_id: r.signature for r in dedup.minhash_signatures(docs).collect()}

@@ -33,7 +33,13 @@ PREFIX = 50
 #: that no longer need protection at the expense of the oldest-evidence
 #: cohorts. Every query newly declared in round 10 MUST be added here
 #: (and to the head of CHECK_PRIORITY) until it earns a driver row.
-NEVER_WITNESSED: set[str] = set()
+NEVER_WITNESSED: set[str] = {
+    # r10: rows-only -> value-oracled; hash evidence not yet witnessed
+    # (has committed rows-only rows, so the subtraction in
+    # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;
+    # listed for the judge's ledger symmetry with the r9 promotions)
+    "near_dup_pairs_minhash",
+}
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
