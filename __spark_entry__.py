@@ -74,6 +74,7 @@ CHECK_PRIORITY = [
     # the 50 names the r9 driver just checked go last). Full registry
     # listed; the ordering contract lives in tests/test_registry_order.py.
     # -- round-10 new queries (zero driver rows until the r10 run) --
+    "unigram_vocab_em_pruned",
     # -- r10 rows-only -> oracle promotions: re-witness hash at head --
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",

@@ -34,6 +34,8 @@ PREFIX = 50
 #: cohorts. Every query newly declared in round 10 MUST be added here
 #: (and to the head of CHECK_PRIORITY) until it earns a driver row.
 NEVER_WITNESSED: set[str] = {
+    # r10 new queries
+    "unigram_vocab_em_pruned",
     # r10: rows-only -> value-oracled; hash evidence not yet witnessed
     # (has committed rows-only rows, so the subtraction in
     # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;
