@@ -75,6 +75,7 @@ CHECK_PRIORITY = [
     # listed; the ordering contract lives in tests/test_registry_order.py.
     # -- round-10 new queries (zero driver rows until the r10 run) --
     "unigram_vocab_em_pruned",
+    "stream_session_eviction_timing",
     # -- r10 rows-only -> oracle promotions: re-witness hash at head --
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",

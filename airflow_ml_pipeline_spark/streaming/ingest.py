@@ -734,3 +734,234 @@ def stream_pii_scrub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ids",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-eviction timing (VERDICT r9 ask #6): the ingest family proved
+# per-batch streaming numbers become oracle-able when batch membership is
+# deterministic. This section applies the trick to WATERMARK SEMANTICS
+# themselves: the events table is staged as time-ordered slices, a real
+# session_window aggregation runs in append mode with a small in-span
+# watermark, and each emitted session is recorded WITH the micro-batch it
+# was evicted in — so the driver hash pins not just the session algebra
+# but Spark's eviction timing rule (watermark after batch b = max event
+# time of slices <= b minus the delay; a session emits in the first batch
+# whose watermark passes its end; sessions the final watermark never
+# passes are ABSENT). The no-data trailing batch is load-bearing here and
+# is never skipped.
+# ---------------------------------------------------------------------------
+
+SESSION_N_SLICES = 4
+SESSION_GAP_US = 1800 * 1000000  # 30-min session gap
+SESSION_WM_US = 1800 * 1000000  # 30-min watermark delay
+# watermark delay >= gap guarantees NO session is ever split across
+# emissions under time-ordered arrival: a continuation event in slice b
+# sits within gap of the session's last event, so the batch-b watermark
+# (max of earlier slices - delay) can never have passed the session end
+# (proof in the query docstring; violated only if delay < gap).
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """events.parquet content fingerprint (path + mtime/size), same
+    staleness contract as _corpus_fingerprint / stage_events_dir."""
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:16]
+
+
+def session_timing_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the eviction-timing replay."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{base}-{_events_fingerprint(sf_dir)}"
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "session_arrivals"),
+        os.path.join(root, "session_store"),
+        os.path.join(root, "session_checkpoint"),
+    )
+
+
+def stage_time_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as SESSION_N_SLICES single-file parquet slices in
+    EVENT-TIME order: slice k = events with
+    ``(unix_micros(ts) - min) * K div (max - min + 1) == k`` (integer
+    arithmetic, engine-exact), file mtimes ascending in k — so
+    micro-batch k IS time-range k and the per-batch watermark becomes a
+    pure function of the slice maxima."""
+    arrivals, _, _ = session_timing_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        mn, mx = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        span = mx - mn + 1
+        os.makedirs(arrivals, exist_ok=True)
+        import time
+
+        t0 = time.time() - 3600
+        for k in range(SESSION_N_SLICES):
+            tmp = os.path.join(arrivals, f".build_{k}.{os.getpid()}")
+            ev.filter(
+                F.expr(
+                    f"(unix_micros(ts) - {mn}) * {SESSION_N_SLICES}"
+                    f" div {span}"
+                )
+                == k
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(arrivals, f"slice_{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + k, t0 + k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return arrivals
+
+
+def run_session_timing(spark: SparkSession, sf_dir: str) -> str:
+    """AvailableNow replay of the time-sliced events through an
+    append-mode session_window aggregation (30-min gap, 30-min
+    watermark); each batch's EMITTED sessions land in the store
+    partition ``batch_id=N`` (exactly-once: a retried batch overwrites
+    its own partition). The trailing no-data batch is NOT skipped — it
+    carries the final watermark advance and flushes the last decided
+    sessions."""
+    from airflow_ml_pipeline_spark.streaming.windows import session_aggregate
+
+    arrivals, store, checkpoint = session_timing_dirs(sf_dir)
+    stage_time_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(arrivals, "slice_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    agg = session_aggregate(stream, "30 minutes", "30 minutes")
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                os.path.join(store, f"batch_id={bid}")
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store
+
+
+def _session_timing_oracle() -> str:
+    from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, SQL_TS
+
+    K = SESSION_N_SLICES
+    return f"""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    sliced AS (
+        SELECT e.user_id, e.event_id, e.ts, e.value,
+               ((epoch_us(e.ts) - b.mn) * {K}) // (b.mx - b.mn + 1) AS slice
+        FROM events e CROSS JOIN bounds b
+    ),
+    smax AS (
+        SELECT slice, MAX(epoch_us(ts)) AS slice_max
+        FROM sliced GROUP BY slice
+    ),
+    -- watermark IN batch b = max event time of slices < b, minus delay
+    -- (slices are time-ordered so the running max is slice b-1's max);
+    -- the trailing no-data batch {K} reuses the final slice's max
+    wm AS (
+        SELECT slice + 1 AS b, slice_max - {SESSION_WM_US} AS wm_us
+        FROM smax
+    ),
+    seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= {SESSION_GAP_US}
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM sliced
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id,
+               {SQL_TS('MIN(ts)')} AS session_start,
+               COUNT(*) AS n_events,
+               {SQL_DSUM('value')} AS session_value,
+               MAX(epoch_us(ts)) + {SESSION_GAP_US} AS end_us
+        FROM tagged
+        GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_start, s.n_events, s.session_value,
+           CAST((SELECT MIN(b) FROM wm WHERE wm.wm_us > s.end_us)
+                AS BIGINT) AS emitted_batch
+    FROM sess s
+    WHERE (SELECT MIN(b) FROM wm WHERE wm.wm_us > s.end_us) IS NOT NULL
+    """
+
+
+@query("stream_session_eviction_timing", oracle=_session_timing_oracle())
+def stream_session_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-eviction timing as a VALUE-hashed contract (VERDICT r9
+    ask #6): every other streaming oracle sets the watermark beyond the
+    corpus span so stream == batch; this query sets it INSIDE the span
+    (30 min) over deterministic time-ordered micro-batches, so the
+    driver hash pins WHEN Spark's session state evicts, not just what
+    the sessions contain. Emits each session with the micro-batch id it
+    was emitted in; sessions whose end the final watermark never passes
+    (the corpus's last ~30+30 min) are ABSENT — the eviction rule's
+    other half.
+
+    The oracle restates the rule: watermark in batch b = (max event
+    time over slices < b) − delay, monotone by time-ordered staging;
+    a session emits in the first batch whose watermark strictly passes
+    its end (session end = last event + gap; Spark evicts on
+    ``wm > end``; the corpus has no wm == end ties —
+    tests/test_streaming_timing.py asserts that, so the strictness
+    choice is witnessed, not assumed). batch {SESSION_N_SLICES} is the
+    trailing no-data batch — skipping it would lose every session
+    decided by the final watermark advance (the r7 outer-join lesson).
+
+    No session splits by construction: delay (30 min) >= gap (30 min)
+    and arrival is time-ordered, so for a continuation event arriving
+    in batch b, wm_b <= (that event's ts) - delay < (prev event ts +
+    gap) - delay <= session end - 0 — the watermark can never have
+    passed an end that a live continuation is still extending; global
+    batch sessionization therefore equals the streamed session set
+    minus the undecided tail.
+
+    Scale: the state store holds only open sessions inside the
+    watermark horizon (the whole point of watermarks at 100 TB); the
+    store grows one partition per micro-batch; the oracle-side slice
+    map is a projection and the wm frame is |slices| rows."""
+    store = run_session_timing(spark, sf_dir)
+    return (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            "session_value",
+            F.col("batch_id").cast("bigint").alias("emitted_batch"),
+        )
+    )

@@ -36,6 +36,7 @@ PREFIX = 50
 NEVER_WITNESSED: set[str] = {
     # r10 new queries
     "unigram_vocab_em_pruned",
+    "stream_session_eviction_timing",
     # r10: rows-only -> value-oracled; hash evidence not yet witnessed
     # (has committed rows-only rows, so the subtraction in
     # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;

@@ -1,0 +1,97 @@
+"""Watermark-eviction timing contract (stream_session_eviction_timing).
+
+The driver oracle restates Spark's eviction rule (watermark in batch b =
+max event time of slices < b minus delay; emit when wm strictly passes
+session end). These tests pin the preconditions that make that
+restatement exact on the committed corpora, so a corpus regeneration or
+a rule change fails HERE with a named reason instead of as an opaque
+driver hash mismatch.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.streaming.ingest import (
+    SESSION_GAP_US,
+    SESSION_N_SLICES,
+    SESSION_WM_US,
+    stream_session_eviction_timing,
+)
+
+
+def _sessions_and_wm(sf_dir: str):
+    """(session end_us list, wm_us by batch) from the oracle-side SQL."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ends = [
+        r[0]
+        for r in con.execute(f"""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {SESSION_GAP_US}
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, ts,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM seq
+        )
+        SELECT MAX(epoch_us(ts)) + {SESSION_GAP_US}
+        FROM tagged GROUP BY user_id, sid
+        """).fetchall()
+    ]
+    wm = dict(
+        con.execute(f"""
+        WITH bounds AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        )
+        SELECT ((epoch_us(ts) - mn) * {SESSION_N_SLICES}) // (mx - mn + 1)
+                   + 1 AS b,
+               MAX(epoch_us(ts)) - {SESSION_WM_US} AS wm_us
+        FROM events CROSS JOIN bounds
+        GROUP BY 1
+        """).fetchall()
+    )
+    return ends, wm
+
+
+def test_no_watermark_session_end_ties(sf_dir):
+    """The oracle encodes Spark's eviction as STRICT wm > session_end.
+    The strictness only matters on exact microsecond ties wm == end —
+    assert the corpus has none, so the hash-green evidence genuinely
+    witnesses the rule rather than riding on an untested boundary."""
+    ends, wm = _sessions_and_wm(sf_dir)
+    ties = [(e, b) for e in ends for b, w in wm.items() if e == w]
+    assert ties == []
+
+
+def test_emissions_cover_every_batch_and_tail_is_absent(spark, sf_dir):
+    """The timing matrix is nontrivial: every batch 1..K emits sessions
+    (K = the trailing no-data batch — skipping it would lose rows), no
+    session claims batch 0 (the watermark is unset), and the corpus's
+    undecided tail (sessions the final watermark never passes) is
+    absent from the output."""
+    out = stream_session_eviction_timing(spark, sf_dir)
+    dist = {
+        r.emitted_batch: r.c
+        for r in out.groupBy("emitted_batch").agg(F.count("*").alias("c")).collect()
+    }
+    assert 0 not in dist
+    for b in range(1, SESSION_N_SLICES + 1):
+        assert dist.get(b, 0) > 0, f"batch {b} emitted nothing"
+    ends, wm = _sessions_and_wm(sf_dir)
+    final_wm = max(wm.values())
+    undecided = [e for e in ends if e >= final_wm]
+    assert len(undecided) > 0, "corpus has no undecided tail to witness"
+    assert sum(dist.values()) == len(ends) - len(undecided)
