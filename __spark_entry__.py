@@ -76,6 +76,9 @@ CHECK_PRIORITY = [
     # -- round-10 new queries (zero driver rows until the r10 run) --
     "unigram_vocab_em_pruned",
     "stream_session_eviction_timing",
+    "corpus_boilerplate_ngrams",
+    "doc_boilerplate_coverage",
+    "source_epoch_allocation",
     # -- r10 rows-only -> oracle promotions: re-witness hash at head --
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",

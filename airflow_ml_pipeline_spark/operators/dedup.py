@@ -2042,3 +2042,160 @@ def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate (round 10): the C4/RefinedWeb curation rule
+# the span family doesn't cover — spans dedup content shared between doc
+# PAIRS; boilerplate is content shared across MANY docs (headers, nav
+# text, license blurbs), detected by n-gram DOCUMENT FREQUENCY against a
+# scale-free threshold and scrubbed/score-penalized corpus-wide.
+# ---------------------------------------------------------------------------
+
+#: boilerplate document-frequency threshold, in ppm of corpus size: a
+#: 3-gram is boilerplate when it appears in >= 0.5% of documents.
+#: Scale-free by design — a fixed absolute df degenerates (empty at
+#: small SF, everything at large SF; measured: max df <20 at 500 docs,
+#: modal df 5-19 at 5000 docs).
+BOILER_DF_PPM = 5000
+BOILER_N = 3
+
+#: The boilerplate blacklist as DuckDB CTEs over ``documents`` —
+#: ``boiler(gram, df)`` + ``nd(n_docs)`` — ONE statement shared by both
+#: oracles below (the _SQL_PAIR_KERNEL_CTES refactor rule).
+_SQL_BOILER_CTES = f"""toksb AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    gb AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(t) >= {BOILER_N}
+                      THEN list_transform(range(1, len(t) - {BOILER_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS gram
+        FROM toksb
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    boiler AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM gb CROSS JOIN nd
+        GROUP BY gram, nd.n_docs
+        HAVING COUNT(*) >= (nd.n_docs * {BOILER_DF_PPM} + 999999) // 1000000
+    )"""
+
+
+def _boiler_grams(docs: DataFrame) -> DataFrame:
+    """(gram, df) for 3-grams in >= BOILER_DF_PPM of documents — the
+    blacklist frame both boilerplate queries share. One posting shuffle
+    with map-side combine (distinct grams per doc are computed row-side,
+    so the groupBy input is |distinct doc-gram pairs|, never positions);
+    the ceil'd threshold rides as a 1-row broadcast."""
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams(tokens(F.col("text")), BOILER_N)).alias("g"),
+    )
+    df = (
+        grams.select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    thresh = docs.agg(
+        F.expr(
+            f"(count(1) * {BOILER_DF_PPM} + 999999) div 1000000"
+        ).alias("min_df")
+    )
+    return df.crossJoin(F.broadcast(thresh)).filter(
+        F.col("df") >= F.col("min_df")
+    ).select("gram", "df")
+
+
+@query(
+    "corpus_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_SQL_BOILER_CTES}
+    SELECT gram, df FROM boiler
+    """,
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's boilerplate blacklist: token 3-grams whose document
+    frequency reaches the scale-free BOILER_DF_PPM threshold (>= 0.5% of
+    docs) — the C4-style rule that catches site chrome, license blurbs,
+    and templated headers which pairwise span dedup structurally cannot
+    (each pair shares little; the corpus shares a lot).
+
+    Scale: one distinct-gram posting shuffle with map-side combine (the
+    same shape as token_frequencies — partial counts collapse per
+    partition before the exchange); payloads never shuffle. At 100 TB
+    the df threshold IS the heavy-hitter cut: the blacklist output is
+    tiny by construction (high-df grams are rare), so downstream
+    consumers broadcast it."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return _boiler_grams(docs)
+
+
+@query(
+    "doc_boilerplate_coverage",
+    oracle=f"""
+    WITH {_SQL_BOILER_CTES},
+    pos AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {BOILER_N}
+                      THEN list_transform(range(1, len(t) - {BOILER_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS gram
+        FROM toksb
+    ),
+    per AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM pos p LEFT JOIN boiler b ON b.gram = p.gram
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_boiler, 0) AS n_boiler,
+           CAST(CASE WHEN per.n_grams > 0
+                THEN round(CAST(per.n_boiler AS DOUBLE) / per.n_grams, 6)
+                ELSE 0.0 END AS DOUBLE) AS boiler_ratio
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate mass: the fraction of token 3-gram
+    POSITIONS covered by the corpus blacklist — the scrub/filter signal
+    (C4 drops lines; a token-stream corpus drops or downweights docs by
+    this ratio). Positions, not distinct grams: a doc that repeats one
+    boilerplate gram twenty times IS twenty grams of boilerplate.
+
+    Scale: the blacklist (tiny by construction) broadcast-joins onto the
+    per-position gram stream — the big side never shuffles for the join;
+    the per-doc groupBy's map-side combine collapses each doc's
+    positions inside its scan partition (explode preserves row locality),
+    so the exchange carries ~one row per document. Short docs (<3
+    tokens) surface with n_grams = 0 and ratio 0."""
+    docs = load_spread(spark, sf_dir, "documents")
+    boiler = _boiler_grams(docs)
+    pos = docs.select(
+        "doc_id", F.explode(ngrams(tokens(F.col("text")), BOILER_N)).alias("gram")
+    )
+    per = (
+        pos.join(F.broadcast(boiler.select("gram", F.lit(1).alias("hit"))),
+                 "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_ratio"),
+    )

@@ -667,6 +667,23 @@ def _ppm_scale(expr: str, ppm, idiv: str) -> str:
     )
 
 
+def _scaled_ratio_ppm(num: str, den: str, idiv: str) -> str:
+    """floor((num) * 1e6 / (den)) without the num*1e6 intermediate.
+
+    Two applications of the same floor-split identity as _ppm_scale,
+    factoring 1e6 = 1000 * 1000 so every intermediate stays below
+    max(num, den * 1000) — exact for den < 2^63/1000 (~9.2e15 tokens
+    per source, far past the 100 TB posture), where the naive
+    ``num * 1000000`` wraps at num ~ 9.2e12 (a single ~46 TB source).
+    ``den`` must be > 0 (guard at the call site)."""
+    r = f"((({num}) % ({den})) * 1000)"
+    inner = (
+        f"(({r}) {idiv} ({den})) * 1000"
+        f" + (({r}) % ({den})) * 1000 {idiv} ({den})"
+    )
+    return f"((({num}) {idiv} ({den})) * 1000000 + {inner})"
+
+
 def _sql_mix_fill() -> str:
     toks = "string_split(text, ' ')"
     return f"""
@@ -841,4 +858,79 @@ def mix_fill_bucketed(scored: DataFrame, quotas: DataFrame) -> DataFrame:
         cum.join(F.broadcast(quotas), "source")
         .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
         .select("doc_id", "source", "n_tokens", "cum_tokens", "quota_tokens")
+    )
+
+
+@query(
+    "source_epoch_allocation",
+    oracle=f"""
+    WITH {_sql_mix_ctes()},
+    weights AS (
+        SELECT source, {SQL_MIX_PPM} AS ppm
+        FROM per_src CROSS JOIN tot
+    ),
+    st AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS source_tokens
+        FROM documents GROUP BY source
+    ),
+    totc AS (
+        SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens FROM st
+    ),
+    q AS (
+        SELECT w.source,
+               CAST({_ppm_scale(_ppm_scale("totc.total_tokens", MIX_FILL_PPM, "//"),
+                                "w.ppm", "//")} AS BIGINT) AS quota_tokens
+        FROM weights w CROSS JOIN totc
+    )
+    SELECT st.source, st.source_tokens, q.quota_tokens,
+           CAST(CASE WHEN st.source_tokens > 0
+                THEN {_scaled_ratio_ppm("q.quota_tokens",
+                                        "st.source_tokens", "//")}
+                ELSE 0 END AS BIGINT) AS epochs_ppm
+    FROM st JOIN q USING (source)
+    """,
+)
+def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPEAT factor the training mix implies per source — the
+    "4 epochs of Wikipedia, 0.3 epochs of web" sentence of a data
+    recipe: epochs_ppm = quota_tokens / source_tokens in integer ppm. A
+    value above 1e6 means the quota exceeds the source (the trainer
+    repeats it — the oversampling regime the learnability weights
+    produce for small high-value sources); far below 1e6 means heavy
+    subsampling. Composes the SAME quota lineage as the training-mix
+    fill, so the two can never disagree about what a source owes.
+
+    Exactness: epochs_ppm = floor(quota * 1e6 / source_tokens) via the
+    overflow-safe _scaled_ratio_ppm identity on both engines (the naive
+    quota * 1e6 wraps int64 for quotas past ~9.2e12 tokens — exactly
+    the corpora the 100 TB posture claims; the split form is exact to
+    ~9.2e15 tokens per source).
+
+    Scale: one per-source token aggregate (|sources| rows), the quota
+    frame is the broadcast the mix fill already builds, and the output
+    is |sources| rows — nothing data-sized moves."""
+    mix = source_learnability_mix(spark, sf_dir).select(
+        "source", "mix_weight_ppm"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _mix_scored(docs).localCheckpoint(eager=False)
+    quotas = _mix_quotas(mix, scored)
+    st = scored.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("source_tokens")
+    )
+    return st.join(F.broadcast(quotas), "source").select(
+        "source",
+        "source_tokens",
+        "quota_tokens",
+        F.when(
+            F.col("source_tokens") > 0,
+            F.expr(
+                _scaled_ratio_ppm("quota_tokens", "source_tokens", "div")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("epochs_ppm"),
     )

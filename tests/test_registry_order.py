@@ -37,6 +37,9 @@ NEVER_WITNESSED: set[str] = {
     # r10 new queries
     "unigram_vocab_em_pruned",
     "stream_session_eviction_timing",
+    "corpus_boilerplate_ngrams",
+    "doc_boilerplate_coverage",
+    "source_epoch_allocation",
     # r10: rows-only -> value-oracled; hash evidence not yet witnessed
     # (has committed rows-only rows, so the subtraction in
     # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;
