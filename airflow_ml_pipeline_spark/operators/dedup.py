@@ -2124,10 +2124,15 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct-gram posting shuffle with map-side combine (the
     same shape as token_frequencies — partial counts collapse per
-    partition before the exchange); payloads never shuffle. At 100 TB
-    the df threshold IS the heavy-hitter cut: the blacklist output is
-    tiny by construction (high-df grams are rare), so downstream
-    consumers broadcast it."""
+    partition before the exchange); payloads never shuffle. The
+    exchange is VOCABULARY-sized, not corpus-sized: |distinct grams| ×
+    touching-partitions partial rows (measured 26.8 shuffled/read at
+    sf0.01 — the documented gram-kernel band, high only because the
+    test corpus is tiny relative to its gram vocabulary; Zipf makes the
+    vocabulary grow sub-linearly in corpus size). At 100 TB the df
+    threshold IS the heavy-hitter cut: the blacklist output is tiny by
+    construction (high-df grams are rare), so downstream consumers
+    broadcast it."""
     docs = load_spread(spark, sf_dir, "documents")
     return _boiler_grams(docs)
 
@@ -2169,11 +2174,15 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate gram twenty times IS twenty grams of boilerplate.
 
     Scale: the blacklist (tiny by construction) broadcast-joins onto the
-    per-position gram stream — the big side never shuffles for the join;
-    the per-doc groupBy's map-side combine collapses each doc's
-    positions inside its scan partition (explode preserves row locality),
-    so the exchange carries ~one row per document. Short docs (<3
-    tokens) surface with n_grams = 0 and ratio 0."""
+    per-position gram stream — the big side never shuffles for the JOIN
+    (plan-pinned: tests/test_plan_contracts.py), and the per-doc
+    groupBy's map-side combine collapses each doc's positions inside
+    its scan partition (explode preserves row locality), so that
+    exchange carries ~one row per document. The measured 14.4
+    shuffled/read at sf0.01 is the blacklist BUILD (the shared
+    vocabulary-sized df aggregate — see corpus_boilerplate_ngrams),
+    not the coverage pass. Short docs (<3 tokens) surface with
+    n_grams = 0 and ratio 0."""
     docs = load_spread(spark, sf_dir, "documents")
     boiler = _boiler_grams(docs)
     pos = docs.select(

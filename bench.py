@@ -120,6 +120,11 @@ HEADLINE = [
     "events_dau_wau",
     "near_dup_cluster_size_histogram",
     "corpus_training_mix_fill",
+    "unigram_vocab_em_pruned",
+    "stream_session_eviction_timing",
+    "corpus_boilerplate_ngrams",
+    "doc_boilerplate_coverage",
+    "source_epoch_allocation",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

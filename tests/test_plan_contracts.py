@@ -623,3 +623,46 @@ def test_learnability_mix_broadcasts_total(spark, sf_dir):
     the per-source aggregate must not introduce a cartesian."""
     plan = _plan(registry.QUERIES["source_learnability_mix"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- round-10 additions ----
+
+def test_boilerplate_coverage_broadcasts_blacklist(spark, sf_dir):
+    """doc_boilerplate_coverage: the df-thresholded blacklist (tiny by
+    construction) must broadcast onto the per-position gram stream — a
+    sort-merge join here would shuffle every gram position at 100 TB —
+    and the plan must be cartesian-free apart from the 1-row threshold
+    broadcast."""
+    plan = _plan(registry.QUERIES["doc_boilerplate_coverage"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_boilerplate_ngrams_partial_aggregates(spark, sf_dir):
+    """corpus_boilerplate_ngrams: the df count must run with map-side
+    partial aggregation (HashAggregate before AND after the exchange),
+    so a boilerplate gram combines inside each scan partition before
+    shuffling — the heavy-hitter economics the docstring claims."""
+    plan = _plan(registry.QUERIES["corpus_boilerplate_ngrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_epoch_allocation_broadcasts_quotas(spark, sf_dir):
+    """source_epoch_allocation: the |sources|-row quota frame broadcasts
+    into the per-source token aggregate; nothing data-sized may shuffle
+    for the final join."""
+    plan = _plan(registry.QUERIES["source_epoch_allocation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_em_pruned_pins_shared_lineages(spark, sf_dir):
+    """unigram_vocab_em_pruned: wfreq and the EM score frame are each
+    multi-consumer and pinned, so the displayed plan must not re-derive
+    the corpus word explode per consumer — at most one parquet scan
+    survives in the final plan (the rest read checkpoint RDDs) and no
+    cartesian beyond the broadcast map build."""
+    plan = _plan(registry.QUERIES["unigram_vocab_em_pruned"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan

@@ -106,6 +106,11 @@ QUERIES = [
     ("events_dau_wau", "events"),
     ("near_dup_cluster_size_histogram", "documents"),
     ("corpus_training_mix_fill", "documents"),
+    ("unigram_vocab_em_pruned", "documents"),
+    ("stream_session_eviction_timing", "events"),
+    ("corpus_boilerplate_ngrams", "documents"),
+    ("doc_boilerplate_coverage", "documents"),
+    ("source_epoch_allocation", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
