@@ -2083,18 +2083,28 @@ _SQL_BOILER_CTES = f"""toksb AS (
     )"""
 
 
-def _boiler_grams(docs: DataFrame) -> DataFrame:
-    """(gram, df) for 3-grams in >= BOILER_DF_PPM of documents — the
-    blacklist frame both boilerplate queries share. One posting shuffle
-    with map-side combine (distinct grams per doc are computed row-side,
-    so the groupBy input is |distinct doc-gram pairs|, never positions);
-    the ceil'd threshold rides as a 1-row broadcast."""
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(ngrams(tokens(F.col("text")), BOILER_N)).alias("g"),
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): the per-doc token 3-gram array — the one expensive
+    HOF projection (per-gram string concat) the boilerplate lineage
+    hangs off. Multi-consumer callers MUST pin this frame (see
+    doc_boilerplate_coverage: unpinned, each consumer re-runs the gram
+    build — A/B r10: 4.07 -> 1.72 s median at sf0.1)."""
+    return docs.select(
+        "doc_id", ngrams(tokens(F.col("text")), BOILER_N).alias("g")
     )
+
+
+def _boiler_grams(docs: DataFrame, grams: DataFrame | None = None) -> DataFrame:
+    """(gram, df) for 3-grams in >= BOILER_DF_PPM of documents — the
+    blacklist frame both boilerplate queries share (pass ``grams`` to
+    reuse an already-pinned _doc_grams frame). One posting shuffle with
+    map-side combine (distinct grams per doc are computed row-side, so
+    the groupBy input is |distinct doc-gram pairs|, never positions);
+    the ceil'd threshold rides as a 1-row broadcast."""
+    if grams is None:
+        grams = _doc_grams(docs)
     df = (
-        grams.select("doc_id", F.explode("g").alias("gram"))
+        grams.select("doc_id", F.explode(F.array_distinct("g")).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
@@ -2181,13 +2191,15 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries ~one row per document. The measured 14.4
     shuffled/read at sf0.01 is the blacklist BUILD (the shared
     vocabulary-sized df aggregate — see corpus_boilerplate_ngrams),
-    not the coverage pass. Short docs (<3 tokens) surface with
-    n_grams = 0 and ratio 0."""
+    not the coverage pass. The per-doc gram ARRAY is pinned before its
+    two consumers (blacklist build + position stream) — unpinned, the
+    per-gram concat HOF re-runs per consumer (A/B r10: 4.07 -> 1.72 s
+    median at sf0.1, outputs identical). Short docs (<3 tokens) surface
+    with n_grams = 0 and ratio 0."""
     docs = load_spread(spark, sf_dir, "documents")
-    boiler = _boiler_grams(docs)
-    pos = docs.select(
-        "doc_id", F.explode(ngrams(tokens(F.col("text")), BOILER_N)).alias("gram")
-    )
+    g = _doc_grams(docs).localCheckpoint(eager=False)
+    boiler = _boiler_grams(docs, grams=g)
+    pos = g.select("doc_id", F.explode("g").alias("gram"))
     per = (
         pos.join(F.broadcast(boiler.select("gram", F.lit(1).alias("hit"))),
                  "gram", "left")
