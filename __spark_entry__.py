@@ -79,6 +79,7 @@ CHECK_PRIORITY = [
     "corpus_boilerplate_ngrams",
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
+    "doc_boilerplate_scrubbed",
     # -- r10 rows-only -> oracle promotions: re-witness hash at head --
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",

@@ -2220,3 +2220,93 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("boiler_ratio"),
     )
+
+
+@query(
+    "doc_boilerplate_scrubbed",
+    oracle=f"""
+    WITH {_SQL_BOILER_CTES},
+    posi AS (
+        SELECT doc_id, u.i AS i,
+               t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS gram
+        FROM toksb, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= {BOILER_N}
+    ),
+    covered AS (
+        SELECT DISTINCT p.doc_id, u.q
+        FROM posi p JOIN boiler b ON b.gram = p.gram,
+             LATERAL unnest(range(p.i, p.i + {BOILER_N})) AS u(q)
+    ),
+    tokpos AS (
+        SELECT doc_id, u.j AS j, t[u.j] AS tok
+        FROM toksb, LATERAL unnest(range(1, len(t) + 1)) AS u(j)
+    ),
+    kept AS (
+        SELECT tp.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               string_agg(tp.tok, ' ' ORDER BY tp.j) AS kept_text
+        FROM tokpos tp LEFT JOIN covered c
+          ON c.doc_id = tp.doc_id AND c.q = tp.j
+        WHERE c.q IS NULL
+        GROUP BY tp.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           md5(COALESCE(k.kept_text, '')) AS kept_md5
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def doc_boilerplate_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the apply step completing the lifecycle
+    (detect: ``corpus_boilerplate_ngrams`` → measure:
+    ``doc_boilerplate_coverage`` → scrub): every token covered by any
+    blacklisted 3-gram occurrence is excised from every document (C4
+    drops boilerplate lines; a token-stream corpus drops the covered
+    tokens), and the output is each doc's residual token count plus the
+    md5 of the rewritten text — the same scalar-digest contract as
+    ``doc_dup_span_scrubbed``. Unlike the span family (pairwise
+    canonical-owner semantics: the first copy SURVIVES), corpus-level
+    boilerplate has no owner — every occurrence is noise, so all of
+    them go.
+
+    Scale: reuses the coverage query's exact lineage — the pinned
+    per-doc gram array feeds the blacklist build AND the position
+    stream (one gram-build, the r10 A/B lesson), the blacklist
+    broadcast-joins onto positions, hit positions collapse to one
+    per-doc array (map-side combine), and the rewrite is a per-row
+    token filter (O(n_tokens x hits) with hits small by construction)
+    — no per-character shuffle, no second corpus scan for the rewrite.
+    Token indices are exact on both engines (1-based p covers tokens
+    p..p+2; the SQL restates coverage by anti-joining the exploded
+    range)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    g = _doc_grams(docs).localCheckpoint(eager=False)
+    boiler = _boiler_grams(docs, grams=g)
+    posi = g.select("doc_id", F.posexplode("g").alias("i0", "gram"))
+    hits = posi.join(F.broadcast(boiler.select("gram")), "gram").select(
+        "doc_id", (F.col("i0") + 1).cast("int").alias("p")
+    )
+    hp = hits.groupBy("doc_id").agg(F.collect_set("p").alias("hp"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    joined = toks.join(hp, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce("hp", F.array().cast("array<int>")).alias("hp"),
+    )
+    # 2-arg HOF lambda: the SECOND parameter is the element INDEX
+    # (0-based) — here that arity dispatch is used deliberately, unlike
+    # the loop-capture trap the seed-candidates comment documents
+    kept = F.filter(
+        "t",
+        lambda tok, i: ~F.exists(
+            "hp",
+            lambda p: (p <= i + 1) & (i + 1 <= p + (BOILER_N - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
+    )

@@ -125,6 +125,7 @@ HEADLINE = [
     "corpus_boilerplate_ngrams",
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
+    "doc_boilerplate_scrubbed",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

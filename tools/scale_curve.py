@@ -111,6 +111,7 @@ QUERIES = [
     ("corpus_boilerplate_ngrams", "documents"),
     ("doc_boilerplate_coverage", "documents"),
     ("source_epoch_allocation", "documents"),
+    ("doc_boilerplate_scrubbed", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
