@@ -65,13 +65,27 @@ DEDUP_CEILING = 2.5
 
 EXEMPT_PAIR_KERNELS = ["near_dup_pairs_jaccard"]
 
+#: the r10 boilerplate family: dominated by the shared VOCABULARY-sized
+#: gram-df aggregate (measured 26.8 / 14.1 / 14.1 shuffled/read at
+#: sf0.01 — |distinct grams| x touching-partitions partials; Zipf keeps
+#: it sub-linear in corpus size). Ceiling = worst measurement x ~1.5
+#: headroom; a breach means the blacklist build started shuffling
+#: positions (or payloads) instead of distinct-gram partials.
+GRAM_KERNELS = [
+    "corpus_boilerplate_ngrams",
+    "doc_boilerplate_coverage",
+    "doc_boilerplate_scrubbed",
+]
+GRAM_CEILING = 40.0
+
 SPILL_SENTINELS = ["corpus_sketch_stats"]
 
 
 @pytest.fixture(scope="module")
 def audit() -> dict[str, dict[str, int]]:
     names = (
-        REPORT_QUERIES + DEDUP_QUERIES + EXEMPT_PAIR_KERNELS + SPILL_SENTINELS
+        REPORT_QUERIES + DEDUP_QUERIES + EXEMPT_PAIR_KERNELS
+        + GRAM_KERNELS + SPILL_SENTINELS
     )
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         out = f.name
@@ -128,3 +142,17 @@ def test_exempt_kernel_is_audited_and_documented(audit):
     for n in EXEMPT_PAIR_KERNELS:
         assert audit[n]["input_rows"] > 0
         assert audit[n]["shuffle_rows"] > 0
+
+
+def test_gram_kernel_family_stays_vocabulary_sized(audit):
+    """The boilerplate trio's shuffle is the blacklist build — distinct
+    gram partials, vocabulary-sized. A ratio past the ceiling means the
+    build regressed to shuffling positions or payloads."""
+    over = {
+        n: round(_ratio(audit[n]), 4)
+        for n in GRAM_KERNELS
+        if _ratio(audit[n]) > GRAM_CEILING
+    }
+    assert not over, f"gram kernels shuffling more than {GRAM_CEILING}x input: {over}"
+    for n in GRAM_KERNELS:
+        assert audit[n]["spill"] == 0
