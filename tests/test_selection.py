@@ -221,3 +221,41 @@ def test_mix_fill_bucketed_matches_window(spark, sf_dir):
     assert len(win) > 0
     # and both actually dropped rows (the quota bound was load-bearing)
     assert len(win) < scored.count()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    a=st.integers(min_value=0, max_value=10**15),
+    p=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=300, deadline=None)
+def test_ppm_scale_identity(a, p):
+    """_ppm_scale's floor-split identity is EXACT: with a = q*1e6 + r,
+    floor(a*p/1e6) = q*p + floor(r*p/1e6) — the overflow-safe rewrite
+    may never change a quota by even one token (pure-python twin of the
+    SQL/Spark expression, same operator semantics for non-negative
+    inputs where // and div agree)."""
+    q, r = divmod(a, 10**6)
+    split = q * p + (r * p) // 10**6
+    assert split == (a * p) // 10**6
+    # and every intermediate stays within int64
+    assert q * p < 2**63 and r * p < 2**63
+
+
+@given(
+    num=st.integers(min_value=0, max_value=10**15),
+    den=st.integers(min_value=1, max_value=10**15),
+)
+@settings(max_examples=300, deadline=None)
+def test_scaled_ratio_ppm_identity(num, den):
+    """_scaled_ratio_ppm's two-level split (1e6 = 1000*1000) is exact:
+    floor(num*1e6/den) with every intermediate below max(num, den*1000)
+    — int64-safe for den < 2^63/1000 (~9.2e15), where the naive
+    num*1e6 wraps at ~9.2e12."""
+    r = (num % den) * 1000
+    split = (num // den) * 10**6 + (r // den) * 1000 + ((r % den) * 1000) // den
+    assert split == (num * 10**6) // den
+    assert r < 2**63 and (r % den) * 1000 < 2**63
