@@ -80,6 +80,7 @@ CHECK_PRIORITY = [
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
+    "stream_tumbling_eviction_timing",
     # -- r10 rows-only -> oracle promotions: re-witness hash at head --
     "simhash_fingerprints",
     "doc_winnowing_fingerprints",

@@ -970,3 +970,125 @@ def stream_session_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("batch_id").cast("bigint").alias("emitted_batch"),
         )
     )
+
+
+def tumbling_timing_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the tumbling-window eviction
+    replay — arrivals SHARED with the session-timing stream (same
+    time-ordered slices; separate checkpoint tracks this stream's own
+    progress, the funnel/pii-arrivals pattern)."""
+    arrivals, _, _ = session_timing_dirs(sf_dir)
+    root = os.path.dirname(arrivals)
+    return (
+        arrivals,
+        os.path.join(root, "tumbling_store"),
+        os.path.join(root, "tumbling_checkpoint"),
+    )
+
+
+def run_tumbling_timing(spark: SparkSession, sf_dir: str) -> str:
+    """AvailableNow replay of the time-sliced events through an
+    append-mode 1-hour tumbling aggregation (30-min watermark); each
+    batch's EMITTED windows land in ``batch_id=N`` store partitions.
+    The trailing no-data batch is NOT skipped (it flushes the windows
+    the final watermark advance decides)."""
+    from airflow_ml_pipeline_spark.streaming.windows import tumbling_counts
+
+    arrivals, store, checkpoint = tumbling_timing_dirs(sf_dir)
+    stage_time_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(arrivals, "slice_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                os.path.join(store, f"batch_id={bid}")
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store
+
+
+def _tumbling_timing_oracle() -> str:
+    from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM, SQL_TS
+
+    K = SESSION_N_SLICES
+    return f"""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    sliced AS (
+        SELECT e.ts, e.event_type, e.value,
+               ((epoch_us(e.ts) - b.mn) * {K}) // (b.mx - b.mn + 1) AS slice
+        FROM events e CROSS JOIN bounds b
+    ),
+    smax AS (
+        SELECT slice, MAX(epoch_us(ts)) AS slice_max
+        FROM sliced GROUP BY slice
+    ),
+    wm AS (
+        SELECT slice + 1 AS b, slice_max - {SESSION_WM_US} AS wm_us
+        FROM smax
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               COUNT(*) AS n_events,
+               {SQL_DSUM('value')} AS total_value,
+               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us
+        FROM sliced
+        GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT {SQL_TS('a.ws')} AS window_start, a.event_type,
+           a.n_events, a.total_value,
+           CAST((SELECT MIN(b) FROM wm WHERE wm.wm_us > a.end_us)
+                AS BIGINT) AS emitted_batch
+    FROM agg a
+    WHERE (SELECT MIN(b) FROM wm WHERE wm.wm_us > a.end_us) IS NOT NULL
+    """
+
+
+@query("stream_tumbling_eviction_timing", oracle=_tumbling_timing_oracle())
+def stream_tumbling_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-eviction timing for the WINDOWED-AGGREGATION state
+    class — the companion to ``stream_session_eviction_timing`` (merging
+    session state): same deterministic time-ordered slices, same in-span
+    30-min watermark, but the state being evicted is fixed 1-hour
+    tumbling windows, the most common production streaming shape. The
+    driver hash pins each (window, event_type) row WITH the micro-batch
+    it emitted in; windows whose end the final watermark never passes
+    (the corpus tail) are ABSENT.
+
+    Rule restated by the oracle: watermark in batch b = (max event time
+    over slices < b) − delay; a window emits in the first batch whose
+    watermark strictly passes its end (same ``wm > end`` strictness the
+    session query witnessed; hour-boundary ends vs microsecond wm values
+    make ties unconstructable on real data). No late drops by
+    construction: a slice-b row has ts ≥ slice_{{b−1}} max > wm_b, so its
+    window can never have been emitted before the row arrives —
+    aggregate VALUES therefore equal the batch aggregates and only the
+    TIMING column is streaming-specific. Arrivals are shared with the
+    session stream; this query's own checkpoint/store keep exactly-once
+    per-partition semantics."""
+    store = run_tumbling_timing(spark, sf_dir)
+    return (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "total_value",
+            F.col("batch_id").cast("bigint").alias("emitted_batch"),
+        )
+    )

@@ -126,6 +126,7 @@ HEADLINE = [
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
+    "stream_tumbling_eviction_timing",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

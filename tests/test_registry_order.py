@@ -41,6 +41,7 @@ NEVER_WITNESSED: set[str] = {
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
+    "stream_tumbling_eviction_timing",
     # r10: rows-only -> value-oracled; hash evidence not yet witnessed
     # (has committed rows-only rows, so the subtraction in
     # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;

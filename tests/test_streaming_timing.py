@@ -95,3 +95,43 @@ def test_emissions_cover_every_batch_and_tail_is_absent(spark, sf_dir):
     undecided = [e for e in ends if e >= final_wm]
     assert len(undecided) > 0, "corpus has no undecided tail to witness"
     assert sum(dist.values()) == len(ends) - len(undecided)
+
+
+def test_tumbling_emissions_cover_batches_and_tail_absent(spark, sf_dir):
+    """The windowed-aggregation state class (companion test): every
+    batch from the first watermark advance through the trailing no-data
+    batch emits windows, batch 0 emits nothing, and windows past the
+    final watermark are absent — total output rows = global (hour,
+    event_type) groups whose end the final watermark passed."""
+    import duckdb
+    from airflow_ml_pipeline_spark.streaming.ingest import (
+        stream_tumbling_eviction_timing,
+    )
+
+    out = stream_tumbling_eviction_timing(spark, sf_dir)
+    dist = {
+        r.emitted_batch: r.c
+        for r in out.groupBy("emitted_batch").agg(F.count("*").alias("c")).collect()
+    }
+    assert 0 not in dist
+    for b in range(1, SESSION_N_SLICES + 1):
+        assert dist.get(b, 0) > 0, f"batch {b} emitted nothing"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    total, decided = con.execute(f"""
+        WITH bounds AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+        agg AS (
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS e
+            FROM events GROUP BY 1, 2
+        )
+        SELECT COUNT(*),
+               SUM(CASE WHEN e < (SELECT mx - {SESSION_WM_US} FROM bounds)
+                        THEN 1 ELSE 0 END)
+        FROM agg
+    """).fetchone()
+    assert sum(dist.values()) == decided
+    assert decided < total, "corpus has no undecided window tail to witness"

@@ -112,6 +112,7 @@ QUERIES = [
     ("doc_boilerplate_coverage", "documents"),
     ("source_epoch_allocation", "documents"),
     ("doc_boilerplate_scrubbed", "documents"),
+    ("stream_tumbling_eviction_timing", "events"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
