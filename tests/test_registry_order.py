@@ -26,28 +26,15 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row of any kind as of round-10 start. The r9
-#: prefix witnessed all 17 names that were listed here (every row green
-#: in CORRECTNESS_r09.json, now committed), so the set is pruned to
-#: empty per VERDICT r9 ask #1 — a stale entry would protect queries
-#: that no longer need protection at the expense of the oldest-evidence
-#: cohorts. Every query newly declared in round 10 MUST be added here
-#: (and to the head of CHECK_PRIORITY) until it earns a driver row.
-NEVER_WITNESSED: set[str] = {
-    # r10 new queries
-    "unigram_vocab_em_pruned",
-    "stream_session_eviction_timing",
-    "corpus_boilerplate_ngrams",
-    "doc_boilerplate_coverage",
-    "source_epoch_allocation",
-    "doc_boilerplate_scrubbed",
-    "stream_tumbling_eviction_timing",
-    # r10: rows-only -> value-oracled; hash evidence not yet witnessed
-    # (has committed rows-only rows, so the subtraction in
-    # test_never_witnessed_lead_the_prefix tolerates it pre-r10-run;
-    # listed for the judge's ledger symmetry with the r9 promotions)
-    "near_dup_pairs_minhash",
-}
+#: queries with no driver row of any kind as of round-11 start. The r10
+#: prefix witnessed all 8 names that were listed here (CORRECTNESS_r10:
+#: 48 hash-green + 2 rows-only-by-design, committed in e8cc9e9), so the
+#: set is pruned per VERDICT r9/r10 ask #1 — a stale entry would protect
+#: queries that no longer need protection at the expense of the
+#: oldest-evidence cohorts. Every query newly declared in round 11 MUST
+#: be added here (and to the head of CHECK_PRIORITY) until it earns a
+#: driver row.
+NEVER_WITNESSED: set[str] = set()
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
