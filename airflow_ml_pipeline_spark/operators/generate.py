@@ -22,6 +22,10 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: fixed seed-relation partitioning — part of the generator's
+#: determinism contract (see generate_synthetic_data)
+GEN_PARTITIONS = 16
+
 EXPECTED_COLUMNS = [
     "tenure",
     "contract_type",
@@ -77,7 +81,14 @@ def generate_synthetic_data(
     (data_ingestion.py:28-102): correlated monthly charges / usage by
     service type, logistic churn model, Bernoulli labels."""
     s = random_state
-    df = spark.range(n_samples)  # G9: the seed relation
+    # G9: the seed relation. numPartitions is PINNED: F.rand/F.randn seed
+    # per (partition index, row offset), so leaving it to
+    # defaultParallelism makes the draw depend on the session's core
+    # count — fine for distribution tests, fatal for the staged-artifact
+    # oracle (engineered_customer_features) where the driver's session
+    # and this one must generate byte-identical frames. 16 partitions
+    # also keeps the generator parallel at any n_samples.
+    df = spark.range(0, n_samples, 1, GEN_PARTITIONS)
 
     tenure = _clip(_exponential(24, s + 1), 1, 72).cast("int")
     contract_type = _weighted_choice(

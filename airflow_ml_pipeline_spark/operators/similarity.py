@@ -257,10 +257,16 @@ _IVF_INDEX: dict[str, tuple[DataFrame, "object"]] = {}
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
-    """Index-build step: fit the KMeans coarse quantizer (seed fixed) and
+    """Index-BUILD step: fit the KMeans coarse quantizer (seed fixed) and
     materialize the cluster_id assignment. Idempotent per sf_dir — repeat
     calls return the cached index instead of refitting (the refit-per-query
-    shape was the round-1 bench's 3 s hotspot)."""
+    shape was the round-1 bench's 3 s hotspot). Since round 11 the declared
+    ``ann_ivf_topk`` query assigns against the FROZEN artifact this step
+    produced on the committed corpus (``ivf_centroids.IVF_CENTROIDS``);
+    this function remains the training path — rerun it to regenerate the
+    artifact after a corpus change, and
+    tests/test_similarity.py::test_frozen_centroids_match_refit pins that
+    a refit reproduces the committed literals."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -310,32 +316,172 @@ def drop_ivf_index(sf_dir: str) -> None:
         _IVF_INDEX.pop(key)[0].unpersist()
 
 
-@query("ann_ivf_topk")  # rows-only: trained-quantizer ANN is probabilistic
+IVF_NPROBE = 6
+
+
+def ivf_assign(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """cluster_id = argmin_j |v - c_j|^2 over the FROZEN quantizer
+    (``ivf_centroids.IVF_CENTROIDS``): per centroid the score is
+    ``|c_j|^2 - 2 v·c_j`` (the |v|^2 term is constant across j), the dot
+    a sequential ``F.aggregate`` fold so every intermediate double is
+    bit-identical to the oracle's left-associative chain; ties (never on
+    random doubles, but contractually) break to the lowest index via the
+    when-chain order. Each score is materialized as a column BEFORE
+    least()/the when-chain reference it twice — the alias survives
+    CollapseProject, so the 64-term folds run once per row."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+        IVF_K,
+    )
+
+    scores = []
+    for j, (c, n2) in enumerate(zip(IVF_CENTROIDS, IVF_CENTROID_N2)):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.lit(c).cast("array<double>"),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scores.append((F.lit(n2) - F.lit(2.0) * d).alias(f"_s{j}"))
+    scored = df.select("*", *scores)
+    m = F.least(*[F.col(f"_s{j}") for j in range(IVF_K)])
+    cl = F.when(F.col("_s0") == m, F.lit(0))
+    for j in range(1, IVF_K):
+        cl = cl.when(F.col(f"_s{j}") == m, F.lit(j))
+    return scored.select(
+        *df.columns, cl.otherwise(F.lit(-1)).cast("int").alias("cluster_id")
+    )
+
+
+def _ivf_probe_lists(qvec: list[float], nprobe: int = IVF_NPROBE) -> list[int]:
+    """Top-``nprobe`` centroids by cosine to the query — driver-side over
+    the 16x64 frozen literals, every fold the SAME left-associative IEEE
+    sequence the oracle's chains evaluate (plain Python floats ARE
+    doubles), so the probe set can never diverge between engines."""
+    import math
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+    )
+
+    qn = 0.0
+    for x in qvec:
+        qn = qn + x * x
+    qn = math.sqrt(qn)
+    scored = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        d = 0.0
+        for x, y in zip(qvec, c):
+            d = d + x * y
+        scored.append((d / (qn * math.sqrt(IVF_CENTROID_N2[j])), j))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [j for _, j in scored[:nprobe]]
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB twin of the frozen-quantizer IVF probe: assignment scores,
+    probe cosines, and the query norm are all explicit LEFT-ASSOCIATIVE
+    chains over {v!r}-interpolated centroid literals (the
+    ``sql_lsh_bucket`` convention), so argmin/argsort compare the SAME
+    doubles the engine computes — no rounding needed where a flip would
+    change the candidate set."""
+    import math
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+        IVF_K,
+    )
+
+    qnorm = "sqrt(" + " + ".join(
+        f"qvec[{i + 1}] * qvec[{i + 1}]" for i in range(64)
+    ) + ")"
+    probes = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        dchain = " + ".join(
+            f"qvec[{i + 1}] * {float(v)!r}" for i, v in enumerate(c)
+        )
+        cn = float(math.sqrt(IVF_CENTROID_N2[j]))
+        probes.append(
+            f"SELECT {j} AS j, ({dchain}) / ({qnorm} * {cn!r}) AS cos FROM q"
+        )
+    scores = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        dchain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(v)!r}"
+            for i, v in enumerate(c)
+        )
+        scores.append(f"{IVF_CENTROID_N2[j]!r} - 2.0 * ({dchain}) AS s{j}")
+    least = "least(" + ", ".join(f"s{j}" for j in range(IVF_K)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s{j} = m THEN {j}" for j in range(IVF_K)
+    ) + " ELSE -1 END"
+    return f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cent_cos AS ({" UNION ALL ".join(probes)}),
+    probe AS (SELECT j FROM cent_cos ORDER BY cos DESC, j LIMIT {IVF_NPROBE}),
+    s AS (
+        SELECT vec_id, label, embedding, {", ".join(scores)}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding, CAST({case} AS INTEGER) AS cluster_id
+        FROM (SELECT *, {least} AS m FROM s)
+    )
+    SELECT vec_id, label, {SQL_COS_VS_QVEC} AS cos_sim
+    FROM assigned CROSS JOIN q
+    WHERE cluster_id IN (SELECT j FROM probe)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("ann_ivf_topk", oracle=_sql_ann_ivf())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN probe: scan only the nprobe=6 inverted lists whose centroids
-    are nearest the query, then exact cosine on those candidates. The
-    quantizer and cluster assignment come from build_ivf_index (built once
-    per corpus, not per query). This is the structure that scales past LSH
-    when the corpus clusters: the index is just a cluster_id column (a
-    partition key on disk at 100 TB, so a probe is partition pruning). On an
-    UNCLUSTERED corpus (this synthetic one) recall ≈ the scanned fraction —
-    the recall test asserts above that floor; on real embedding corpora with
-    cluster structure recall is far higher at the same nprobe."""
-    import numpy as np
+    are nearest the query, then exact cosine on those candidates. This is
+    the structure that scales past LSH when the corpus clusters: the index
+    is just a cluster_id column (a partition key on disk at 100 TB, so a
+    probe is partition pruning). On an UNCLUSTERED corpus (this synthetic
+    one) recall ≈ the scanned fraction — the recall test asserts above that
+    floor; on real embedding corpora with cluster structure recall is far
+    higher at the same nprobe.
 
-    indexed, cn = build_ivf_index(spark, sf_dir)
+    ORACLE-CHECKED since round 11 (was rows-only; VERDICT r10 ask #3):
+    the coarse quantizer is now a FROZEN ARTIFACT — KMeans(k=16, seed=42)
+    trained offline on the committed corpus via ``build_ivf_index`` (the
+    training step; refit-reproducibility pinned by
+    tests/test_similarity.py::test_frozen_centroids_match_refit) and
+    committed as full-precision literals (``ivf_centroids.py``), exactly
+    how production IVF ships: train on a sample, assign at scale with
+    pure arithmetic. That turns every stage SQL-restatable: assignment is
+    argmin over 16 bit-exact distance chains, the probe ranking compares
+    unrounded doubles both engines derive identically, and the re-rank
+    reuses the green ``SQL_COS_VS_QVEC`` twin — so the ENTIRE index
+    layout (which list each vector lands in, which lists a query probes)
+    is pinned by the driver hash, the `ann_lsh_topk` treatment applied to
+    the trained-quantizer family."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]
-    q = np.array(qrow[0], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    nprobe = [int(i) for i in np.argsort(-(cn @ qn))[:6]]
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]
+    )
+    nprobe = _ivf_probe_lists([float(x) for x in qrow[0]])
 
     qvec = _query_vec(emb)
     sim = dot(F.col("embedding"), F.col("qvec")) / (
         l2_norm(F.col("embedding")) * F.col("qnorm")
     )
     return (
-        indexed.filter(F.col("cluster_id").isin(nprobe))
+        ivf_assign(emb)
+        .filter(F.col("cluster_id").isin(nprobe))
         .crossJoin(qvec)
         .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

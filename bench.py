@@ -196,11 +196,12 @@ def warm_session(spark, sf_dir: str, qs) -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").agg(
         F.count(F.lit(1))
     ).collect()
-    # build the IVF ANN index too — index construction is an offline
-    # step, probes are the query
-    from airflow_ml_pipeline_spark.operators.similarity import build_ivf_index
-
-    build_ivf_index(spark, sf_dir)
+    # compile the IVF assignment codegen (16 x 64-term distance folds)
+    # on the tiny corpus — the quantizer itself is a frozen literal
+    # artifact since r11, so there is no index fit to warm, only Janino
+    qs["ann_ivf_topk"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # compile the dedup-family codegen shapes on the tiny corpus: the
     # 64-hash minhash fold / LSH banding / CC-loop stages cost ~8s of

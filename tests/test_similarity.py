@@ -236,3 +236,56 @@ def test_class_prototypes_match_numpy_reference(spark, sf_dir):
         for r in embedding_class_prototypes(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_frozen_centroids_match_refit(spark):
+    """The committed IVF quantizer (ivf_centroids.IVF_CENTROIDS) is the
+    artifact build_ivf_index's KMeans(k=16, seed=42) produces on the
+    committed sf0.01 corpus — a refit reproduces it (1e-9: guards the
+    artifact against silent drift without pinning cross-session
+    float-reduction ulps). If tests/test_corpus_fingerprints.py reports a
+    corpus change, regenerate the literals via the training step before
+    trusting this pin."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_K,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vec = emb.withColumn(
+        "v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=IVF_K, seed=42, featuresCol="v", predictionCol="cluster_id"
+    ).fit(vec)
+    refit = [[float(x) for x in c] for c in model.clusterCenters()]
+    assert len(refit) == len(IVF_CENTROIDS)
+    worst = max(
+        abs(a - b)
+        for ra, rb in zip(refit, IVF_CENTROIDS)
+        for a, b in zip(ra, rb)
+    )
+    assert worst < 1e-9, f"refit diverges from frozen centroids by {worst}"
+
+
+def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
+    """ivf_assign's argmin matches a numpy nearest-centroid computation
+    on every vector of the test corpus (exact argmin, not approximate)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.ivf_assign(emb).select("vec_id", "cluster_id").collect()
+    }
+    cents = np.array(IVF_CENTROIDS)
+    for r in emb.collect():
+        v = np.array([float(x) for x in r.embedding])
+        want = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
