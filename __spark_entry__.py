@@ -78,7 +78,8 @@ CHECK_PRIORITY = [
     # the 50 names the r10 driver just checked go last). Full registry
     # listed; ordering contract: tests/test_registry_order.py.
     # -- round-11 new queries (zero driver rows until the r11 run) --
-    # (inserted here as each lands)
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
     # -- r11 rows-only -> oracle promotions (hash evidence is new) --
     "ann_ivf_topk",
     "engineered_customer_features",

@@ -127,6 +127,8 @@ HEADLINE = [
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
     "stream_tumbling_eviction_timing",
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

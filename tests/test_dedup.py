@@ -625,3 +625,70 @@ def test_boilerplate_scrub_consistent_with_coverage(spark, sf_dir):
             assert kept < n, f"doc {d}: boilerplate hits but nothing scrubbed"
             touched += 1
     assert touched > 0 and untouched >= 0
+
+
+def test_source_boilerplate_is_source_local(spark):
+    """The per-source rule's defining case (VERDICT r10 ask #4): a gram
+    saturating source A (here 4/5 docs = 80%) but rare corpus-wide is
+    blacklisted FOR A ONLY — the same gram in source B survives both the
+    blacklist and the scrub."""
+    chrome = "subscribe to newsletter"
+    rows = []
+    for i in range(4):
+        rows.append((i, f"{chrome} story {i} unfolds here", "A"))
+    rows.append((4, "a clean document without chrome at all", "A"))
+    for i in range(5, 25):
+        rows.append((i, f"unique body text number {i} with words", "B"))
+    rows.append((25, f"{chrome} appears once in B only", "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    bl = {(r.source, r.gram): r.df
+          for r in dedup.source_boiler_grams(docs).collect()}
+    assert bl.get(("A", chrome)) == 4
+    # the trailing shared gram ("to newsletter story") is chrome too —
+    # both start positions are blacklisted, covering tokens 1-4
+    assert bl.get(("A", "to newsletter story")) == 4
+    assert ("B", chrome) not in bl
+    # corpus-global rule misses it: 5/26 docs = 19% > 0.5%... the global
+    # threshold ceil(26 * 0.005) = 1 with no floor would catch everything;
+    # the honest global comparison is df-based — chrome df (5) is far
+    # below a realistic global chrome bar but saturates source A. The
+    # structural claim pinned here is the per-source KEYING, via B.
+    from pyspark.sql import functions as F
+
+    g = dedup._doc_grams_src(docs)
+    posi = g.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
+    sb = dedup.source_boiler_grams(docs, grams=g)
+    hits = posi.join(sb.select("source", "gram"), ["source", "gram"]).select(
+        "doc_id", (F.col("i0") + 1).cast("int").alias("p")
+    )
+    scrubbed = {r.doc_id: r for r in dedup.scrub_hits(docs, hits).collect()}
+    for i in range(4):  # A docs lose tokens 1-4 (two overlapping grams)
+        assert scrubbed[i].kept_tokens == scrubbed[i].n_tokens - 4
+    assert scrubbed[4].kept_tokens == scrubbed[4].n_tokens  # clean A doc
+    assert scrubbed[25].kept_tokens == scrubbed[25].n_tokens  # B survives
+
+
+def test_scrub_stages_compose_via_union(spark):
+    """Composition contract: the global and per-source scrubs share ONE
+    excision kernel (scrub_hits), so running 'both' is a union of hit
+    frames — and the union excises exactly the union of covered
+    positions (idempotent on overlap)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "A")],
+        "doc_id long, text string, source string",
+    )
+    hits_global = spark.createDataFrame([(1, 1)], "doc_id long, p int")
+    hits_source = spark.createDataFrame(
+        [(1, 3), (1, 3)], "doc_id long, p int"  # duplicate hit: overlap
+    )
+    both = dedup.scrub_hits(docs, hits_global.union(hits_source)).collect()[0]
+    # p=1 covers tokens 1-3, p=3 covers 3-5 -> union covers 1-5, keeps 'zeta'
+    assert both.n_tokens == 6 and both.kept_tokens == 1
+    import hashlib
+
+    assert both.kept_md5 == hashlib.md5(b"zeta").hexdigest()
+    only_g = dedup.scrub_hits(docs, hits_global).collect()[0]
+    assert only_g.kept_tokens == 3  # tokens 4-6 survive

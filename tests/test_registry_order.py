@@ -34,7 +34,11 @@ PREFIX = 50
 #: oldest-evidence cohorts. Every query newly declared in round 11 MUST
 #: be added here (and to the head of CHECK_PRIORITY) until it earns a
 #: driver row.
-NEVER_WITNESSED: set[str] = set()
+NEVER_WITNESSED: set[str] = {
+    # r11 new queries
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
+}
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
