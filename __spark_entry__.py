@@ -80,6 +80,7 @@ CHECK_PRIORITY = [
     # -- round-11 new queries (zero driver rows until the r11 run) --
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
+    "stream_stateful_eviction_timing",
     # -- r11 rows-only -> oracle promotions (hash evidence is new) --
     "ann_ivf_topk",
     "engineered_customer_features",

@@ -1100,3 +1100,174 @@ def stream_tumbling_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("batch_id").cast("bigint").alias("emitted_batch"),
         )
     )
+
+
+def stateful_timing_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the custom-state eviction replay
+    — arrivals SHARED with the session/tumbling timing streams."""
+    arrivals, _, _ = session_timing_dirs(sf_dir)
+    root = os.path.dirname(arrivals)
+    return (
+        arrivals,
+        os.path.join(root, "stateful_store"),
+        os.path.join(root, "stateful_checkpoint"),
+    )
+
+
+def run_stateful_timing(spark: SparkSession, sf_dir: str) -> str:
+    """AvailableNow replay of the time-sliced events through the
+    applyInPandasWithState gap sessionizer (EventTimeTimeout); each
+    batch's EMITTED sessions land in ``batch_id=N`` store partitions.
+    The trailing no-data batch is NOT skipped — it carries the final
+    watermark advance, and the last decided sessions fire as TIMEOUTS
+    there (the timer path, not the data path)."""
+    from airflow_ml_pipeline_spark.streaming.stateful import gap_sessions
+
+    arrivals, store, checkpoint = stateful_timing_dirs(sf_dir)
+    stage_time_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(arrivals, "slice_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sess = gap_sessions(stream)
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(store, f"batch_id={bid}")
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return store
+
+
+def _stateful_timing_oracle() -> str:
+    from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM
+    from airflow_ml_pipeline_spark.streaming.stateful import SESSIONIZER_GAP_US
+
+    K = SESSION_N_SLICES
+    WM_MS = SESSION_WM_US // 1000
+    BIG = 1 << 30
+    return f"""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    sliced AS (
+        SELECT e.user_id, e.event_id, e.ts, e.value,
+               ((epoch_us(e.ts) - b.mn) * {K}) // (b.mx - b.mn + 1) AS slice
+        FROM events e CROSS JOIN bounds b
+    ),
+    smax AS (
+        SELECT slice, MAX(epoch_us(ts)) AS slice_max
+        FROM sliced GROUP BY slice
+    ),
+    -- GroupState timers are MILLISECOND-grained: the watermark Spark
+    -- compares timers against is floor(max_us/1000) - delay_ms
+    wm AS (
+        SELECT slice + 1 AS b, (slice_max // 1000) - {WM_MS} AS wm_ms
+        FROM smax
+    ),
+    seq AS (
+        SELECT user_id, event_id, ts, value, slice,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= {SESSIONIZER_GAP_US}
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM sliced
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value, slice,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               MIN(epoch_us(ts)) AS session_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {SQL_DSUM('value')} AS session_value,
+               (MAX(epoch_us(ts)) + {SESSIONIZER_GAP_US}) // 1000
+                   AS timeout_ms,
+               MIN(slice) AS first_slice
+        FROM tagged
+        GROUP BY user_id, session_id
+    ),
+    nxt AS (
+        SELECT *, LEAD(first_slice) OVER (
+                   PARTITION BY user_id ORDER BY session_id
+               ) AS next_slice
+        FROM sess
+    )
+    SELECT user_id, session_start_us, n_events, session_value,
+           CAST(LEAST(
+               COALESCE((SELECT MIN(b) FROM wm
+                         WHERE wm.wm_ms > s.timeout_ms), {BIG}),
+               COALESCE(s.next_slice, {BIG})) AS BIGINT) AS emitted_batch
+    FROM nxt s
+    WHERE LEAST(
+               COALESCE((SELECT MIN(b) FROM wm
+                         WHERE wm.wm_ms > s.timeout_ms), {BIG}),
+               COALESCE(s.next_slice, {BIG})) < {BIG}
+    """
+
+
+@query("stream_stateful_eviction_timing", oracle=_stateful_timing_oracle())
+def stream_stateful_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-eviction timing for the CUSTOM-STATE class (VERDICT r10
+    ask #5) — completing the matrix: session_window (r10), tumbling
+    windows (r10), and now applyInPandasWithState with an
+    EventTimeTimeout timer. The state machine is a per-user gap
+    sessionizer; the driver hash pins each closed session WITH the
+    micro-batch it emitted in, which encodes BOTH eviction paths a
+    custom stateful operator has:
+
+    - TIMER path: the key gets no data and the watermark (ms-grained —
+      GroupState timers are milliseconds, so the oracle floors
+      max_us/1000 before subtracting the delay) strictly passes the
+      timeout timestamp (last event + gap); Spark's condition is
+      ``timeoutTimestamp < watermark``, restated as MIN(b) with
+      wm_ms > timeout_ms.
+    - DATA path: a new event >= gap away arrives FIRST — Spark never
+      fires a timeout for a key that received data in the batch, so the
+      machine closes the old session itself, in the arrival batch
+      (= the next session's first slice).
+
+    emitted_batch = LEAST of the two, per session; sessions the final
+    watermark never decides (and with no successor data) are ABSENT.
+    The trailing no-data batch is where the last timers fire — the
+    timer path's existence is asserted by
+    tests/test_streaming_timing.py (emissions in batch K, which has no
+    data by construction), alongside the ms-grain no-ties precondition.
+
+    Scale: state is one open session per live user (bounded by key
+    cardinality and the timeout horizon — the custom-state analogue of
+    watermark GC); the value sum crosses batches on the exact decimal
+    lattice as a state STRING, so cross-engine equality survives any
+    batch slicing. Store/bench convention as the rest of the timing
+    family (idempotent per-corpus store; first call pays the replay)."""
+    store = run_stateful_timing(spark, sf_dir)
+    return (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .select(
+            "user_id",
+            "session_start_us",
+            "n_events",
+            "session_value",
+            F.col("batch_id").cast("bigint").alias("emitted_batch"),
+        )
+    )

@@ -211,3 +211,109 @@ def anomaly_zscore_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionizer (round 11, VERDICT r10 ask #5): the third
+# stateful state class — CUSTOM applyInPandasWithState state with an
+# EventTimeTimeout timer — gets the same eviction-TIMING treatment the
+# session_window and tumbling classes got in r10. A per-user gap
+# sessionizer: state is the open session; it closes (emits) either when
+# the timer fires (watermark passes last_event + gap with no new data) or
+# when a new event arrives >= gap away (data-driven close, which Spark
+# delivers INSTEAD of the timeout when both land in one batch).
+# ---------------------------------------------------------------------------
+
+SESSIONIZER_GAP_US = 1800 * 1000000  # 30-min gap, matching the session class
+
+SESSIONIZER_OUT_SCHEMA = (
+    "user_id long, session_start_us long, n_events long, session_value double"
+)
+SESSIONIZER_STATE_SCHEMA = "start_us long, last_us long, n long, total string"
+
+
+def _gap_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental gap sessionizer. The session value sum replicates the
+    SQL_DSUM lattice exactly (the anomaly-scorer recipe): each value is
+    quantized to DECIMAL(.,6) via Decimal(repr(v)) — Spark/DuckDB's
+    shortest-rendering HALF_UP — summed exactly (the running sum crosses
+    micro-batches as a STRING in state, never as a float), and converted
+    to double only at emission. Rows of a batch are concatenated and
+    sorted ONCE (multi-chunk Arrow delivery is shuffle-ordered)."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    six = Decimal("0.000001")
+    out: dict[str, list] = {
+        k: []
+        for k in ("user_id", "session_start_us", "n_events", "session_value")
+    }
+
+    def emit(start_us: int, n: int, total: "Decimal") -> None:
+        out["user_id"].append(key[0])
+        out["session_start_us"].append(start_us)
+        out["n_events"].append(n)
+        out["session_value"].append(float(total))
+
+    with localcontext() as ctx:
+        ctx.prec = 50  # match the DECIMAL(25,6)-exact engine sums
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            emit(start, n, Decimal(total))
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        if state.exists:
+            start, last, n, total = state.get
+            tot = Decimal(total)
+        else:
+            start, last, n, tot = None, None, 0, Decimal(0)
+        chunks = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            if chunks
+            else pd.DataFrame()
+        )
+        for r in batch.itertuples():
+            if last is not None and r.ts_us - last >= SESSIONIZER_GAP_US:
+                emit(start, n, tot)  # data-driven close, this batch's id
+                start, n, tot = None, 0, Decimal(0)
+            if start is None:
+                start = int(r.ts_us)
+            n += 1
+            tot += Decimal(repr(float(r.value))).quantize(six, ROUND_HALF_UP)
+            last = int(r.ts_us)
+        state.update((start, last, n, str(tot)))
+        # ms floor: the GroupState timer API is millisecond-grained; the
+        # oracle models exactly this floor ((last_us + gap) // 1000)
+        state.setTimeoutTimestamp((last + SESSIONIZER_GAP_US) // 1000)
+    yield pd.DataFrame(out)
+
+
+def gap_sessions(stream: DataFrame) -> DataFrame:
+    """Per-user custom sessionization with event-time timeout eviction.
+    ``stream`` must carry (user_id, event_id, ts, value); the watermark
+    is applied here (EventTimeTimeout requires one) and event time rides
+    into the state machine as unix MICROS (tz-proof integers)."""
+    from pyspark.sql import functions as F
+
+    # ts stays in the projection: event-time timeout requires the
+    # watermarked ATTRIBUTE to reach the stateful operator's input (the
+    # analyzer checks the child's output, not the plan's history); the
+    # state machine itself reads only the tz-proof ts_us integers
+    ev = stream.withWatermark("ts", "30 minutes").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _gap_sessions,
+        outputStructType=SESSIONIZER_OUT_SCHEMA,
+        stateStructType=SESSIONIZER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -129,6 +129,7 @@ HEADLINE = [
     "stream_tumbling_eviction_timing",
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
+    "stream_stateful_eviction_timing",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

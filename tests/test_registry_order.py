@@ -38,6 +38,7 @@ NEVER_WITNESSED: set[str] = {
     # r11 new queries
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
+    "stream_stateful_eviction_timing",
 }
 
 #: every operator family must have at least one representative with driver

@@ -135,3 +135,123 @@ def test_tumbling_emissions_cover_batches_and_tail_absent(spark, sf_dir):
     """).fetchone()
     assert sum(dist.values()) == decided
     assert decided < total, "corpus has no undecided window tail to witness"
+
+
+def _stateful_sessions_and_wm(sf_dir: str):
+    """(per-session (timeout_ms, next_slice) rows, wm_ms by batch) from
+    the custom-state oracle's SQL building blocks."""
+    from airflow_ml_pipeline_spark.streaming.stateful import SESSIONIZER_GAP_US
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    sessions = con.execute(f"""
+        WITH bounds AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        sliced AS (
+            SELECT e.user_id, e.event_id, e.ts,
+                   ((epoch_us(e.ts) - b.mn) * {SESSION_N_SLICES})
+                       // (b.mx - b.mn + 1) AS slice
+            FROM events e CROSS JOIN bounds b
+        ),
+        seq AS (
+            SELECT user_id, ts, slice,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {SESSIONIZER_GAP_US}
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+            FROM sliced
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, ts, slice,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM seq
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   (MAX(epoch_us(ts)) + {SESSIONIZER_GAP_US}) // 1000
+                       AS timeout_ms,
+                   MIN(slice) AS first_slice
+            FROM tagged GROUP BY user_id, sid
+        )
+        SELECT timeout_ms,
+               LEAD(first_slice) OVER (PARTITION BY user_id ORDER BY sid)
+                   AS next_slice
+        FROM sess
+    """).fetchall()
+    wm = dict(
+        con.execute(f"""
+        WITH bounds AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+        )
+        SELECT ((epoch_us(ts) - mn) * {SESSION_N_SLICES}) // (mx - mn + 1)
+                   + 1 AS b,
+               (MAX(epoch_us(ts)) // 1000) - {SESSION_WM_US // 1000} AS wm_ms
+        FROM events CROSS JOIN bounds
+        GROUP BY 1
+        """).fetchall()
+    )
+    return sessions, wm
+
+
+def test_no_timer_watermark_ms_ties(sf_dir):
+    """GroupState timers are ms-grained; the oracle encodes Spark's
+    ``timeoutTimestamp < watermark`` as strict wm_ms > timeout_ms.
+    Strictness only matters on exact millisecond ties — assert the
+    corpus has none, so the hash evidence witnesses the rule."""
+    sessions, wm = _stateful_sessions_and_wm(sf_dir)
+    ties = [
+        (t, b) for (t, _) in sessions for b, w in wm.items() if t == w
+    ]
+    assert ties == []
+
+
+def test_stateful_eviction_exercises_both_close_paths(spark, sf_dir):
+    """The custom-state timing matrix is nontrivial: the trailing
+    no-data batch K emits sessions (those are TIMER closes by
+    construction — batch K has no data), at least one session closes on
+    the DATA path strictly before its timer would have fired, and the
+    undecided tail (no successor data, final watermark short) is
+    absent."""
+    from airflow_ml_pipeline_spark.streaming.ingest import (
+        stream_stateful_eviction_timing,
+    )
+
+    out = stream_stateful_eviction_timing(spark, sf_dir)
+    dist = {
+        r.emitted_batch: r.c
+        for r in out.groupBy("emitted_batch").agg(F.count("*").alias("c")).collect()
+    }
+    # batch K (trailing, NO data by construction) emitting anything
+    # proves the TIMER path fires; batch-0 emissions are necessarily
+    # DATA closes (the watermark is unset in batch 0 — unlike the
+    # session_window class, the custom machine can close on arrival)
+    assert dist.get(SESSION_N_SLICES, 0) > 0, "no timer closes in batch K"
+
+    sessions, wm = _stateful_sessions_and_wm(sf_dir)
+    BIG = 1 << 30
+    expected: dict[int, int] = {}
+    timer_first = data_first = undecided = 0
+    for timeout_ms, next_slice in sessions:
+        timer_b = min((b for b, w in wm.items() if w > timeout_ms), default=BIG)
+        data_b = next_slice if next_slice is not None else BIG
+        if timer_b == BIG and data_b == BIG:
+            undecided += 1
+            continue
+        if data_b < timer_b:
+            data_first += 1
+        else:
+            timer_first += 1
+        b = min(timer_b, data_b)
+        expected[b] = expected.get(b, 0) + 1
+    assert timer_first > 0 and data_first > 0, (timer_first, data_first)
+    assert undecided > 0, "corpus has no undecided tail to witness"
+    # full per-batch distribution parity, not just the total
+    assert dist == expected
