@@ -67,3 +67,30 @@ def test_coverage_preamble_scaling_count_is_live():
         f"COVERAGE.md says the SCALING main table has {m.group(1)} rows, "
         f"actual is {n}"
     )
+
+
+def test_coverage_bench_narrative_matches_committed_results():
+    """VERDICT r10 ask #7: the bench-narrative line drifted from the
+    committed run twice ("148 queries, 206.7 s" vs the final 149/217.7).
+    Convention: the NEWEST round section's headline line has the form
+    'round bench N headline queries, X s at sf0.1' (the first match in
+    the file) and must equal the committed bench_results.json — the
+    query count exactly, the total to within the file's 1-decimal
+    rendering."""
+    import json
+
+    text = _read("COVERAGE.md")
+    m = re.search(
+        r"round bench (\d+) headline queries,\s*([\d.]+) s at sf0\.1", text
+    )
+    assert m, "COVERAGE.md bench-narrative line not found"
+    with open(os.path.join(REPO, "bench_results.json")) as f:
+        bench = json.load(f)
+    assert int(m.group(1)) == len(bench["queries"]), (
+        f"COVERAGE.md says {m.group(1)} headline queries, committed "
+        f"bench_results.json has {len(bench['queries'])}"
+    )
+    assert abs(float(m.group(2)) - float(bench["value"])) < 0.05 + 1e-9, (
+        f"COVERAGE.md says {m.group(2)} s, committed bench_results.json "
+        f"says {bench['value']} s"
+    )
