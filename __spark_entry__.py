@@ -81,6 +81,7 @@ CHECK_PRIORITY = [
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
     "stream_stateful_eviction_timing",
+    "unigram_em_prune_divergence",
     # -- r11 rows-only -> oracle promotions (hash evidence is new) --
     "ann_ivf_topk",
     "engineered_customer_features",

@@ -130,6 +130,7 @@ HEADLINE = [
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
     "stream_stateful_eviction_timing",
+    "unigram_em_prune_divergence",
     "tokenizer_fertility_by_lang",
     "unigram_lm_segmented",
     "stream_doc_quality_scores",

@@ -39,6 +39,7 @@ NEVER_WITNESSED: set[str] = {
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",
     "stream_stateful_eviction_timing",
+    "unigram_em_prune_divergence",
 }
 
 #: every operator family must have at least one representative with driver

