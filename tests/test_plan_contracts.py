@@ -666,3 +666,37 @@ def test_em_pruned_pins_shared_lineages(spark, sf_dir):
     plan = _plan(registry.QUERIES["unigram_vocab_em_pruned"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan parquet") <= 1, plan
+
+
+# ---- round-11 additions ----
+
+def test_source_boilerplate_scrub_broadcasts_blacklist(spark, sf_dir):
+    """source_boilerplate_scrubbed: the (source, gram) blacklist —
+    |sources| x |chrome grams|-bounded — must broadcast onto the
+    per-position gram stream (a sort-merge join would shuffle every
+    position at 100 TB), and the per-source doc-count threshold frame
+    must broadcast into the blacklist build."""
+    plan = _plan(registry.QUERIES["source_boilerplate_scrubbed"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_boilerplate_ngrams_partial_aggregates(spark, sf_dir):
+    """source_boilerplate_ngrams: map-side combine on the (source, gram)
+    key — partial HashAggregate before the exchange, final after — the
+    same heavy-hitter economics as the corpus-global blacklist."""
+    plan = _plan(registry.QUERIES["source_boilerplate_ngrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ivf_assignment_is_projection_only(spark, sf_dir):
+    """ann_ivf_topk (frozen-quantizer form, r11): cluster assignment is
+    pure column arithmetic over the scan — the plan must contain no
+    join for the assignment itself (the only joins are the broadcast of
+    the 1-row query vector) and no shuffle exchange before the top-k
+    (TakeOrderedAndProject handles the global order)."""
+    plan = _plan(registry.QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

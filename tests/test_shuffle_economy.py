@@ -75,6 +75,12 @@ GRAM_KERNELS = [
     "corpus_boilerplate_ngrams",
     "doc_boilerplate_coverage",
     "doc_boilerplate_scrubbed",
+    # r11 per-source variants: same vocabulary-sized exchange, keyed
+    # (source, gram) — measured 27.6 / 11.5 at sf0.01, the global
+    # trio's band (a posting carries exactly one source, so the key
+    # widens but the volume doesn't)
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
 ]
 GRAM_CEILING = 40.0
 

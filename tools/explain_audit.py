@@ -124,6 +124,12 @@ AUDITED = [
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
+    # round-11 additions
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
+    "unigram_em_prune_divergence",
+    "ann_ivf_topk",
+    "engineered_customer_features",
     "unigram_lm_segmented",
     "tokenizer_fertility_by_lang",
     "doc_dsir_weights",

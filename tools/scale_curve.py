@@ -113,6 +113,12 @@ QUERIES = [
     ("source_epoch_allocation", "documents"),
     ("doc_boilerplate_scrubbed", "documents"),
     ("stream_tumbling_eviction_timing", "events"),
+    # round-11 additions (unigram_em_prune_divergence runs on a FIXED
+    # planted corpus by design — its flat curve documents exactly that)
+    ("source_boilerplate_ngrams", "documents"),
+    ("source_boilerplate_scrubbed", "documents"),
+    ("stream_stateful_eviction_timing", "events"),
+    ("unigram_em_prune_divergence", "documents"),
     ("unigram_lm_segmented", "documents"),
     ("tokenizer_fertility_by_lang", "documents"),
     ("stream_doc_quality_scores", "documents"),
