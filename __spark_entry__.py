@@ -9,16 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-11 rotation (VERDICT r10 ask #1): every query has a committed
+Round-12 rotation (VERDICT r11 ask #2): every query has a committed
 driver row and every oracle-backed query is green on its latest row, so
-the head is any queries newly declared in round 11, then the r11
-rows-only -> oracle promotions (their hash check is new evidence), then
-the 28 queries whose latest green row is r6 or older (judge-computed
-cohort), then cohorts strictly by the age of their latest committed
-driver row (r7 -> r8 -> r9; the 50 names the r10 driver just checked go
-last). The whole registry is listed so a query can no longer register
-without a priority slot; the ordering contract lives in
-tests/test_registry_order.py.
+the head is any queries newly declared in round 12, then the whole
+registry strictly by the age of each query's latest committed driver
+row (judge-recomputed cohorts: r7 x30 -> r8 x49 -> r9 x50 -> r10 x50 ->
+the 50 names the r11 driver just checked last). The whole registry is
+listed so a query can no longer register without a priority slot; the
+ordering contract lives in tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -66,71 +64,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence
 #: queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-11 rotation (VERDICT r10 ask #1) ----
-    # Head: queries newly declared in round 11 (zero driver rows) as
-    # they land, then the r11 rows-only -> oracle promotions (ask #3:
-    # their hash check is NEW evidence — these two genuinely gained
-    # oracles this round, unlike the r10 head where simhash/winnowing
-    # were placed for their fresh not-restatable adjudication, not a
-    # promotion), then the 28 queries whose latest green row is r6 or
-    # older (judge-computed cohort, VERDICT r10), then cohorts strictly
-    # by the age of their latest committed driver row (r7 -> r8 -> r9;
-    # the 50 names the r10 driver just checked go last). Full registry
-    # listed; ordering contract: tests/test_registry_order.py.
-    # -- round-11 new queries (zero driver rows until the r11 run) --
-    "source_boilerplate_ngrams",
-    "source_boilerplate_scrubbed",
-    "stream_stateful_eviction_timing",
-    "unigram_em_prune_divergence",
-    # -- r11 rows-only -> oracle promotions (hash evidence is new) --
-    "ann_ivf_topk",
-    "engineered_customer_features",
-    # -- the 28 r6-or-older-evidence queries (judge list, VERDICT r10) --
-    "idle_rich_customers",
-    "lang_distribution",
-    "large_quantity_orders",
-    "monthly_order_stats",
-    "nation_acctbal_profile",
-    "nation_order_coverage",
-    "nation_pair_volume",
-    "nation_profit_by_year",
-    "order_gap_days",
-    "orders_by_weekday",
-    "part_type_tokens",
-    "pricing_summary",
-    "priority_returned_orders",
-    "promo_revenue_ratio",
-    "regional_customer_revenue",
-    "retrieval_rrf_fused",
-    "returned_revenue_by_customer",
-    "returnflag_median_price_disc",
-    "rollup_revenue",
-    "running_customer_revenue",
-    "segment_price_quantiles",
-    "segment_status_pivot",
-    "segment_top_orders",
-    "sole_supplier_returns",
-    "supplier_volume",
-    "token_counts_bpeish",
-    "top_revenue_suppliers",
-    "user_event_profile",
-    # -- latest driver row: round 7 --
-    "benchmark_contamination",
-    "bpe_decoded_roundtrip",
-    "bpe_merge_candidates",
-    "churn_train_eval",
-    "corpus_lang_temperature_sampled",
-    "corpus_mixture_weights",
-    "corpus_model_quality_filtered",
-    "corpus_quality_filtered",
-    "corpus_shuffled_shards",
-    "corpus_stratified_sample",
-    "corpus_token_budget_fill",
-    "custkeys_multiset_diff",
-    "customer_pareto_class",
-    "dedup_corpus",
-    "dedup_exact",
-    "doc_dsir_weights",
+    # ---- round-12 rotation (VERDICT r11 ask #2) ----
+    # Head: queries newly declared in round 12 (zero driver rows) as
+    # they land, then the whole registry strictly by the age of each
+    # query's latest committed driver row — the judge-recomputed
+    # cohorts: r7 (30, the stalest evidence in the registry) -> r8 (49)
+    # -> r9 (50) -> r10 (50) -> the 50 names the r11 driver just
+    # checked last. Within a cohort the order is alphabetical (the
+    # driver samples a ~50-name prefix; intra-cohort order carries no
+    # evidence signal). Full registry listed; ordering contract:
+    # tests/test_registry_order.py.
+    # -- round-12 new queries (zero driver rows until the r12 run) --
+    # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",
     "doc_quality",
@@ -161,86 +106,70 @@ CHECK_PRIORITY = [
     "token_frequencies",
     "unigram_lm_segmented",
     "unigram_seed_candidates",
-    # -- latest driver row: round 8 --
-    "near_dup_canonical_by_source",
-    "unigram_vocab_pruned",
-    "tokenizer_fertility_by_lang",
-    "near_dup_cross_source_matrix",
-    "doc_learnability_rho",
-    "corpus_curation_funnel",
-    "stream_ingest_funnel",
-    "multimodal_dedup_by_digest",
-    "embedding_class_prototypes",
-    "source_unigram_kl",
-    "events_steps_to_purchase",
-    "customers_no_open_orders",
-    "event_value_hour_stats",
-    "grouping_sets_revenue",
-    "lineitem_distinct_stats",
-    "priority_order_counts",
-    "revenue_by_segment",
-    "small_quantity_revenue",
-    "top_orders_by_revenue",
+    # -- latest driver row: round 8 (49 names) --
     "brand_supplier_counts",
+    "corpus_curation_funnel",
     "corpus_decontaminated",
     "corpus_weighted_sample",
     "customer_pseudonymized",
+    "customers_no_open_orders",
     "dedup_incremental",
+    "doc_learnability_rho",
     "doc_pii_scrub",
     "doc_unigram_logprob",
     "dominant_part_suppliers",
     "embedding_activation_stats",
+    "embedding_class_prototypes",
     "embedding_decontamination",
     "embedding_dim_stats",
+    "event_value_hour_stats",
     "events_funnel",
     "events_hourly_continuous",
     "events_latest_by_key",
     "events_sessionized",
+    "events_steps_to_purchase",
     "events_trailing_burst",
     "forecast_revenue_change",
+    "grouping_sets_revenue",
     "lang_nchars_median_udaf",
     "langid_heuristic",
+    "lineitem_distinct_stats",
     "local_supplier_revenue",
+    "multimodal_dedup_by_digest",
     "multimodal_frame_samples",
     "nation_eventtype_matrix",
     "nation_market_share",
     "nation_value_concentration",
+    "near_dup_canonical_by_source",
+    "near_dup_cross_source_matrix",
     "orders_retention_cohort",
     "part_best_supplier",
     "part_type_edit_distance",
+    "priority_order_counts",
     "purchase_last_view_asof",
+    "revenue_by_segment",
     "segment_acctbal_top_decile",
     "segment_balance_flags",
-    # -- latest driver row: round 9 --
-    "unigram_vocab_em",
-    "corpus_funnel_by_source",
-    "near_dup_jaccard_histogram",
-    "source_learnability_mix",
-    "langid_confusion",
-    "pii_prevalence_by_source",
-    "embedding_split_drift",
-    "packing_efficiency_report",
-    "bpe_fertility_by_lang",
-    "corpus_shard_skew_report",
-    "stream_pii_scrub_ingest",
-    "quality_rule_breakdown",
-    "events_dau_wau",
-    "near_dup_cluster_size_histogram",
-    "corpus_training_mix_fill",
+    "small_quantity_revenue",
+    "source_unigram_kl",
+    "stream_ingest_funnel",
+    "tokenizer_fertility_by_lang",
+    "top_orders_by_revenue",
+    "unigram_vocab_pruned",
+    # -- latest driver row: round 9 (50 names) --
     "ann_lsh_topk",
-    "embedding_near_dup_pairs",
-    "segment_value_salted_join",
-    "ship_delay_profile",
-    "simhash_md5",
-    "user_value_totals_salted",
     "basket_brand_pairs",
     "bm25_topk",
     "bpe_encoded_corpus",
+    "bpe_fertility_by_lang",
     "bpe_trained_merges",
     "brand_discount_qty_slope",
     "cdc_chunk_dedup",
+    "corpus_funnel_by_source",
     "corpus_prepared",
+    "corpus_shard_skew_report",
     "corpus_sketch_stats",
+    "corpus_training_mix_fill",
     "customer_drift_profile",
     "customer_fuzzy_matches",
     "customer_revenue_gini",
@@ -255,47 +184,34 @@ CHECK_PRIORITY = [
     "doc_token_entropy",
     "embedding_corr_matrix",
     "embedding_hard_negatives",
+    "embedding_near_dup_pairs",
     "embedding_pca_variance",
+    "embedding_split_drift",
     "event_transition_matrix",
     "events_anomaly_zscore",
+    "events_dau_wau",
     "events_funnel_windowed",
     "events_gap_fill",
     "knn_cosine_bruteforce",
+    "langid_confusion",
     "multimodal_features",
-    # -- checked by the round-10 driver run (newest evidence, last) --
-    "unigram_vocab_em_pruned",
-    "stream_session_eviction_timing",
-    "corpus_boilerplate_ngrams",
-    "doc_boilerplate_coverage",
-    "source_epoch_allocation",
-    "doc_boilerplate_scrubbed",
-    "stream_tumbling_eviction_timing",
-    "simhash_fingerprints",
-    "doc_winnowing_fingerprints",
-    "near_dup_pairs_minhash",
-    "near_dup_clusters",
-    "near_dup_incremental",
-    "near_dup_pagerank",
-    "near_dup_pairs_simhash",
-    "orders_benford_deviation",
-    "returnflag_priority_counts",
-    "semantic_dedup_bucket_nn",
-    "sequence_packing",
-    "session_concurrency_profile",
-    "split_leakage_audit",
-    "stream_anomaly_zscore",
-    "stream_dedup_ingest_fps",
-    "stream_events_hourly",
-    "stream_near_dup_ingest",
-    "token_heavy_hitters",
-    "token_zipf_fit",
-    "training_data_manifest",
-    "user_distinct_values_salted",
-    "user_eventtype_map_stats",
-    "user_state_scd2",
+    "near_dup_cluster_size_histogram",
+    "near_dup_jaccard_histogram",
+    "packing_efficiency_report",
+    "pii_prevalence_by_source",
+    "quality_rule_breakdown",
+    "segment_value_salted_join",
+    "ship_delay_profile",
+    "simhash_md5",
+    "source_learnability_mix",
+    "stream_pii_scrub_ingest",
+    "unigram_vocab_em",
+    "user_value_totals_salted",
+    # -- latest driver row: round 10 (50 names) --
     "ab_conversion_ztest",
     "above_average_orders",
     "brand_revenue",
+    "corpus_boilerplate_ngrams",
     "cube_revenue",
     "custkeys_both_statuses",
     "custkeys_only_finished",
@@ -304,15 +220,95 @@ CHECK_PRIORITY = [
     "customer_supplier_nations",
     "dedup_exact_normalized",
     "disjunctive_brand_revenue",
+    "doc_boilerplate_coverage",
+    "doc_boilerplate_scrubbed",
     "doc_chunks_udtf",
     "doc_length_histogram",
     "doc_token_entropy_udf",
+    "doc_winnowing_fingerprints",
     "embedding_norms",
     "errors_before_purchase",
     "events_hourly",
     "events_json_stats",
     "events_props_schema_parsed",
     "events_sliding_daily",
+    "near_dup_clusters",
+    "near_dup_incremental",
+    "near_dup_pagerank",
+    "near_dup_pairs_minhash",
+    "near_dup_pairs_simhash",
+    "orders_benford_deviation",
+    "returnflag_priority_counts",
+    "semantic_dedup_bucket_nn",
+    "sequence_packing",
+    "session_concurrency_profile",
+    "simhash_fingerprints",
+    "source_epoch_allocation",
+    "split_leakage_audit",
+    "stream_anomaly_zscore",
+    "stream_dedup_ingest_fps",
+    "stream_events_hourly",
+    "stream_near_dup_ingest",
+    "stream_session_eviction_timing",
+    "stream_tumbling_eviction_timing",
+    "token_heavy_hitters",
+    "token_zipf_fit",
+    "training_data_manifest",
+    "unigram_vocab_em_pruned",
+    "user_distinct_values_salted",
+    "user_eventtype_map_stats",
+    "user_state_scd2",
+    # -- latest driver row: round 11 (50 names) --
+    "ann_ivf_topk",
+    "benchmark_contamination",
+    "bpe_decoded_roundtrip",
+    "bpe_merge_candidates",
+    "churn_train_eval",
+    "corpus_lang_temperature_sampled",
+    "corpus_mixture_weights",
+    "corpus_model_quality_filtered",
+    "corpus_quality_filtered",
+    "corpus_shuffled_shards",
+    "corpus_stratified_sample",
+    "corpus_token_budget_fill",
+    "custkeys_multiset_diff",
+    "customer_pareto_class",
+    "dedup_corpus",
+    "dedup_exact",
+    "doc_dsir_weights",
+    "engineered_customer_features",
+    "idle_rich_customers",
+    "lang_distribution",
+    "large_quantity_orders",
+    "monthly_order_stats",
+    "nation_acctbal_profile",
+    "nation_order_coverage",
+    "nation_pair_volume",
+    "nation_profit_by_year",
+    "order_gap_days",
+    "orders_by_weekday",
+    "part_type_tokens",
+    "pricing_summary",
+    "priority_returned_orders",
+    "promo_revenue_ratio",
+    "regional_customer_revenue",
+    "retrieval_rrf_fused",
+    "returned_revenue_by_customer",
+    "returnflag_median_price_disc",
+    "rollup_revenue",
+    "running_customer_revenue",
+    "segment_price_quantiles",
+    "segment_status_pivot",
+    "segment_top_orders",
+    "sole_supplier_returns",
+    "source_boilerplate_ngrams",
+    "source_boilerplate_scrubbed",
+    "stream_stateful_eviction_timing",
+    "supplier_volume",
+    "token_counts_bpeish",
+    "top_revenue_suppliers",
+    "unigram_em_prune_divergence",
+    "user_event_profile",
 ]
 
 

@@ -26,21 +26,14 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row of any kind as of round-11 start. The r10
-#: prefix witnessed all 8 names that were listed here (CORRECTNESS_r10:
-#: 48 hash-green + 2 rows-only-by-design, committed in e8cc9e9), so the
-#: set is pruned per VERDICT r9/r10 ask #1 — a stale entry would protect
-#: queries that no longer need protection at the expense of the
-#: oldest-evidence cohorts. Every query newly declared in round 11 MUST
-#: be added here (and to the head of CHECK_PRIORITY) until it earns a
-#: driver row.
-NEVER_WITNESSED: set[str] = {
-    # r11 new queries
-    "source_boilerplate_ngrams",
-    "source_boilerplate_scrubbed",
-    "stream_stateful_eviction_timing",
-    "unigram_em_prune_divergence",
-}
+#: queries with no driver row of any kind as of round-12 start. The r11
+#: prefix witnessed all 4 names that were listed here (CORRECTNESS_r11:
+#: all hash-green, committed in 3154688), so the set is pruned per the
+#: standing rotation rule — a stale entry would protect queries that no
+#: longer need protection at the expense of the oldest-evidence cohorts.
+#: Every query newly declared in round 12 MUST be added here (and to the
+#: head of CHECK_PRIORITY) until it earns a driver row.
+NEVER_WITNESSED: set[str] = set()
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history
