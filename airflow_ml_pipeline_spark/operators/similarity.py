@@ -325,17 +325,28 @@ def ivf_assign(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     ``|c_j|^2 - 2 v·c_j`` (the |v|^2 term is constant across j), the dot
     a sequential ``F.aggregate`` fold so every intermediate double is
     bit-identical to the oracle's left-associative chain; ties (never on
-    random doubles, but contractually) break to the lowest index via the
-    when-chain order. Each score is materialized as a column BEFORE
-    least()/the when-chain reference it twice — the alias survives
-    CollapseProject, so the 64-term folds run once per row."""
+    random doubles, but contractually) break to the lowest index because
+    the running-min fold replaces the accumulator only on a STRICT
+    improvement.
+
+    SINGLE-PASS argmin (r12, VERDICT r11 ask #3): the r11 form projected
+    16 score columns then combined least() + a when-chain — each score
+    referenced twice, which the alias trick keeps single-evaluation only
+    in PROJECT stages. ann_ivf_topk consumes cluster_id in a FILTER
+    (probe selection), and a filter condition gets predicate-pushed and
+    INLINED, re-evaluating every referenced fold (~2x the whole 16x64
+    arithmetic — measured 0.55 s vs 0.20 s assign-only at sf0.1,
+    SCALING.md r12 A/B). Folding argmin as one ``F.aggregate`` over an
+    array of (j, score) structs mentions each fold exactly ONCE in the
+    expression tree, so even fully inlined into a filter the arithmetic
+    runs once per row. Same scores, same tie rule, same plan shape
+    (projection-only, no shuffle: tests/test_plan_contracts.py)."""
     from airflow_ml_pipeline_spark.operators.ivf_centroids import (
         IVF_CENTROIDS,
         IVF_CENTROID_N2,
-        IVF_K,
     )
 
-    scores = []
+    elems = []
     for j, (c, n2) in enumerate(zip(IVF_CENTROIDS, IVF_CENTROID_N2)):
         d = F.aggregate(
             F.zip_with(
@@ -346,15 +357,19 @@ def ivf_assign(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scores.append((F.lit(n2) - F.lit(2.0) * d).alias(f"_s{j}"))
-    scored = df.select("*", *scores)
-    m = F.least(*[F.col(f"_s{j}") for j in range(IVF_K)])
-    cl = F.when(F.col("_s0") == m, F.lit(0))
-    for j in range(1, IVF_K):
-        cl = cl.when(F.col(f"_s{j}") == m, F.lit(j))
-    return scored.select(
-        *df.columns, cl.otherwise(F.lit(-1)).cast("int").alias("cluster_id")
+        s = F.lit(n2) - F.lit(2.0) * d
+        elems.append(
+            F.struct(F.lit(j).cast("int").alias("j"), s.alias("s"))
+        )
+    best = F.aggregate(
+        F.array(*elems),
+        F.struct(
+            F.lit(-1).cast("int").alias("j"),
+            F.lit(float("inf")).alias("s"),
+        ),
+        lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
     )
+    return df.select(*df.columns, best["j"].cast("int").alias("cluster_id"))
 
 
 def _ivf_probe_lists(qvec: list[float], nprobe: int = IVF_NPROBE) -> list[int]:
