@@ -75,6 +75,7 @@ CHECK_PRIORITY = [
     # evidence signal). Full registry listed; ordering contract:
     # tests/test_registry_order.py.
     # -- round-12 new queries (zero driver rows until the r12 run) --
+    "stream_dedup_eviction_timing",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

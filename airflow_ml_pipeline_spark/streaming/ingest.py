@@ -1271,3 +1271,242 @@ def stream_stateful_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("batch_id").cast("bigint").alias("emitted_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark key-EVICTION timing (VERDICT r11 ask #4) —
+# the fourth and last stateful class in the timing matrix: session_window
+# (r10), tumbling windows (r10), applyInPandasWithState timers (r11), and
+# now the dedup state store itself.
+# ---------------------------------------------------------------------------
+
+DEDUP_N_SLICES = 6
+DEDUP_WM_MS = 36 * 3600 * 1000  # 36-hour dedup horizon (vs 7.5-day slices)
+DEDUP_WM_US = DEDUP_WM_MS * 1000
+
+
+def dedup_timing_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the dedup-eviction replay.
+    Arrivals are NOT shared with the session slices: the dedup operator's
+    within-batch winner among same-key rows follows Spark's partition
+    processing order (genuinely nondeterministic), so the fixture stages
+    its own slices pre-reduced to one row per (key, slice)."""
+    arrivals, _, _ = session_timing_dirs(sf_dir)
+    root = os.path.dirname(arrivals)
+    return (
+        os.path.join(root, "dedup_timing_arrivals"),
+        os.path.join(root, "dedup_timing_store"),
+        os.path.join(root, "dedup_timing_checkpoint"),
+    )
+
+
+def stage_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as DEDUP_N_SLICES single-file parquet slices in
+    EVENT-TIME order (slice k = integer time-range k, the
+    stage_time_slices arithmetic), REDUCED to the min-(ts, event_id) row
+    per (user_id, event_type, slice). The reduction is what makes the
+    replay deterministic: dropDuplicatesWithinWatermark keeps the
+    first-PROCESSED row of a key within a micro-batch (partition order —
+    not restatable), so the fixture guarantees each key arrives at most
+    once per batch and every emission's ts is pinned."""
+    arrivals, _, _ = dedup_timing_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if not os.path.exists(marker):
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf_dir, "events")
+        mn, mx = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        span = mx - mn + 1
+        sliced = ev.withColumn(
+            "slice",
+            F.expr(
+                f"(unix_micros(ts) - {mn}) * {DEDUP_N_SLICES} div {span}"
+            ),
+        )
+        w = Window.partitionBy("user_id", "event_type", "slice").orderBy(
+            "ts", "event_id"
+        )
+        staged = (
+            sliced.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "slice")
+        )
+        os.makedirs(arrivals, exist_ok=True)
+        import time
+
+        t0 = time.time() - 3600
+        for k in range(DEDUP_N_SLICES):
+            tmp = os.path.join(arrivals, f".build_{k}.{os.getpid()}")
+            part_df = staged.filter(F.col("slice") == k).drop("slice")
+            if part_df.limit(1).count() == 0:
+                # batch numbering = slice numbering requires every slice
+                # to exist; an empty time-range means the corpus changed
+                raise ValueError(
+                    f"dedup-timing slice {k} of {DEDUP_N_SLICES} is empty "
+                    f"for {sf_dir} — oracle batch mapping would shift"
+                )
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(arrivals, f"slice_{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + k, t0 + k))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return arrivals
+
+
+def run_dedup_timing(spark: SparkSession, sf_dir: str) -> str:
+    """AvailableNow replay of the staged per-key-slice arrivals through
+    ``dropDuplicatesWithinWatermark(["user_id", "event_type"])`` with a
+    36-hour watermark; each batch's EMITTED (first-seen or re-admitted)
+    rows land in ``batch_id=N`` store partitions. The trailing no-data
+    batch is kept for uniformity with the timing family — dedup emits
+    only on arrival, so it writes an empty partition."""
+    arrivals, store, checkpoint = dedup_timing_dirs(sf_dir)
+    stage_dedup_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(arrivals, "slice_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        deduped = stream.withWatermark(
+            "ts", "36 hours"
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(store, f"batch_id={bid}")
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return store
+
+
+def _dedup_timing_oracle() -> str:
+    K = DEDUP_N_SLICES
+    return f"""
+    WITH RECURSIVE bounds AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    arr0 AS (
+        SELECT e.user_id, e.event_type, e.event_id, e.ts,
+               ((epoch_us(e.ts) - b.mn) * {K}) // (b.mx - b.mn + 1) AS slice
+        FROM events e CROSS JOIN bounds b
+    ),
+    -- the staged arrivals: one row per (key, slice), min (ts, event_id)
+    arr AS (
+        SELECT user_id, event_type, event_id, ts, slice
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type, slice
+                  ORDER BY ts, event_id) AS rn
+              FROM arr0)
+        WHERE rn = 1
+    ),
+    smax AS (
+        SELECT slice, MAX(epoch_us(ts)) AS mx_us FROM arr GROUP BY slice
+    ),
+    -- eviction threshold visible to batch b's arrivals: state cleanup at
+    -- the END of batch b-1 uses the watermark active DURING b-1, i.e.
+    -- floor-to-ms of the max STAGED event time over slices <= b-2, minus
+    -- the delay (probe-pinned: see stream_dedup_eviction_timing docstring)
+    thr AS (
+        SELECT slice + 2 AS b,
+               ((MAX(mx_us) OVER (ORDER BY slice
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 // 1000) - {DEDUP_WM_MS}) * 1000 AS w_us
+        FROM smax
+    ),
+    em AS (
+        SELECT user_id, event_type, event_id, ts, slice
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type ORDER BY slice) AS rn
+              FROM arr)
+        WHERE rn = 1
+        UNION ALL
+        SELECT a.user_id, a.event_type, a.event_id, a.ts, a.slice
+        FROM em e JOIN arr a
+          ON a.user_id = e.user_id AND a.event_type = e.event_type
+         AND a.slice = (
+             SELECT MIN(a2.slice) FROM arr a2 JOIN thr t ON t.b = a2.slice
+             WHERE a2.user_id = e.user_id
+               AND a2.event_type = e.event_type
+               AND a2.slice > e.slice
+               AND epoch_us(e.ts) + {DEDUP_WM_US} <= t.w_us)
+    )
+    SELECT user_id, event_type, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(slice AS BIGINT) AS emitted_batch
+    FROM em
+    """
+
+
+@query("stream_dedup_eviction_timing", oracle=_dedup_timing_oracle())
+def stream_dedup_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-EVICTION timing for ``dropDuplicatesWithinWatermark`` (VERDICT
+    r11 ask #4) — the driver hash pins WHEN the dedup state store forgets
+    a key, not just which rows are duplicates: every emission (first-seen
+    or re-admitted-after-eviction) is stored with the micro-batch it
+    emitted in, over deterministic time-ordered arrivals (one row per
+    (user_id, event_type) per slice — see stage_dedup_slices for why the
+    within-batch winner must be pre-reduced).
+
+    The eviction rule, pinned by a controlled-slice probe on THIS Spark
+    build (all four facts falsifiable by the hash):
+
+    - state value = the emitted row's event time + delay, at FULL
+      MICROSECOND precision (a 999 us component demonstrably blocked an
+      eviction a ms-floored value would have allowed);
+    - a dropped duplicate NEVER extends the stored expiry (a mid-life
+      duplicate did not delay the observed re-admission), an emitted
+      re-arrival RESETS it;
+    - state cleanup runs at the END of each batch with the watermark
+      active DURING that batch — so the threshold visible to batch b's
+      arrivals derives from slices <= b-2, one slice more lag than the
+      emission-side watermark of the window operators;
+    - the comparison is NON-STRICT (expiry == watermark evicts), and the
+      watermark itself is the ms-FLOOR of the max staged event time
+      minus the delay (an expiry 500 us past the floored watermark
+      survived where the unfloored watermark would have evicted it).
+
+    With 36-hour state over 7.5-day slices, an emission always blocks
+    its key through the NEXT slice (the one-slice threshold lag), and
+    blocks slice j+2 exactly when it falls in the trailing 2x36 h of its
+    own slice's staged maximum — so the hash carries a genuine timing
+    boundary through every slice, at every SF, in any session timezone
+    (all arithmetic in epoch micros). The oracle restates the emission
+    CHAIN per key as a recursive CTE (depth <= slice count: each row has
+    at most one successor — the first arrival in a batch whose eviction
+    threshold has passed the stored expiry).
+
+    Scale: this is the production shape for at-ingest exact dedup with
+    bounded state — the store holds one (key, expiry) pair per key seen
+    within the horizon, GC'd by the watermark; nothing here grows with
+    corpus size beyond live-key cardinality. Store/bench convention as
+    the rest of the timing family (idempotent per-corpus store)."""
+    store = run_dedup_timing(spark, sf_dir)
+    return (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("batch_id").cast("bigint").alias("emitted_batch"),
+        )
+    )

@@ -33,7 +33,10 @@ PREFIX = 50
 #: longer need protection at the expense of the oldest-evidence cohorts.
 #: Every query newly declared in round 12 MUST be added here (and to the
 #: head of CHECK_PRIORITY) until it earns a driver row.
-NEVER_WITNESSED: set[str] = set()
+NEVER_WITNESSED: set[str] = {
+    # r12 new queries
+    "stream_dedup_eviction_timing",
+}
 
 #: every operator family must have at least one representative with driver
 #: evidence — in the live prefix or in committed correctness history

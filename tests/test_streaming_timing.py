@@ -255,3 +255,166 @@ def test_stateful_eviction_exercises_both_close_paths(spark, sf_dir):
     assert undecided > 0, "corpus has no undecided tail to witness"
     # full per-batch distribution parity, not just the total
     assert dist == expected
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark eviction timing (VERDICT r11 ask #4)
+# ---------------------------------------------------------------------------
+
+
+def _ddww_replay(spark, tmp_path, slices, delay="10 seconds"):
+    """Replay engineered (key, ts_us) slices through
+    dropDuplicatesWithinWatermark and return {batch: {(key, us)}}."""
+    import os
+    import time
+
+    B = 1_700_000_000_000_000
+    arr = str(tmp_path / "arrivals")
+    os.makedirs(arr)
+    t0 = time.time() - 3600
+    for i, rows in enumerate(slices):
+        df = (
+            spark.createDataFrame(
+                [(k, t + B) for k, t in rows], "key string, us long"
+            )
+            .withColumn("ts", F.timestamp_micros("us"))
+            .select("key", "ts")
+        )
+        tmp = str(tmp_path / f".b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(arr, f"slice_{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    schema = spark.read.parquet(os.path.join(arr, "slice_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arr)
+    )
+    out = stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["key"]
+    )
+    seen: dict[int, set] = {}
+
+    def sink(df, bid):
+        seen[bid] = {
+            (r["key"], r["us"]) for r in df.withColumn(
+                "us", F.unix_micros("ts") - B
+            ).collect()
+        }
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {b: s for b, s in seen.items() if s}
+
+
+def test_ddww_eviction_semantics_probe(spark, tmp_path):
+    """The four facts the dedup-timing oracle encodes, each planted so a
+    Spark behavior change (or a wrong restatement) flips an assertion:
+
+    slice maxima: 5s, 20.000999s, 21s, 41s, 61s; delay 10s. Eviction
+    threshold visible to batch b = floor-ms(max over slices <= b-2) -
+    10s, non-strict, against microsecond-precision expiry = emitted ts +
+    10s, never extended by dropped duplicates."""
+    S = 1_000_000
+    slices = [
+        # kEq expiry = 10.000000s; kUs expiry = 10.000500s; kExt first
+        # at 0, duplicate at 8s (would extend to 18s if extension
+        # existed); pace rows pin each slice's max event time.
+        [("kEq", 0), ("kUs", 500), ("kExt", 0), ("pace", 5 * S)],
+        [("kExt", 8 * S), ("pace", 20 * S + 999)],
+        # batch 2: threshold = floor(5s) - 10s < 0 -> ALL still blocked
+        [("kEq", 21 * S), ("kUs", 21 * S + 1), ("kExt", 21 * S + 2),
+         ("pace", 22 * S)],
+        # batch 3: threshold = floor-ms(20.000999s) - 10s = 10.000s:
+        #   kEq 10.000000 <= 10.000 evicts (NON-STRICT at equality)
+        #   kUs 10.000500 >  10.000 survives (microsecond precision +
+        #     ms-FLOOR of the watermark; unfloored 10.000999 would evict)
+        #   kExt 10.000000 evicts (the 8s duplicate did NOT extend)
+        [("kEq", 40 * S), ("kUs", 40 * S + 1), ("kExt", 40 * S + 2),
+         ("pace", 41 * S)],
+        # batch 4: threshold = floor(22s) - 10s = 12s: kUs evicts now
+        [("kUs", 60 * S + 1), ("kEq", 60 * S), ("pace", 61 * S)],
+    ]
+    out = _ddww_replay(spark, tmp_path, slices)
+    emitted = {
+        (k, b) for b, rows in out.items() for (k, _us) in rows
+    }
+    # batch 0: every key is first-seen
+    assert {("kEq", 0), ("kUs", 0), ("kExt", 0), ("pace", 0)} <= emitted
+    # batch 2: nothing re-admitted (threshold below every expiry)
+    assert not [k for (k, b) in emitted if b == 2 and k != "pace"]
+    # batch 3: non-strict equality eviction + no-extension
+    assert ("kEq", 3) in emitted
+    assert ("kExt", 3) in emitted
+    # batch 3: microsecond expiry survives the ms-floored watermark
+    assert ("kUs", 3) not in emitted
+    # batch 4: the 500us straggler is re-admitted one batch later, and
+    # kEq (re-emitted at 40s, expiry 50s > 12s) stays blocked — the
+    # reset-on-emission fact
+    assert ("kUs", 4) in emitted
+    assert ("kEq", 4) not in emitted
+
+
+def test_dedup_timing_fixture_exercises_the_boundary(sf_dir):
+    """The corpus-level timing signal is nontrivial at every shipped SF:
+    (a) every slice is non-empty (batch mapping = slice mapping), (b)
+    some key's emission blocks a j+2 arrival (trailing-2-delay zone) AND
+    some key re-admits at j+2 — i.e. the eviction boundary genuinely
+    cuts through the corpus rather than all keys landing on one side."""
+    from airflow_ml_pipeline_spark.streaming.ingest import (
+        DEDUP_N_SLICES,
+        DEDUP_WM_MS,
+        DEDUP_WM_US,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    K = DEDUP_N_SLICES
+    rows = con.execute(f"""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    arr0 AS (
+        SELECT user_id, event_type, event_id, ts,
+               ((epoch_us(ts) - b.mn) * {K}) // (b.mx - b.mn + 1) AS slice
+        FROM events CROSS JOIN bounds b
+    ),
+    arr AS (
+        SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type, slice
+            ORDER BY ts, event_id) rn FROM arr0) WHERE rn = 1
+    ),
+    smax AS (SELECT slice, MAX(epoch_us(ts)) mx_us FROM arr GROUP BY slice),
+    -- per-key consecutive (slice j emission-candidate, j+2 arrival):
+    -- the j+1 arrival is ALWAYS blocked (threshold lag), so the j+2
+    -- boundary is where the signal lives
+    pairs AS (
+        SELECT a.user_id, a.event_type,
+               epoch_us(a.ts) + {DEDUP_WM_US} AS expiry_us,
+               ((s.mx_us // 1000) - {DEDUP_WM_MS}) * 1000 AS thr_us
+        FROM arr a JOIN smax s ON s.slice = a.slice
+        JOIN arr nxt ON nxt.user_id = a.user_id
+                    AND nxt.event_type = a.event_type
+                    AND nxt.slice = a.slice + 2
+    )
+    SELECT COUNT(*) FILTER (WHERE expiry_us > thr_us)  AS blocked,
+           COUNT(*) FILTER (WHERE expiry_us <= thr_us) AS evicted,
+           (SELECT COUNT(DISTINCT slice) FROM arr)      AS n_slices
+    FROM pairs
+    """).fetchone()
+    blocked, evicted, n_slices = rows
+    assert n_slices == K, f"expected {K} non-empty slices, got {n_slices}"
+    assert blocked > 0, "no j+2 arrival falls inside the 2-delay zone"
+    assert evicted > 0, "no j+2 arrival is past the eviction threshold"
