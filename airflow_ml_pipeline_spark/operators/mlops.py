@@ -8,6 +8,8 @@ oracle-checked.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,8 +33,15 @@ def synthetic_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: staged checkpoint of the generated churn frame — written by the query,
 #: read by its oracle (same lifecycle as the streaming ingest stores under
 #: /tmp/spark_graft_ingest); content is session-independent because the
-#: generator's seed relation is partition-pinned (generate.GEN_PARTITIONS)
-STAGE_CUSTOMERS = "/tmp/spark_graft_stage/synthetic_customers_2000.parquet"
+#: generator's seed relation is partition-pinned (generate.GEN_PARTITIONS).
+#: PID-keyed (ADVICE r11): mode('overwrite') is not atomic, so a fixed
+#: path let a concurrent session (bench + driver) re-stage while this
+#: session's oracle globbed '*.parquet' — each process now stages its own
+#: copy, and the oracle f-string below interpolates THIS process's path at
+#: the same import, so the pair can never split.
+STAGE_CUSTOMERS = (
+    f"/tmp/spark_graft_stage/synthetic_customers_2000_{os.getpid()}.parquet"
+)
 
 #: frozen fit-time 75th percentile of monthly_charges on the committed
 #: (seed=42, n=2000, 16-partition) generated frame — the preprocessor's

@@ -285,10 +285,18 @@ def _gap_sessions(
             n += 1
             tot += Decimal(repr(float(r.value))).quantize(six, ROUND_HALF_UP)
             last = int(r.ts_us)
-        state.update((start, last, n, str(tot)))
-        # ms floor: the GroupState timer API is millisecond-grained; the
-        # oracle models exactly this floor ((last_us + gap) // 1000)
-        state.setTimeoutTimestamp((last + SESSIONIZER_GAP_US) // 1000)
+        # ADVICE r11 guard: Spark only invokes this fn with data or a
+        # fired timer, but an empty delivery with no prior state would
+        # leave last=None — update/arm only when a session is open. The
+        # timer target is always > the current watermark here because
+        # every batch's events arrive time-sliced ahead of the watermark
+        # (the ingest harness's invariant), so setTimeoutTimestamp can't
+        # throw its "timeout <= watermark" analyzer error.
+        if last is not None:
+            state.update((start, last, n, str(tot)))
+            # ms floor: the GroupState timer API is millisecond-grained;
+            # the oracle models exactly this floor ((last_us + gap) // 1000)
+            state.setTimeoutTimestamp((last + SESSIONIZER_GAP_US) // 1000)
     yield pd.DataFrame(out)
 
 

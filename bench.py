@@ -273,6 +273,19 @@ def main() -> None:
     #   "0" — single-shot, guard off (the pre-r11 behavior).
     #   N>=2 — every query N times, min recorded (steady-state A/B).
     mode = os.environ.get("BENCH_REPEAT", "guard")
+    # validate up front (ADVICE r11): a typo like BENCH_REPEAT=min used to
+    # crash with ValueError AFTER the warm-up had been paid — fall back to
+    # guard mode with a visible note instead
+    if mode not in ("", "guard"):
+        try:
+            int(mode)
+        except ValueError:
+            print(
+                f"# BENCH_REPEAT={mode!r} is not an integer or 'guard';"
+                " falling back to guard mode",
+                file=sys.stderr,
+            )
+            mode = "guard"
     prev_times: dict[str, float] = {}
     if mode in ("", "guard"):
         try:

@@ -241,8 +241,8 @@ def test_class_prototypes_match_numpy_reference(spark, sf_dir):
 def test_frozen_centroids_match_refit(spark):
     """The committed IVF quantizer (ivf_centroids.IVF_CENTROIDS) is the
     artifact build_ivf_index's KMeans(k=16, seed=42) produces on the
-    committed sf0.01 corpus — a refit reproduces it (1e-9: guards the
-    artifact against silent drift without pinning cross-session
+    committed sf0.01 corpus — a refit reproduces it (1e-6: guards the
+    artifact against silent drift without pinning cross-host
     float-reduction ulps). If tests/test_corpus_fingerprints.py reports a
     corpus change, regenerate the literals via the training step before
     trusting this pin."""
@@ -269,7 +269,13 @@ def test_frozen_centroids_match_refit(spark):
         for ra, rb in zip(refit, IVF_CENTROIDS)
         for a, b in zip(ra, rb)
     )
-    assert worst < 1e-9, f"refit diverges from frozen centroids by {worst}"
+    # 1e-6, not 1e-9 (ADVICE r11): KMeans' float reductions vary in
+    # summation order with core count/partitioning, so an ulp-tight pin
+    # is flaky off the committed 32-CPU host; 1e-6 still catches any
+    # semantic drift (a genuinely different fit moves centroids by far
+    # more), and tests/test_corpus_fingerprints.py remains the gate for
+    # corpus changes that would invalidate the literals.
+    assert worst < 1e-6, f"refit diverges from frozen centroids by {worst}"
 
 
 def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
