@@ -55,6 +55,25 @@ MERSENNE_P = (1 << 31) - 1
 PIPELINE_MINHASH = 64
 PIPELINE_BANDS = 32
 
+# Boilerplate thresholds (full rationale at the "Corpus-frequency
+# boilerplate" section below; hoisted here because the funnel queries —
+# defined mid-module — compose the per-source scrub into their oracles).
+#: boilerplate document-frequency threshold, in ppm of corpus size: a
+#: 3-gram is boilerplate when it appears in >= 0.5% of documents.
+#: Scale-free by design — a fixed absolute df degenerates (empty at
+#: small SF, everything at large SF; measured: max df <20 at 500 docs,
+#: modal df 5-19 at 5000 docs).
+BOILER_DF_PPM = 5000
+BOILER_N = 3
+#: per-source document-frequency threshold, ppm of the SOURCE's docs
+#: (2%). Tuned so the synthetic corpus witnesses the rule at every
+#: committed SF (per-source dfs are shallow there: max 3/25 at sf0.01,
+#: 6/250 at sf0.1); real site chrome sits far above any such threshold.
+SOURCE_BOILER_DF_PPM = 20000
+#: absolute floor — LOAD-BEARING at small sources: ceil(25 * 2%) = 1
+#: would blacklist every hapax gram of a 25-doc source.
+SOURCE_BOILER_MIN_DF = 3
+
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct token n-gram shingles."""
@@ -789,6 +808,10 @@ def prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts. (Also the first stages of operators/manifest.py's
     training_data_manifest.)
 
+    Returns the projected (text-free) frame; callers needing the
+    surviving documents WITH text (the funnel's boilerplate stage) take
+    ``_prepared_stages(...)[4]`` instead.
+
     Stage shapes (each is the scale path chosen elsewhere in this module):
     1. quality gate — pure filter, pushed to the scan, no shuffle;
     2. exact dedup — md5 groupBy (one full shuffle of (fp, doc_id) pairs
@@ -811,11 +834,14 @@ def prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prepared_stages(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """The prepared-corpus pipeline with every stage exposed:
     (raw docs, quality-gated, exact-deduped survivors, near-dup-free
-    final) — one statement of the stages shared by ``corpus_prepared``
-    and ``corpus_curation_funnel``."""
+    final, near-dup-free WITH text) — one statement of the stages shared
+    by ``corpus_prepared`` and the two funnel queries. The last element
+    carries every survivor column (incl. text) for stages composed on
+    top of the prepared corpus (the funnel's per-source boilerplate
+    scrub); element 3 is its text-free projection, unchanged."""
     docs = load_spread(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
@@ -847,20 +873,114 @@ def _prepared_stages(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    prepared = surv.join(near_dups, "doc_id", "left_anti").select(
+    prepared_docs = surv.join(near_dups, "doc_id", "left_anti")
+    prepared = prepared_docs.select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
-    return docs, q, surv, prepared
+    return docs, q, surv, prepared, prepared_docs
+
+
+def _sql_source_scrub_kept_ctes(rel: str, p: str) -> str:
+    """The per-source boilerplate scrub restated as DuckDB CTEs over an
+    arbitrary relation ``rel`` (must expose doc_id, source, text), CTE
+    names prefixed ``p`` — ends in ``{p}skept(doc_id, source,
+    kept_tokens)`` holding only docs with >= 1 surviving token. The same
+    statement as ``source_boilerplate_scrubbed``'s oracle with the
+    corpus parameterized, so funnel stages composed on the PREPARED
+    corpus state identical semantics (blacklist df thresholded against
+    the stage input's per-source doc counts, every covered token
+    excised)."""
+    return f"""{p}tokss AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM {rel}
+    ),
+    {p}gsrc AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(CASE WHEN len(t) >= {BOILER_N}
+                      THEN list_transform(range(1, len(t) - {BOILER_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS gram
+        FROM {p}tokss
+    ),
+    {p}nsrc AS (
+        SELECT source, COUNT(*) AS n_docs FROM {p}tokss GROUP BY source
+    ),
+    {p}sboiler AS (
+        SELECT g.source, g.gram
+        FROM {p}gsrc g JOIN {p}nsrc n ON n.source = g.source
+        GROUP BY g.source, g.gram, n.n_docs
+        HAVING COUNT(*) >= GREATEST(
+            (n.n_docs * {SOURCE_BOILER_DF_PPM} + 999999) // 1000000,
+            {SOURCE_BOILER_MIN_DF})
+    ),
+    {p}sposi AS (
+        SELECT doc_id, source, u.i AS i,
+               t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS gram
+        FROM {p}tokss, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= {BOILER_N}
+    ),
+    {p}scovered AS (
+        SELECT DISTINCT s.doc_id, u.q
+        FROM {p}sposi s
+        JOIN {p}sboiler b ON b.source = s.source AND b.gram = s.gram,
+             LATERAL unnest(range(s.i, s.i + {BOILER_N})) AS u(q)
+    ),
+    {p}stokpos AS (
+        SELECT doc_id, source, u.j AS j
+        FROM {p}tokss, LATERAL unnest(range(1, len(t) + 1)) AS u(j)
+    ),
+    {p}skept AS (
+        SELECT tp.doc_id, tp.source,
+               CAST(COUNT(*) AS BIGINT) AS kept_tokens
+        FROM {p}stokpos tp LEFT JOIN {p}scovered c
+          ON c.doc_id = tp.doc_id AND c.q = tp.j
+        WHERE c.q IS NULL
+        GROUP BY tp.doc_id, tp.source
+    )"""
+
+
+#: the funnel's stage-4 input: prepared survivors with text, as a CTE the
+#: per-source scrub chain hangs off (shared by both funnel oracles)
+_SQL_FUNNEL_STAGE4_CTES = (
+    """pdocs AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM prepared)
+    ),
+    """
+    + _sql_source_scrub_kept_ctes("pdocs", "p")
+)
+
+
+def _source_scrub_kept(pdocs: DataFrame) -> DataFrame:
+    """(doc_id, source, kept_tokens > 0) after the per-source boilerplate
+    scrub of ``pdocs`` — the funnel's stage-4 kernel, composed from the
+    SAME pieces as ``source_boilerplate_scrubbed`` (pinned gram frame →
+    per-source blacklist → broadcast hit join → ``scrub_hits`` excision).
+    ``pdocs`` should be pinned by the caller: the gram build, blacklist,
+    and token re-scan all consume it within one action."""
+    g = _doc_grams_src(pdocs).localCheckpoint(eager=False)
+    sboiler = source_boiler_grams(pdocs, grams=g)
+    posi = g.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
+    hits = posi.join(
+        F.broadcast(sboiler.select("source", "gram")), ["source", "gram"]
+    ).select("doc_id", (F.col("i0") + 1).cast("int").alias("p"))
+    return (
+        pdocs.select("doc_id", "source")
+        .join(scrub_hits(pdocs, hits), "doc_id")
+        .filter(F.col("kept_tokens") > 0)
+        .select("doc_id", "source", "kept_tokens")
+    )
 
 
 @query(
     "corpus_curation_funnel",
     oracle=f"""
-    WITH {_SQL_PREPARED_CTES}
+    WITH {_SQL_PREPARED_CTES},
+    {_SQL_FUNNEL_STAGE4_CTES}
     SELECT '0_raw' AS stage,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -880,23 +1000,36 @@ def _prepared_stages(
            CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT)
     FROM prepared
+    UNION ALL
+    SELECT '4_source_boilerplate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(kept_tokens) AS BIGINT)
+    FROM pskept
     """,
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel report — doc and token counts surviving each
     stage of the prepared-corpus pipeline (raw → quality gate → exact
-    dedup → near-dup removal). The release-notes table every dataset
-    paper publishes ("we filtered X%, deduped Y%") and the first thing a
-    curation engineer checks after a pipeline change; stage semantics
-    are THE SAME statement the pipeline runs (`_prepared_stages`), so
-    the report can never drift from the corpus it describes.
+    dedup → near-dup removal → per-source boilerplate scrub). The
+    release-notes table every dataset paper publishes ("we filtered X%,
+    deduped Y%") and the first thing a curation engineer checks after a
+    pipeline change; stage semantics are THE SAME statements the
+    pipeline runs (`_prepared_stages` + the `source_boilerplate_scrubbed`
+    kernel via `_source_scrub_kept`), so the report can never drift from
+    the corpus it describes. Stage 4 (r11 ask #6) applies the per-source
+    chrome scrub TO THE PREPARED SURVIVORS (blacklist df thresholded
+    against the survivors' per-source doc counts): n_docs counts docs
+    with >= 1 surviving token, n_tokens sums surviving tokens — the
+    funnel's first token-level (not doc-level) attrition stage.
 
-    Scale: four bounded aggregates over the staged lineage — raw and
+    Scale: five bounded aggregates over the staged lineage — raw and
     gated stages are scan+filter with map-side partial sums; the
-    survivor stage reuses the pipeline's eager checkpoint (consumed here
-    by its aggregate, the LSH discovery, and the final anti-join); the
-    output is 4 rows."""
-    docs, q, surv, prepared = _prepared_stages(spark, sf_dir)
+    survivor stage reuses the pipeline's eager checkpoint; the prepared
+    survivors are eagerly pinned before stage 4 (gram build, blacklist,
+    and token re-scan all consume them in one action — the same
+    multi-consumer-within-one-job rule as surv); the output is 5 rows."""
+    docs, q, surv, prepared, prepared_docs = _prepared_stages(spark, sf_dir)
+    pdocs = prepared_docs.localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
         return df.agg(
@@ -906,22 +1039,26 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
 
-    final = prepared.agg(
+    scrub4 = _source_scrub_kept(pdocs).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-    ).select(F.lit("3_near_dedup").alias("stage"), "n_docs", "n_tokens")
+        F.sum("kept_tokens").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit("4_source_boilerplate").alias("stage"), "n_docs", "n_tokens"
+    )
     return (
         counts(docs, "0_raw")
         .unionByName(counts(q, "1_quality_gate"))
         .unionByName(counts(surv, "2_exact_dedup"))
-        .unionByName(final)
+        .unionByName(counts(pdocs, "3_near_dedup"))
+        .unionByName(scrub4)
     )
 
 
 @query(
     "corpus_funnel_by_source",
     oracle=f"""
-    WITH {_SQL_PREPARED_CTES}
+    WITH {_SQL_PREPARED_CTES},
+    {_SQL_FUNNEL_STAGE4_CTES}
     SELECT '0_raw' AS stage, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -941,6 +1078,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_tokens) AS BIGINT)
     FROM prepared GROUP BY source
+    UNION ALL
+    SELECT '4_source_boilerplate', source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(kept_tokens) AS BIGINT)
+    FROM pskept GROUP BY source
     """,
 )
 def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,13 +1092,16 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     says WHICH source the drop came from — the input to source-priority
     rules, mixture re-weighting, and crawl-quality triage). Stage
     semantics are the pipeline's own ``_prepared_stages`` statement, same
-    as ``corpus_curation_funnel`` — the per-source view can never drift
-    from either the corpus or the aggregate funnel.
+    as ``corpus_curation_funnel`` (incl. the r11 stage-4 per-source
+    boilerplate scrub of the prepared survivors) — the per-source view
+    can never drift from either the corpus or the aggregate funnel.
 
-    Scale: identical lineage to the aggregate funnel (the survivor
-    checkpoint is shared); each stage adds only a |sources|-keyed
-    aggregate with map-side partials, output |stages|x|sources| rows."""
-    docs, q, surv, prepared = _prepared_stages(spark, sf_dir)
+    Scale: identical lineage to the aggregate funnel (the survivor and
+    prepared checkpoints are shared shapes); each stage adds only a
+    |sources|-keyed aggregate with map-side partials, output
+    |stages|x|sources| rows."""
+    docs, q, surv, prepared, prepared_docs = _prepared_stages(spark, sf_dir)
+    pdocs = prepared_docs.localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
         return df.groupBy("source").agg(
@@ -966,15 +1111,19 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         ).select(F.lit(stage).alias("stage"), "source", "n_docs", "n_tokens")
 
-    final = prepared.groupBy("source").agg(
+    scrub4 = _source_scrub_kept(pdocs).groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-    ).select(F.lit("3_near_dedup").alias("stage"), "source", "n_docs", "n_tokens")
+        F.sum("kept_tokens").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit("4_source_boilerplate").alias("stage"),
+        "source", "n_docs", "n_tokens",
+    )
     return (
         counts(docs, "0_raw")
         .unionByName(counts(q, "1_quality_gate"))
         .unionByName(counts(surv, "2_exact_dedup"))
-        .unionByName(final)
+        .unionByName(counts(pdocs, "3_near_dedup"))
+        .unionByName(scrub4)
     )
 
 
@@ -2052,13 +2201,8 @@ def near_dup_pairs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale-free threshold and scrubbed/score-penalized corpus-wide.
 # ---------------------------------------------------------------------------
 
-#: boilerplate document-frequency threshold, in ppm of corpus size: a
-#: 3-gram is boilerplate when it appears in >= 0.5% of documents.
-#: Scale-free by design — a fixed absolute df degenerates (empty at
-#: small SF, everything at large SF; measured: max df <20 at 500 docs,
-#: modal df 5-19 at 5000 docs).
-BOILER_DF_PPM = 5000
-BOILER_N = 3
+# BOILER_DF_PPM / BOILER_N are hoisted to the module constants block
+# (the funnel oracles, defined above this section, interpolate them).
 
 #: The boilerplate blacklist as DuckDB CTEs over ``documents`` —
 #: ``boiler(gram, df)`` + ``nd(n_docs)`` — ONE statement shared by both
@@ -2332,14 +2476,8 @@ def scrub_hits(docs: DataFrame, hits: DataFrame) -> DataFrame:
 # (source, gram) and thresholds against THAT source's doc count.
 # ---------------------------------------------------------------------------
 
-#: per-source document-frequency threshold, ppm of the SOURCE's docs
-#: (2%). Tuned so the synthetic corpus witnesses the rule at every
-#: committed SF (per-source dfs are shallow there: max 3/25 at sf0.01,
-#: 6/250 at sf0.1); real site chrome sits far above any such threshold.
-SOURCE_BOILER_DF_PPM = 20000
-#: absolute floor — LOAD-BEARING at small sources: ceil(25 * 2%) = 1
-#: would blacklist every hapax gram of a 25-doc source.
-SOURCE_BOILER_MIN_DF = 3
+# SOURCE_BOILER_DF_PPM / SOURCE_BOILER_MIN_DF are hoisted to the module
+# constants block (the funnel oracles interpolate them).
 
 #: the per-source blacklist as DuckDB CTEs — ``sboiler(source, gram, df)``
 #: shared by both per-source oracles (the _SQL_PAIR_KERNEL_CTES rule).

@@ -589,7 +589,8 @@ def test_curation_funnel_monotone_and_matches_stage_counts(spark, sf_dir):
         for r in corpus_curation_funnel(spark, sf_dir).collect()
     }
     assert list(sorted(rows)) == [
-        "0_raw", "1_quality_gate", "2_exact_dedup", "3_near_dedup"
+        "0_raw", "1_quality_gate", "2_exact_dedup", "3_near_dedup",
+        "4_source_boilerplate",
     ]
     stages = [rows[s] for s in sorted(rows)]
     for (d0, t0), (d1, t1) in zip(stages, stages[1:]):
@@ -692,3 +693,69 @@ def test_scrub_stages_compose_via_union(spark):
     assert both.kept_md5 == hashlib.md5(b"zeta").hexdigest()
     only_g = dedup.scrub_hits(docs, hits_global).collect()[0]
     assert only_g.kept_tokens == 3  # tokens 4-6 survive
+
+
+def test_scrub_order_commutes_on_shipped_corpus(spark):
+    """Metamorphic pin of the union-of-hit-frames composition (VERDICT
+    r11 ask #6): with BOTH blacklists computed on the original corpus
+    and hits expressed in original token coordinates (exactly what the
+    shared ``scrub_hits`` kernel consumes), excising the global hits
+    then the per-source hits equals the reverse order equals the single
+    union excision — doc for doc, on the shipped sf0.001 corpus, against
+    an independent pure-Python excision reference. Both hit families are
+    asserted non-empty AND co-occurring in >= 1 doc so the pin can't go
+    vacuous on a regenerated corpus."""
+    import hashlib
+
+    from airflow_ml_pipeline_spark.sources.catalog import load_spread
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_spread(spark, sf, "documents")
+
+    g = dedup._doc_grams(docs).localCheckpoint(eager=False)
+    boiler = dedup._boiler_grams(docs, grams=g)
+    posi = g.select("doc_id", F.posexplode("g").alias("i0", "gram"))
+    hits_g = posi.join(F.broadcast(boiler.select("gram")), "gram").select(
+        "doc_id", (F.col("i0") + 1).cast("int").alias("p")
+    )
+    gs = dedup._doc_grams_src(docs).localCheckpoint(eager=False)
+    sb = dedup.source_boiler_grams(docs, grams=gs)
+    posis = gs.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
+    hits_s = posis.join(
+        F.broadcast(sb.select("source", "gram")), ["source", "gram"]
+    ).select("doc_id", (F.col("i0") + 1).cast("int").alias("p"))
+
+    ga = {}
+    for r in hits_g.collect():
+        ga.setdefault(r.doc_id, set()).add(r.p)
+    sa = {}
+    for r in hits_s.collect():
+        sa.setdefault(r.doc_id, set()).add(r.p)
+    assert ga and sa, "a blacklist family is empty — vacuous corpus"
+    assert set(ga) & set(sa), "no doc carries both hit families"
+
+    def cover(ps):
+        return {q for p in ps for q in range(p, p + dedup.BOILER_N)}
+
+    kernel = {
+        r.doc_id: (r.kept_tokens, r.kept_md5)
+        for r in dedup.scrub_hits(docs, hits_g.union(hits_s)).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(kernel) == set(texts)
+    for doc_id, text in texts.items():
+        toks = list(enumerate(text.split(" "), start=1))
+        cg, cs = cover(ga.get(doc_id, set())), cover(sa.get(doc_id, set()))
+        # order A: global first, then per-source on the residual
+        res_a = [(j, t) for j, t in toks if j not in cg]
+        res_a = [(j, t) for j, t in res_a if j not in cs]
+        # order B: per-source first, then global on the residual
+        res_b = [(j, t) for j, t in toks if j not in cs]
+        res_b = [(j, t) for j, t in res_b if j not in cg]
+        assert res_a == res_b  # commutation in original coordinates
+        kept = " ".join(t for _, t in res_a)
+        # both orders == the kernel's single union excision
+        assert kernel[doc_id] == (
+            len(res_a),
+            hashlib.md5(kept.encode()).hexdigest(),
+        ), f"doc {doc_id}: sequential scrub != union kernel"
