@@ -76,6 +76,8 @@ CHECK_PRIORITY = [
     # tests/test_registry_order.py.
     # -- round-12 new queries (zero driver rows until the r12 run) --
     "stream_dedup_eviction_timing",
+    "source_mixture_reweighted",
+    "corpus_doremi_mix_fill",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

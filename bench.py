@@ -185,6 +185,9 @@ HEADLINE = [
     "stream_static_enriched_segments",
     "stream_errors_before_purchase_pairs",
     "stream_errors_before_purchase_outer",
+    "stream_dedup_eviction_timing",
+    "source_mixture_reweighted",
+    "corpus_doremi_mix_fill",
 ]
 
 

@@ -36,6 +36,8 @@ PREFIX = 50
 NEVER_WITNESSED: set[str] = {
     # r12 new queries
     "stream_dedup_eviction_timing",
+    "source_mixture_reweighted",
+    "corpus_doremi_mix_fill",
 }
 
 #: every operator family must have at least one representative with driver
