@@ -700,3 +700,38 @@ def test_ivf_assignment_is_projection_only(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---- round-12 additions ----
+
+def test_doremi_weights_broadcast_grid(spark, sf_dir):
+    """source_mixture_reweighted: the MW iteration is |sources| x
+    DOREMI_STEPS broadcast arithmetic — the per-step totals and the
+    max/count scalars must ride broadcasts (no cartesian product), and
+    the per-source excess aggregate must combine map-side (partial
+    HashAggregate before the exchange) like every doc-keyed reduction."""
+    plan = _plan(registry.QUERIES["source_mixture_reweighted"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_doremi_fill_broadcasts_quotas(spark, sf_dir):
+    """corpus_doremi_mix_fill: the |sources|-row reweighted quota frame
+    broadcasts onto the scored corpus — the fill may never shuffle the
+    corpus for the quota join (the same contract as the proportional
+    fill; only the per-source running-sum window exchanges rows)."""
+    plan = _plan(registry.QUERIES["corpus_doremi_mix_fill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_stage4_broadcasts_blacklist(spark, sf_dir):
+    """corpus_curation_funnel (5-stage form): stage 4's per-source
+    blacklist must broadcast onto the prepared survivors' position
+    stream, exactly like the standalone per-source scrub — adding the
+    stage may not introduce a cartesian product or a sort-merge join of
+    the position stream against the blacklist."""
+    plan = _plan(registry.QUERIES["corpus_curation_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

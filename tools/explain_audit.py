@@ -124,6 +124,10 @@ AUDITED = [
     "doc_boilerplate_coverage",
     "source_epoch_allocation",
     "doc_boilerplate_scrubbed",
+    # round-12 additions
+    "source_mixture_reweighted",
+    "corpus_doremi_mix_fill",
+    "stream_dedup_eviction_timing",
     # round-11 additions
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",

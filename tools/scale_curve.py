@@ -113,6 +113,10 @@ QUERIES = [
     ("source_epoch_allocation", "documents"),
     ("doc_boilerplate_scrubbed", "documents"),
     ("stream_tumbling_eviction_timing", "events"),
+    # round-12 additions
+    ("source_mixture_reweighted", "documents"),
+    ("corpus_doremi_mix_fill", "documents"),
+    ("stream_dedup_eviction_timing", "events"),
     # round-11 additions (unigram_em_prune_divergence runs on a FIXED
     # planted corpus by design — its flat curve documents exactly that)
     ("source_boilerplate_ngrams", "documents"),
