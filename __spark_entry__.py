@@ -78,6 +78,7 @@ CHECK_PRIORITY = [
     "stream_dedup_eviction_timing",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
+    "corpus_curriculum_schedule",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

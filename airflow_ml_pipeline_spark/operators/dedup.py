@@ -956,12 +956,18 @@ _SQL_FUNNEL_STAGE4_CTES = (
 
 
 def _source_scrub_kept(pdocs: DataFrame) -> DataFrame:
-    """(doc_id, source, kept_tokens > 0) after the per-source boilerplate
-    scrub of ``pdocs`` — the funnel's stage-4 kernel, composed from the
-    SAME pieces as ``source_boilerplate_scrubbed`` (pinned gram frame →
-    per-source blacklist → broadcast hit join → ``scrub_hits`` excision).
-    ``pdocs`` should be pinned by the caller: the gram build, blacklist,
-    and token re-scan all consume it within one action."""
+    """(doc_id, source, kept_tokens) — EVERY doc, including fully-scrubbed
+    ones — after the per-source boilerplate scrub of ``pdocs``: the
+    funnel's stage-4 kernel, composed from the SAME pieces as
+    ``source_boilerplate_scrubbed`` (pinned gram frame → per-source
+    blacklist → broadcast hit join → ``scrub_hits`` excision). Callers
+    count surviving docs via conditional aggregation (sum(kept > 0)),
+    NOT a filter: a filter on the aliased excision expression gets
+    predicate-pushed and INLINED into the condition, re-evaluating the
+    O(n_tokens x hits) HOF lambda twice per row (the round-4
+    filter-on-expensive-alias lesson). ``pdocs`` should be pinned by the
+    caller: the gram build, blacklist, and token re-scan all consume it
+    within one action."""
     g = _doc_grams_src(pdocs).localCheckpoint(eager=False)
     sboiler = source_boiler_grams(pdocs, grams=g)
     posi = g.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
@@ -971,7 +977,6 @@ def _source_scrub_kept(pdocs: DataFrame) -> DataFrame:
     return (
         pdocs.select("doc_id", "source")
         .join(scrub_hits(pdocs, hits), "doc_id")
-        .filter(F.col("kept_tokens") > 0)
         .select("doc_id", "source", "kept_tokens")
     )
 
@@ -1040,7 +1045,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
 
     scrub4 = _source_scrub_kept(pdocs).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("kept_tokens") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_docs"),
         F.sum("kept_tokens").cast("bigint").alias("n_tokens"),
     ).select(
         F.lit("4_source_boilerplate").alias("stage"), "n_docs", "n_tokens"
@@ -1111,12 +1118,23 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         ).select(F.lit(stage).alias("stage"), "source", "n_docs", "n_tokens")
 
-    scrub4 = _source_scrub_kept(pdocs).groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("kept_tokens").cast("bigint").alias("n_tokens"),
-    ).select(
-        F.lit("4_source_boilerplate").alias("stage"),
-        "source", "n_docs", "n_tokens",
+    scrub4 = (
+        _source_scrub_kept(pdocs)
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("kept_tokens") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum("kept_tokens").cast("bigint").alias("n_tokens"),
+        )
+        # post-AGG filter on the |sources|-row frame (cheap, no HOF
+        # re-eval): the oracle's GROUP BY over surviving rows omits a
+        # source whose every prepared doc was fully scrubbed
+        .filter(F.col("n_docs") > 0)
+        .select(
+            F.lit("4_source_boilerplate").alias("stage"),
+            "source", "n_docs", "n_tokens",
+        )
     )
     return (
         counts(docs, "0_raw")

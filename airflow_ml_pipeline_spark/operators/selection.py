@@ -46,7 +46,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_ml_pipeline_spark.functions.compare import DEC
-from airflow_ml_pipeline_spark.functions.prefix import class_row_number
+from airflow_ml_pipeline_spark.functions.prefix import (
+    class_row_number,
+    global_row_number,
+)
 from airflow_ml_pipeline_spark.functions.text import (
     STOPWORDS_EN,
     count_in,
@@ -1200,3 +1203,120 @@ def corpus_doremi_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _mix_scored(docs).localCheckpoint(eager=False)
     quotas = _mix_quotas(mix, scored)
     return mix_fill_window(scored, quotas)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum schedule (round 12): the ORDER a trainer consumes the corpus
+# in — easy-to-hard phases (Bengio et al. curriculum learning; the
+# difficulty proxy is the corpus's own unigram LM, the standard
+# cheap stand-in) with a deterministic within-phase shuffle so each phase
+# still interleaves sources/topics instead of replaying rank order.
+# ---------------------------------------------------------------------------
+
+#: number of curriculum phases (easy → hard quartiles)
+CURRICULUM_PHASES = 4
+
+
+@query(
+    "corpus_curriculum_schedule",
+    oracle=f"""
+    WITH {SQL_UNIGRAM_LP_CTES},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lp),
+    r AS (
+        SELECT doc_id, avg_logprob,
+               CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id)
+                    AS BIGINT) AS difficulty_rank
+        FROM lp
+    ),
+    p AS (
+        SELECT r.doc_id, r.avg_logprob, r.difficulty_rank,
+               CAST(((r.difficulty_rank - 1) * {CURRICULUM_PHASES}) // nn.n
+                    AS BIGINT) AS phase,
+               CAST(('0x' || substr(md5('cur:' || CAST(r.doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS su
+        FROM r CROSS JOIN nn
+    )
+    SELECT doc_id, avg_logprob, difficulty_rank, phase,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase
+                                   ORDER BY su, doc_id)
+                AS BIGINT) AS order_in_phase
+    FROM p
+    """,
+)
+def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training schedule: every scored document gets (1) a
+    global difficulty rank — easiest first, where easy = highest mean
+    unigram logprob (`doc_unigram_logprob`'s cross-engine-exact score) —
+    (2) a phase = its rank quartile (0 easiest … 3 hardest; a trainer
+    consumes phases in order, the easy-to-hard pacing of curriculum
+    learning), and (3) a deterministic md5-shuffled position WITHIN its
+    phase, so each phase interleaves sources and topics instead of
+    replaying difficulty order (the salted-hash shuffle convention from
+    `corpus_shuffled_shards` / `corpus_weighted_sample`; salt 'cur:'
+    keeps this draw independent of theirs). The output IS the schedule:
+    ORDER BY (phase, order_in_phase) is the training sequence, and it is
+    reproducible across engines, runs, and cluster sizes.
+
+    Exactness: the difficulty score is the 6dp decimal-lattice logprob;
+    ranks are integer row_numbers over the (score DESC, doc_id) total
+    order; phase is integer floor arithmetic; the shuffle key is the
+    md5-hex-prefix integer both engines derive identically.
+
+    Scale: the global rank runs as the two-phase bucketed kernel
+    (`global_row_number`, ~n_buckets parallel windows — never one
+    serial global window), and the within-phase rank uses
+    `class_row_number` — CURRICULUM_PHASES is tiny, exactly the
+    degenerate `Window.partitionBy` case that kernel exists for (global
+    equi-depth cuts on the shuffle key keep ~n_buckets-way parallelism
+    per phase). The scored frame is pinned once; everything else is
+    bounded aggregates and broadcasts."""
+    lp = doc_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    ).localCheckpoint(eager=False)
+    nn = lp.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_row_number(
+        lp,
+        "avg_logprob",
+        [F.asc("doc_id")],
+        32,
+        descending=True,
+        out="difficulty_rank",
+    )
+    phased = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "avg_logprob",
+            "difficulty_rank",
+            F.expr(
+                f"cast((difficulty_rank - 1) * {CURRICULUM_PHASES} div n"
+                " as bigint)"
+            ).alias("phase"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cur:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("su"),
+        )
+        .localCheckpoint(eager=False)  # class_row_number scans it thrice
+    )
+    return class_row_number(
+        phased,
+        "phase",
+        "su",
+        [F.asc("doc_id")],
+        32,
+        out="order_in_phase",
+    ).select(
+        "doc_id", "avg_logprob", "difficulty_rank", "phase", "order_in_phase"
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "stream_dedup_eviction_timing",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
+    "corpus_curriculum_schedule",
 ]
 
 

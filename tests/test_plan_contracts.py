@@ -735,3 +735,14 @@ def test_funnel_stage4_broadcasts_blacklist(spark, sf_dir):
     plan = _plan(registry.QUERIES["corpus_curation_funnel"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curriculum_schedule_distributed_ranks(spark, sf_dir):
+    """corpus_curriculum_schedule: both ranks run as the two-phase
+    bucketed kernels — offsets ride broadcasts (no cartesian product, no
+    sort-merge join of the corpus against the tiny offset/cut frames),
+    so no serial global window survives in the plan."""
+    plan = _plan(registry.QUERIES["corpus_curriculum_schedule"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -38,6 +38,7 @@ NEVER_WITNESSED: set[str] = {
     "stream_dedup_eviction_timing",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
+    "corpus_curriculum_schedule",
 }
 
 #: every operator family must have at least one representative with driver

@@ -343,3 +343,48 @@ def test_doremi_weights_are_normalized_and_monotone(spark, sf_dir):
     by_excess = sorted(rows, key=lambda r: r.excess_nats)
     for a, b in zip(by_excess, by_excess[1:]):
         assert a.weight_ppm <= b.weight_ppm
+
+
+def test_curriculum_schedule_phases_and_interleave(spark, sf_dir):
+    """Semantic pins the lineage-mirroring oracle can't check: phases
+    are contiguous rank quartiles in difficulty order (every phase-p doc
+    ranks strictly before every phase-p+1 doc, sizes differ by <= 1 and
+    sum to n), order_in_phase is a 1..size permutation within each
+    phase, and the within-phase shuffle actually interleaves (the
+    order differs from difficulty order in every non-trivial phase)."""
+    from airflow_ml_pipeline_spark.operators.selection import (
+        CURRICULUM_PHASES,
+        corpus_curriculum_schedule,
+    )
+
+    rows = corpus_curriculum_schedule(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.difficulty_rank for r in rows) == list(range(1, n + 1))
+    by_phase: dict[int, list] = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r)
+    assert set(by_phase) == set(range(CURRICULUM_PHASES))
+    sizes = [len(by_phase[p]) for p in range(CURRICULUM_PHASES)]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    for p in range(CURRICULUM_PHASES - 1):
+        assert max(r.difficulty_rank for r in by_phase[p]) < min(
+            r.difficulty_rank for r in by_phase[p + 1]
+        )
+        # easier phases have >= mean logprob (difficulty is monotone
+        # in rank by construction; this checks the SIGN convention —
+        # boundary ties land as equality and still pass >=)
+        assert min(r.avg_logprob for r in by_phase[p]) >= max(
+            r.avg_logprob for r in by_phase[p + 1]
+        )
+    for p, docs in by_phase.items():
+        assert sorted(r.order_in_phase for r in docs) == list(
+            range(1, len(docs) + 1)
+        )
+        if len(docs) > 2:
+            by_order = [
+                r.difficulty_rank
+                for r in sorted(docs, key=lambda r: r.order_in_phase)
+            ]
+            assert by_order != sorted(by_order), (
+                f"phase {p}: shuffle did not interleave"
+            )

@@ -127,6 +127,7 @@ AUDITED = [
     # round-12 additions
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
+    "corpus_curriculum_schedule",
     "stream_dedup_eviction_timing",
     # round-11 additions
     "source_boilerplate_ngrams",
