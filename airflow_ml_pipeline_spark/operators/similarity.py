@@ -336,40 +336,48 @@ def ivf_assign(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     (probe selection), and a filter condition gets predicate-pushed and
     INLINED, re-evaluating every referenced fold (~2x the whole 16x64
     arithmetic — measured 0.55 s vs 0.20 s assign-only at sf0.1,
-    SCALING.md r12 A/B). Folding argmin as one ``F.aggregate`` over an
-    array of (j, score) structs mentions each fold exactly ONCE in the
-    expression tree, so even fully inlined into a filter the arithmetic
-    runs once per row. Same scores, same tie rule, same plan shape
-    (projection-only, no shuffle: tests/test_plan_contracts.py)."""
+    SCALING.md r12 A/B). Folding argmin as one aggregate over (j, score)
+    structs mentions each fold exactly ONCE in the expression tree, so
+    even fully inlined into a filter the arithmetic runs once per row.
+
+    ONE-PARSE construction (r12 follow-up): building the 16x64 tree via
+    pyspark Column operators cost ~1.4 s of py4j round-trips PER QUERY
+    CONSTRUCTION (measured at sf0.1: per-call 1.9 s vs 0.4 s re-executing
+    a prebuilt frame — the bench pays construction every time, a real
+    cost any caller pays too). The whole assignment is now ONE F.expr
+    string (centroids interpolated as {v!r}D double literals — repr is
+    the shortest round-trip rendering, so the parsed double is
+    bit-identical to the old F.lit) parsed by Catalyst in a single call.
+    Same scores, same strict-improvement lowest-index tie rule, same
+    plan shape (projection-only, no shuffle:
+    tests/test_plan_contracts.py); value parity vs a numpy argmin is
+    pinned by tests/test_similarity.py::test_ivf_assignment_is_nearest_centroid."""
     from airflow_ml_pipeline_spark.operators.ivf_centroids import (
         IVF_CENTROIDS,
         IVF_CENTROID_N2,
     )
 
-    elems = []
-    for j, (c, n2) in enumerate(zip(IVF_CENTROIDS, IVF_CENTROID_N2)):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                F.lit(c).cast("array<double>"),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        s = F.lit(n2) - F.lit(2.0) * d
-        elems.append(
-            F.struct(F.lit(j).cast("int").alias("j"), s.alias("s"))
-        )
-    best = F.aggregate(
-        F.array(*elems),
-        F.struct(
-            F.lit(-1).cast("int").alias("j"),
-            F.lit(float("inf")).alias("s"),
-        ),
-        lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
+    cent2d = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in IVF_CENTROIDS
     )
-    return df.select(*df.columns, best["j"].cast("int").alias("cluster_id"))
+    n2s = ", ".join(f"{float(n2)!r}D" for n2 in IVF_CENTROID_N2)
+    best = F.expr(
+        f"""aggregate(
+        transform(
+            zip_with(
+                array({n2s}),
+                transform(array({cent2d}), c ->
+                    aggregate(zip_with(`{emb_col}`, c,
+                                       (x, y) -> CAST(x AS DOUBLE) * y),
+                              0.0D, (acc, x) -> acc + x)),
+                (n2, d) -> n2 - 2.0D * d),
+            (s, j) -> struct(CAST(j AS INT) AS j, s AS s)),
+        struct(CAST(-1 AS INT) AS j, CAST('Infinity' AS DOUBLE) AS s),
+        (acc, x) -> IF(x.s < acc.s, x, acc)
+    ).j"""
+    )
+    return df.select(*df.columns, best.cast("int").alias("cluster_id"))
 
 
 def _ivf_probe_lists(qvec: list[float], nprobe: int = IVF_NPROBE) -> list[int]:
