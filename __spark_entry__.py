@@ -79,6 +79,7 @@ CHECK_PRIORITY = [
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
+    "source_doremi_epochs",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

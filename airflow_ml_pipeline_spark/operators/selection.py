@@ -872,15 +872,12 @@ def mix_fill_bucketed(scored: DataFrame, quotas: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "source_epoch_allocation",
-    oracle=f"""
-    WITH {_sql_mix_ctes()},
-    weights AS (
-        SELECT source, {SQL_MIX_PPM} AS ppm
-        FROM per_src CROSS JOIN tot
-    ),
-    st AS (
+def _sql_epoch_tail() -> str:
+    """st/totc/q CTEs + the final epochs SELECT — the epoch-allocation
+    statement downstream of ANY ``weights(source, ppm)`` CTE, shared by
+    the proportional and DoReMi-reweighted allocations (the
+    _sql_fill_tail rule)."""
+    return f"""st AS (
         SELECT source,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                    AS source_tokens
@@ -901,7 +898,41 @@ def mix_fill_bucketed(scored: DataFrame, quotas: DataFrame) -> DataFrame:
                                         "st.source_tokens", "//")}
                 ELSE 0 END AS BIGINT) AS epochs_ppm
     FROM st JOIN q USING (source)
-    """,
+    """
+
+
+def _epoch_allocation(mix: DataFrame, scored: DataFrame) -> DataFrame:
+    """The epoch-allocation composition over ANY (source, mix_weight_ppm)
+    frame — quota lineage shared with the fill via ``_mix_quotas``."""
+    quotas = _mix_quotas(mix, scored)
+    st = scored.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("source_tokens")
+    )
+    return st.join(F.broadcast(quotas), "source").select(
+        "source",
+        "source_tokens",
+        "quota_tokens",
+        F.when(
+            F.col("source_tokens") > 0,
+            F.expr(
+                _scaled_ratio_ppm("quota_tokens", "source_tokens", "div")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("epochs_ppm"),
+    )
+
+
+@query(
+    "source_epoch_allocation",
+    oracle=f"""
+    WITH {_sql_mix_ctes()},
+    weights AS (
+        SELECT source, {SQL_MIX_PPM} AS ppm
+        FROM per_src CROSS JOIN tot
+    ),
+    {_sql_epoch_tail()}""",
 )
 def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REPEAT factor the training mix implies per source — the
@@ -927,24 +958,7 @@ def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     scored = _mix_scored(docs).localCheckpoint(eager=False)
-    quotas = _mix_quotas(mix, scored)
-    st = scored.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("source_tokens")
-    )
-    return st.join(F.broadcast(quotas), "source").select(
-        "source",
-        "source_tokens",
-        "quota_tokens",
-        F.when(
-            F.col("source_tokens") > 0,
-            F.expr(
-                _scaled_ratio_ppm("quota_tokens", "source_tokens", "div")
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("epochs_ppm"),
-    )
+    return _epoch_allocation(mix, scored)
 
 
 # ---------------------------------------------------------------------------
@@ -1203,6 +1217,36 @@ def corpus_doremi_mix_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _mix_scored(docs).localCheckpoint(eager=False)
     quotas = _mix_quotas(mix, scored)
     return mix_fill_window(scored, quotas)
+
+
+@query(
+    "source_doremi_epochs",
+    oracle=f"""
+    WITH {_sql_doremi_ctes()},
+    weights AS (SELECT source, weight_ppm AS ppm FROM rw),
+    {_sql_epoch_tail()}""",
+)
+def source_doremi_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeat factor the DOREMI mix implies per source — the
+    reweighted twin of `source_epoch_allocation` (epochs_ppm =
+    quota / source_tokens in integer ppm, overflow-safe), completing the
+    recipe symmetry: both mixes now publish BOTH artifacts (the doc-level
+    fill and the epochs sentence), each pair through ONE shared quota
+    statement (`_mix_quotas` / `_sql_epoch_tail`), so a recipe's fill and
+    its epochs can never disagree. Under excess-loss reweighting a small
+    high-margin source typically shows epochs_ppm far above 1e6 (the
+    trainer repeats it — DoReMi's characteristic oversampling of
+    learnable domains) while flat sources fall well below.
+
+    Scale: the reweighting's broadcast grid over the two LM lineages +
+    one |sources|-row token aggregate — nothing data-sized moves beyond
+    the lineages themselves."""
+    mix = source_mixture_reweighted(spark, sf_dir).select(
+        "source", F.col("weight_ppm").alias("mix_weight_ppm")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _mix_scored(docs).localCheckpoint(eager=False)
+    return _epoch_allocation(mix, scored)
 
 
 # ---------------------------------------------------------------------------

@@ -189,6 +189,7 @@ HEADLINE = [
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
+    "source_doremi_epochs",
 ]
 
 

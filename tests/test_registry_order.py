@@ -39,6 +39,7 @@ NEVER_WITNESSED: set[str] = {
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
+    "source_doremi_epochs",
 }
 
 #: every operator family must have at least one representative with driver

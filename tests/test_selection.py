@@ -388,3 +388,32 @@ def test_curriculum_schedule_phases_and_interleave(spark, sf_dir):
             assert by_order != sorted(by_order), (
                 f"phase {p}: shuffle did not interleave"
             )
+
+
+def test_doremi_fill_and_epochs_share_quotas(spark, sf_dir):
+    """The reweighted fill and the reweighted epochs report compose the
+    SAME quota statement — per source, the quota the fill enforced is
+    the quota the epochs sentence describes (the recipe-consistency
+    guarantee the shared `_mix_quotas`/`_sql_epoch_tail` design claims)."""
+    from airflow_ml_pipeline_spark.operators.selection import (
+        corpus_doremi_mix_fill,
+        source_doremi_epochs,
+    )
+
+    fill_q = {
+        r.source: r.quota_tokens
+        for r in corpus_doremi_mix_fill(spark, sf_dir)
+        .select("source", "quota_tokens")
+        .distinct()
+        .collect()
+    }
+    epoch_q = {
+        r.source: r.quota_tokens for r in source_doremi_epochs(spark, sf_dir).collect()
+    }
+    # every source the fill touched reports the identical quota
+    for s, q in fill_q.items():
+        assert epoch_q[s] == q
+    # and the reweighting produces a genuine repeat spread on the
+    # shipped corpus (some source oversampled relative to another)
+    vals = [r for r in epoch_q.values()]
+    assert max(vals) > min(vals)

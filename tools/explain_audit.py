@@ -128,6 +128,7 @@ AUDITED = [
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
+    "source_doremi_epochs",
     "stream_dedup_eviction_timing",
     # round-11 additions
     "source_boilerplate_ngrams",
