@@ -555,14 +555,25 @@ def _simhash_vote(hashed: DataFrame, n_bits: int) -> DataFrame:
             "h", zeros, lambda acc, x: F.zip_with(acc, bits(x), lambda a, c: a + c)
         ).alias("counts"),
     )
-    fp = F.lit(0).cast("long")
-    for b in range(n_bits):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.element_at("counts", b + 1) * 2 > F.col("n"),
-                F.lit(1 << b).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    # ONE-PARSE construction, SAME execution shape (r12 construction
+    # audit): the earlier 63-iteration Python loop of bitwiseOR/when
+    # Columns spent ~250 py4j round-trips per query construction — build
+    # the identical 63-term OR chain as a single F.expr string instead.
+    # The chain shape is LOAD-BEARING: it references `counts` 63 times,
+    # which keeps the vote aggregate materialized as its own projection
+    # stage (CollapseProject only preserves an alias referenced 2+
+    # times). A single-reference fold variant (aggregate over
+    # zip_with(counts, masks)) was tried and reverted: CollapseProject
+    # inlined the WHOLE per-gram vote into the fingerprint, and
+    # near_dup_pairs_simhash's 6 per-band references then re-evaluated
+    # it 6x per row — exec went 2.5 s -> 99 s at sf0.1.
+    fp = F.expr(
+        "(" + " | ".join(
+            f"(CASE WHEN element_at(counts, {b + 1}) * 2 > n"
+            f" THEN {1 << b}L ELSE 0L END)"
+            for b in range(n_bits)
+        ) + ")"
+    )
     return counted.select("doc_id", fp.alias("simhash"))
 
 
