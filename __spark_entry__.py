@@ -80,6 +80,7 @@ CHECK_PRIORITY = [
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
+    "curriculum_shard_manifest",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

@@ -1261,10 +1261,11 @@ def source_doremi_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_PHASES = 4
 
 
-@query(
-    "corpus_curriculum_schedule",
-    oracle=f"""
-    WITH {SQL_UNIGRAM_LP_CTES},
+def _sql_curriculum_ctes() -> str:
+    """The curriculum schedule as DuckDB CTEs ending in ``sched(doc_id,
+    avg_logprob, difficulty_rank, phase, order_in_phase)`` — shared by
+    the schedule query and the shard-manifest composition."""
+    return f"""{SQL_UNIGRAM_LP_CTES},
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lp),
     r AS (
         SELECT doc_id, avg_logprob,
@@ -1279,12 +1280,22 @@ CURRICULUM_PHASES = 4
                CAST(('0x' || substr(md5('cur:' || CAST(r.doc_id AS VARCHAR)),
                                     1, 8)) AS BIGINT) AS su
         FROM r CROSS JOIN nn
-    )
-    SELECT doc_id, avg_logprob, difficulty_rank, phase,
-           CAST(ROW_NUMBER() OVER (PARTITION BY phase
-                                   ORDER BY su, doc_id)
-                AS BIGINT) AS order_in_phase
-    FROM p
+    ),
+    sched AS (
+        SELECT doc_id, avg_logprob, difficulty_rank, phase,
+               CAST(ROW_NUMBER() OVER (PARTITION BY phase
+                                       ORDER BY su, doc_id)
+                    AS BIGINT) AS order_in_phase
+        FROM p
+    )"""
+
+
+@query(
+    "corpus_curriculum_schedule",
+    oracle=f"""
+    WITH {_sql_curriculum_ctes()}
+    SELECT doc_id, avg_logprob, difficulty_rank, phase, order_in_phase
+    FROM sched
     """,
 )
 def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,4 +1374,100 @@ def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="order_in_phase",
     ).select(
         "doc_id", "avg_logprob", "difficulty_rank", "phase", "order_in_phase"
+    )
+
+
+#: shards per curriculum phase (round-robin over the within-phase order)
+CURRICULUM_SHARDS = 8
+
+
+@query(
+    "curriculum_shard_manifest",
+    oracle=f"""
+    WITH {_sql_curriculum_ctes()},
+    tok2 AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT s.phase,
+               CAST((s.order_in_phase - 1) % {CURRICULUM_SHARDS} AS BIGINT)
+                   AS shard,
+               s.doc_id, s.order_in_phase, t.n_tokens
+        FROM sched s JOIN tok2 t USING (doc_id)
+    )
+    SELECT phase, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(CAST(('0x' || substr(
+                     md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(order_in_phase AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR) AS order_checksum
+    FROM m GROUP BY phase, shard
+    """,
+)
+def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume-safe handoff artifact for the curriculum schedule:
+    each (phase, shard) — shard = round-robin over the within-phase
+    order, so shards stay balanced AND each preserves the schedule's
+    interleaving — gets its doc/token totals and an ORDER-SENSITIVE
+    checksum. `training_data_manifest`'s checksum is deliberately
+    order-insensitive (membership); a curriculum consumer must also
+    prove it will replay docs in the SAME order after a restart, so the
+    checksum here sums POSITION-TAGGED hashes: md5(doc_id ':'
+    order_in_phase) per doc — any doc moved, dropped, duplicated, or
+    reordered changes the sum, yet the aggregation itself is commutative.
+
+    Exactness: each term is a 60-bit integer (15 md5 hex chars — the
+    engine-portable hash twin) summed on the DECIMAL(38,0) lattice
+    (Spark's bigint SUM would wrap silently at ~1.5e8 docs per shard;
+    DuckDB widens to HUGEINT — the decimal sum is exact AND
+    schema-identical on both engines), emitted as a string.
+
+    Scale: the commutative position-tagged sum is the point — an
+    order-sensitive digest usually needs an ordered string_agg
+    (collect_list per group: unbounded state, driver-killer at 100 TB);
+    here the per-group state is one decimal accumulator with map-side
+    partial aggregation, and the output is |phases| x |shards| rows."""
+    sched = corpus_curriculum_schedule(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    term = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("order_in_phase").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        sched.join(toks, "doc_id")
+        .select(
+            "phase",
+            ((F.col("order_in_phase") - 1) % CURRICULUM_SHARDS)
+            .cast("bigint")
+            .alias("shard"),
+            "n_tokens",
+            term.cast("decimal(38,0)").alias("term"),
+        )
+        .groupBy("phase", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("term").cast("decimal(38,0)").cast("string").alias(
+                "order_checksum"
+            ),
+        )
     )

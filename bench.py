@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
+    "curriculum_shard_manifest",
 ]
 
 

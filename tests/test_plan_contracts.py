@@ -746,3 +746,15 @@ def test_curriculum_schedule_distributed_ranks(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curriculum_manifest_partial_aggregates(spark, sf_dir):
+    """curriculum_shard_manifest: the position-tagged checksum must
+    aggregate with map-side partials (partial HashAggregate before the
+    (phase, shard) exchange, final after) — the O(1)-state design the
+    docstring claims over an ordered-collect alternative — and no
+    cartesian product may appear."""
+    plan = _plan(registry.QUERIES["curriculum_shard_manifest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CollectList" not in plan and "collect_list" not in plan, plan

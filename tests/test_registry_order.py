@@ -40,6 +40,7 @@ NEVER_WITNESSED: set[str] = {
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
+    "curriculum_shard_manifest",
 }
 
 #: every operator family must have at least one representative with driver

@@ -417,3 +417,64 @@ def test_doremi_fill_and_epochs_share_quotas(spark, sf_dir):
     # shipped corpus (some source oversampled relative to another)
     vals = [r for r in epoch_q.values()]
     assert max(vals) > min(vals)
+
+
+def test_curriculum_manifest_balance_and_order_checksum(spark, sf_dir):
+    """Semantic pins for the shard manifest: round-robin keeps shard
+    sizes within a phase balanced to <= 1; every scheduled doc lands in
+    exactly one shard; and the order checksum equals an independent
+    pure-Python recount of the position-tagged hash sum — moving one
+    doc's position provably changes it."""
+    import hashlib
+    from collections import defaultdict
+
+    from airflow_ml_pipeline_spark.operators.selection import (
+        CURRICULUM_SHARDS,
+        corpus_curriculum_schedule,
+        curriculum_shard_manifest,
+    )
+    from airflow_ml_pipeline_spark.functions.text import tokens as _tok
+
+    sched = corpus_curriculum_schedule(spark, sf_dir).collect()
+    n_toks = {
+        r.doc_id: r.nt
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tok(F.col("text"))).alias("nt"))
+        .collect()
+    }
+    expect = defaultdict(lambda: [0, 0, 0])  # (phase, shard) -> docs, toks, sum
+    for r in sched:
+        shard = (r.order_in_phase - 1) % CURRICULUM_SHARDS
+        h = int(
+            hashlib.md5(f"{r.doc_id}:{r.order_in_phase}".encode()).hexdigest()[:15],
+            16,
+        )
+        e = expect[(r.phase, shard)]
+        e[0] += 1
+        e[1] += n_toks[r.doc_id]
+        e[2] += h
+    got = {
+        (r.phase, r.shard): (r.n_docs, r.n_tokens, r.order_checksum)
+        for r in curriculum_shard_manifest(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for key, (d, t, c) in expect.items():
+        assert got[key] == (d, t, str(c)), key
+    # round-robin balance within each phase
+    by_phase = defaultdict(list)
+    for (p, s), (d, _, _) in expect.items():
+        by_phase[p].append(d)
+    for p, sizes in by_phase.items():
+        assert max(sizes) - min(sizes) <= 1, (p, sizes)
+    # order-sensitivity: swapping two docs' positions changes the sum
+    a, b = sched[0], next(r for r in sched if r.phase == sched[0].phase
+                          and r.order_in_phase != sched[0].order_in_phase)
+    orig = (
+        int(hashlib.md5(f"{a.doc_id}:{a.order_in_phase}".encode()).hexdigest()[:15], 16)
+        + int(hashlib.md5(f"{b.doc_id}:{b.order_in_phase}".encode()).hexdigest()[:15], 16)
+    )
+    swapped = (
+        int(hashlib.md5(f"{a.doc_id}:{b.order_in_phase}".encode()).hexdigest()[:15], 16)
+        + int(hashlib.md5(f"{b.doc_id}:{a.order_in_phase}".encode()).hexdigest()[:15], 16)
+    )
+    assert orig != swapped

@@ -129,6 +129,7 @@ AUDITED = [
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
+    "curriculum_shard_manifest",
     "stream_dedup_eviction_timing",
     # round-11 additions
     "source_boilerplate_ngrams",
