@@ -81,6 +81,7 @@ CHECK_PRIORITY = [
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
     "curriculum_shard_manifest",
+    "corpus_mix_budget_ablation",
     # -- latest driver row: round 7 (30 names) --
     "doc_length_zscore_by_lang",
     "doc_ppl_buckets",

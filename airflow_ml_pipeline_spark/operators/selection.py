@@ -687,11 +687,10 @@ def _scaled_ratio_ppm(num: str, den: str, idiv: str) -> str:
     return f"((({num}) {idiv} ({den})) * 1000000 + {inner})"
 
 
-def _sql_fill_tail() -> str:
-    """The quota application stated ONCE (totc/scoredd/cum/q CTEs + the
-    final fill SELECT), downstream of ANY ``weights(source, ppm)`` CTE —
-    shared by the learnability-proportional fill and the DoReMi-reweighted
-    fill so the two recipes can never diverge in fill semantics."""
+def _sql_cum_ctes() -> str:
+    """totc/scoredd/cum CTEs — the quota-INDEPENDENT half of the fill
+    (corpus token total, quality-scored docs, per-source running sums),
+    shared by the fill tail and the budget-ablation query."""
     toks = "string_split(text, ' ')"
     return f"""totc AS (
         SELECT CAST(SUM(len({toks})) AS BIGINT) AS total_tokens
@@ -710,7 +709,15 @@ def _sql_fill_tail() -> str:
                     PARTITION BY source
                     ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
         FROM scoredd
-    ),
+    )"""
+
+
+def _sql_fill_tail() -> str:
+    """The quota application stated ONCE (totc/scoredd/cum/q CTEs + the
+    final fill SELECT), downstream of ANY ``weights(source, ppm)`` CTE —
+    shared by the learnability-proportional fill and the DoReMi-reweighted
+    fill so the two recipes can never diverge in fill semantics."""
+    return f"""{_sql_cum_ctes()},
     q AS (
         SELECT w.source,
                CAST({_ppm_scale(_ppm_scale("totc.total_tokens", MIX_FILL_PPM, "//"),
@@ -799,10 +806,10 @@ def _mix_quotas(mix: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
-def mix_fill_window(scored: DataFrame, quotas: DataFrame) -> DataFrame:
-    """Per-source window fill: running token sum under (score DESC,
-    doc_id) within each source, keep while under quota. The right shape
-    when |sources| >> cores (the window parallelizes across sources)."""
+def _mix_cum(scored: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens): the per-source running
+    token sum under (score DESC, doc_id) — quota-independent, so budget
+    ablations compute it ONCE and compare against many quotas."""
     from pyspark.sql.window import Window
 
     w = (
@@ -810,14 +817,21 @@ def mix_fill_window(scored: DataFrame, quotas: DataFrame) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = scored.select(
+    return scored.select(
         "doc_id",
         "source",
         "n_tokens",
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     )
+
+
+def mix_fill_window(scored: DataFrame, quotas: DataFrame) -> DataFrame:
+    """Per-source window fill: running token sum under (score DESC,
+    doc_id) within each source, keep while under quota. The right shape
+    when |sources| >> cores (the window parallelizes across sources)."""
     return (
-        cum.join(F.broadcast(quotas), "source")
+        _mix_cum(scored)
+        .join(F.broadcast(quotas), "source")
         .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
         .select("doc_id", "source", "n_tokens", "cum_tokens", "quota_tokens")
     )
@@ -1469,5 +1483,97 @@ def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("decimal(38,0)").cast("string").alias(
                 "order_checksum"
             ),
+        )
+    )
+
+
+#: ablation grid: fraction of the corpus's tokens the mix may use, ppm
+ABLATION_BUDGETS_PPM = [250_000, 500_000, 750_000]
+
+
+@query(
+    "corpus_mix_budget_ablation",
+    oracle=f"""
+    WITH {_sql_mix_ctes()},
+    weights AS (
+        SELECT source, {SQL_MIX_PPM} AS ppm
+        FROM per_src CROSS JOIN tot
+    ),
+    {_sql_cum_ctes()},
+    budgets AS (
+        SELECT CAST(unnest({ABLATION_BUDGETS_PPM}) AS BIGINT) AS budget_ppm
+    ),
+    qb AS (
+        SELECT b.budget_ppm, w.source,
+               CAST({_ppm_scale(_ppm_scale("totc.total_tokens",
+                                           "b.budget_ppm", "//"),
+                                "w.ppm", "//")} AS BIGINT) AS quota_tokens
+        FROM weights w CROSS JOIN totc CROSS JOIN budgets b
+    )
+    SELECT qb.budget_ppm, c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept,
+           qb.quota_tokens
+    FROM cum c JOIN qb ON qb.source = c.source
+    WHERE c.cum_tokens <= qb.quota_tokens
+    GROUP BY qb.budget_ppm, c.source, qb.quota_tokens
+    """,
+)
+def corpus_mix_budget_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe-tuning table: what the learnability-weighted training
+    mix KEEPS per source at three corpus-token budgets (25% / 50% /
+    75%) — the ablation a data engineer reads before committing to a
+    budget ("at 25% source X contributes nothing; at 75% we exhaust
+    source Y"). Same weights, same quality ranking, same quota algebra
+    as `corpus_training_mix_fill` (the 50% row aggregates EXACTLY the
+    committed fill's rows); only the budget varies.
+
+    Scale: the per-source running sum — the expensive half — is
+    computed ONCE (it is quota-independent, `_mix_cum`/`_sql_cum_ctes`)
+    and compared against a |budgets| x |sources| broadcast quota grid;
+    adding a budget costs one more broadcast row, not another window
+    pass. Output is |budgets| x |sources| rows."""
+    mix = source_learnability_mix(spark, sf_dir).select(
+        "source", "mix_weight_ppm"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _mix_scored(docs).localCheckpoint(eager=False)
+    total = scored.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    budgets = spark.range(1).select(
+        F.explode(
+            F.lit(ABLATION_BUDGETS_PPM).cast("array<bigint>")
+        ).alias("budget_ppm")
+    )
+    qb = (
+        mix.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(budgets))
+        .select(
+            "budget_ppm",
+            "source",
+            F.expr(
+                _ppm_scale(
+                    _ppm_scale("total_tokens", "budget_ppm", "div"),
+                    "mix_weight_ppm",
+                    "div",
+                )
+            )
+            .cast("bigint")
+            .alias("quota_tokens"),
+        )
+    )
+    return (
+        _mix_cum(scored)
+        .join(F.broadcast(qb), "source")
+        .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .groupBy("budget_ppm", "source", "quota_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "budget_ppm", "source", "n_docs_kept", "tokens_kept",
+            "quota_tokens",
         )
     )

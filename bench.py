@@ -191,6 +191,7 @@ HEADLINE = [
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
     "curriculum_shard_manifest",
+    "corpus_mix_budget_ablation",
 ]
 
 

@@ -758,3 +758,16 @@ def test_curriculum_manifest_partial_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "CollectList" not in plan and "collect_list" not in plan, plan
+
+
+def test_budget_ablation_single_window_pass(spark, sf_dir):
+    """corpus_mix_budget_ablation: ONE per-source running-sum window
+    compared against the broadcast quota grid — the plan may contain
+    exactly one Window operator and no cartesian product (each extra
+    budget must ride the broadcast, never a second window pass)."""
+    plan = _plan(registry.QUERIES["corpus_mix_budget_ablation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("(Window") + plan.count(") Window") >= 1, plan
+    # exactly one Window node id in the formatted plan
+    import re
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

@@ -41,6 +41,7 @@ NEVER_WITNESSED: set[str] = {
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
     "curriculum_shard_manifest",
+    "corpus_mix_budget_ablation",
 }
 
 #: every operator family must have at least one representative with driver

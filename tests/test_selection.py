@@ -478,3 +478,41 @@ def test_curriculum_manifest_balance_and_order_checksum(spark, sf_dir):
         + int(hashlib.md5(f"{b.doc_id}:{a.order_in_phase}".encode()).hexdigest()[:15], 16)
     )
     assert orig != swapped
+
+
+def test_budget_ablation_consistent_with_fill_and_monotone(spark, sf_dir):
+    """The ablation's 500000-ppm rows aggregate EXACTLY the committed
+    fill (same weights/ranking/quota algebra, MIX_FILL_PPM = 500000),
+    and per source the kept docs/tokens are non-decreasing in budget."""
+    from collections import defaultdict
+
+    from airflow_ml_pipeline_spark.operators.selection import (
+        MIX_FILL_PPM,
+        corpus_mix_budget_ablation,
+        corpus_training_mix_fill,
+    )
+
+    abl = corpus_mix_budget_ablation(spark, sf_dir).collect()
+    fill = defaultdict(lambda: [0, 0])
+    for r in corpus_training_mix_fill(spark, sf_dir).collect():
+        fill[r.source][0] += 1
+        fill[r.source][1] += r.n_tokens
+    mid = {
+        r.source: (r.n_docs_kept, r.tokens_kept)
+        for r in abl
+        if r.budget_ppm == MIX_FILL_PPM
+    }
+    assert mid == {s: tuple(v) for s, v in fill.items()}
+    by_source = defaultdict(dict)
+    for r in abl:
+        by_source[r.source][r.budget_ppm] = (
+            r.n_docs_kept, r.tokens_kept, r.quota_tokens
+        )
+    grew = False
+    for s, d in by_source.items():
+        budgets = sorted(d)
+        for lo, hi in zip(budgets, budgets[1:]):
+            assert d[lo][0] <= d[hi][0] and d[lo][1] <= d[hi][1], (s, d)
+            assert d[lo][2] <= d[hi][2]
+            grew = grew or d[lo][1] < d[hi][1]
+    assert grew, "ablation grid is flat — vacuous corpus"

@@ -130,6 +130,7 @@ AUDITED = [
     "corpus_curriculum_schedule",
     "source_doremi_epochs",
     "curriculum_shard_manifest",
+    "corpus_mix_budget_ablation",
     "stream_dedup_eviction_timing",
     # round-11 additions
     "source_boilerplate_ngrams",

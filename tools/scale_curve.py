@@ -119,6 +119,7 @@ QUERIES = [
     ("corpus_curriculum_schedule", "documents"),
     ("source_doremi_epochs", "documents"),
     ("curriculum_shard_manifest", "documents"),
+    ("corpus_mix_budget_ablation", "documents"),
     ("stream_dedup_eviction_timing", "events"),
     # round-11 additions (unigram_em_prune_divergence runs on a FIXED
     # planted corpus by design — its flat curve documents exactly that)
