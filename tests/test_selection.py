@@ -516,3 +516,57 @@ def test_budget_ablation_consistent_with_fill_and_monotone(spark, sf_dir):
             assert d[lo][2] <= d[hi][2]
             grew = grew or d[lo][1] < d[hi][1]
     assert grew, "ablation grid is flat — vacuous corpus"
+
+
+def test_doremi_reweight_matches_python_replay(spark):
+    """Randomized (seeded) parity: the kernel's full integer algebra —
+    max-normalized exp quantization, per-step ppm floor division,
+    iterate average, smoothing — equals a pure-Python replay on a
+    50-source frame with excess values across the realistic range
+    (0..3 nats, 6dp lattice), including exact ties and zero rows."""
+    import math
+    import random
+
+    from airflow_ml_pipeline_spark.operators.selection import (
+        DOREMI_ETA,
+        DOREMI_SMOOTH_PPM,
+        DOREMI_STEPS,
+        doremi_reweight,
+    )
+
+    rng = random.Random(12012)
+    rows = [
+        (f"s{i:02d}", rng.randint(1, 1000),
+         round(rng.choice([0.0, 0.0, rng.uniform(0, 3)]), 6))
+        for i in range(48)
+    ]
+    rows.append(("tie_a", 5, rows[0][2]))  # exact tie with s00
+    rows.append(("tie_b", 5, rows[0][2]))
+    excess = spark.createDataFrame(
+        rows, "source string, n_docs long, excess_nats double"
+    )
+    got = {
+        r.source: (r.alpha_bar_ppm, r.weight_ppm)
+        for r in doremi_reweight(excess).collect()
+    }
+
+    mx = max(e for _, _, e in rows)
+    k = len(rows)
+    w_sum = {s: 0 for s, _, _ in rows}
+    for t in range(1, DOREMI_STEPS + 1):
+        m = {
+            s: int(round(math.exp(DOREMI_ETA * t * (e - mx)) * 1_000_000))
+            for s, _, e in rows
+        }
+        tot = sum(m.values())
+        for s in m:
+            w_sum[s] += m[s] * 1_000_000 // tot
+    expect = {}
+    for s, _, _ in rows:
+        ab = w_sum[s] // DOREMI_STEPS
+        expect[s] = (
+            ab,
+            (1_000_000 - DOREMI_SMOOTH_PPM) * ab // 1_000_000
+            + DOREMI_SMOOTH_PPM // k,
+        )
+    assert got == expect
