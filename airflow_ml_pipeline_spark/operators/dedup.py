@@ -359,23 +359,21 @@ def lsh_candidate_pairs(
     self-join docs sharing any (band, band_hash) bucket → distinct candidate
     pairs. The only shuffle is on the band hash; bucket fan-out is O(dups)."""
     rows_per_band = n_hashes // bands
+    # ONE-PARSE band extraction (r12 construction audit): the Python
+    # loop built bands x (struct + xxhash64 + rpb GetArrayItems) Column
+    # objects — ~0.3 s of py4j round-trips per call across the LSH
+    # family. The transform-over-sequence expr produces BYTE-IDENTICAL
+    # (band, bucket) values (probed: same xxhash64 buckets; Spark SQL
+    # `signature[i]` is the same 0-based GetArrayItem as the Column API).
+    hash_args = ", ".join(
+        f"signature[b * {rows_per_band} + {r}]" for r in range(rows_per_band)
+    )
     banded = signatures.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[band * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b ->"
+            f" struct(CAST(b AS INT) AS band,"
+            f" xxhash64({hash_args}) AS bucket)))"
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
