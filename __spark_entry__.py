@@ -64,69 +64,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence
 #: queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-12 rotation (VERDICT r11 ask #2) ----
-    # Head: queries newly declared in round 12 (zero driver rows) as
-    # they land, then the whole registry strictly by the age of each
-    # query's latest committed driver row — the judge-recomputed
-    # cohorts: r7 (30, the stalest evidence in the registry) -> r8 (49)
-    # -> r9 (50) -> r10 (50) -> the 50 names the r11 driver just
-    # checked last. Within a cohort the order is alphabetical (the
-    # driver samples a ~50-name prefix; intra-cohort order carries no
-    # evidence signal). Full registry listed; ordering contract:
-    # tests/test_registry_order.py.
-    # -- round-12 new queries (zero driver rows until the r12 run) --
-    "stream_dedup_eviction_timing",
-    "source_mixture_reweighted",
-    "corpus_doremi_mix_fill",
-    "corpus_curriculum_schedule",
-    "source_doremi_epochs",
-    "curriculum_shard_manifest",
-    "corpus_mix_budget_ablation",
-    # -- latest driver row: round 7 (30 names) --
-    "doc_length_zscore_by_lang",
-    "doc_ppl_buckets",
-    "doc_quality",
-    "doc_quality_model_calibration",
-    "doc_quality_model_scores",
-    "doc_quality_model_train",
-    "doc_repetition_stats",
-    "doc_top_tfidf_term",
-    "doc_winnowing_md5",
-    "embedding_quantization_error",
-    "events_daily_rollup_merge",
-    "events_variant_stats",
-    "label_centroids",
-    "lang_temperature_rates",
-    "multimodal_decode_stats",
-    "nation_balance_unpivot",
-    "near_dup_pairs_jaccard",
-    "stream_dedup_user_event_keys",
-    "stream_doc_quality_scores",
-    "stream_errors_before_purchase_outer",
-    "stream_errors_before_purchase_pairs",
-    "stream_events_sessionized",
-    "stream_events_sliding",
-    "stream_stateful_running_totals",
-    "stream_static_enriched_segments",
-    "stream_user_value_totals",
-    "synthetic_customers",
-    "token_frequencies",
-    "unigram_lm_segmented",
-    "unigram_seed_candidates",
-    # -- latest driver row: round 8 (49 names) --
-    "brand_supplier_counts",
-    "corpus_curation_funnel",
-    "corpus_decontaminated",
-    "corpus_weighted_sample",
-    "customer_pseudonymized",
-    "customers_no_open_orders",
-    "dedup_incremental",
-    "doc_learnability_rho",
-    "doc_pii_scrub",
-    "doc_unigram_logprob",
-    "dominant_part_suppliers",
-    "embedding_activation_stats",
-    "embedding_class_prototypes",
+    # ---- round-13 rotation (VERDICT r12 ask #2) ----
+    # Head: queries newly declared in round 13 (zero driver rows)
+    # as they land, then the whole registry strictly by the age of
+    # each query's latest committed driver row — the judge-
+    # recomputed cohorts: r8 (36, the stalest evidence in the
+    # registry) -> r9 (50) -> r10 (50) -> r11 (50) -> the 50 names
+    # the r12 driver just checked last. Within a cohort the order
+    # is alphabetical (the driver samples a ~50-name prefix;
+    # intra-cohort order carries no evidence signal). Full registry
+    # listed; ordering contract: tests/test_registry_order.py.
+    # -- round-13 new queries (zero driver rows until the r13 run) --
+    # -- latest driver row: round 8 (36 names) --
     "embedding_decontamination",
     "embedding_dim_stats",
     "event_value_hour_stats",
@@ -316,6 +265,57 @@ CHECK_PRIORITY = [
     "top_revenue_suppliers",
     "unigram_em_prune_divergence",
     "user_event_profile",
+    # -- latest driver row: round 12 (50 names) --
+    "brand_supplier_counts",
+    "corpus_curation_funnel",
+    "corpus_curriculum_schedule",
+    "corpus_decontaminated",
+    "corpus_doremi_mix_fill",
+    "corpus_mix_budget_ablation",
+    "corpus_weighted_sample",
+    "curriculum_shard_manifest",
+    "customer_pseudonymized",
+    "customers_no_open_orders",
+    "dedup_incremental",
+    "doc_learnability_rho",
+    "doc_length_zscore_by_lang",
+    "doc_pii_scrub",
+    "doc_ppl_buckets",
+    "doc_quality",
+    "doc_quality_model_calibration",
+    "doc_quality_model_scores",
+    "doc_quality_model_train",
+    "doc_repetition_stats",
+    "doc_top_tfidf_term",
+    "doc_unigram_logprob",
+    "doc_winnowing_md5",
+    "dominant_part_suppliers",
+    "embedding_activation_stats",
+    "embedding_class_prototypes",
+    "embedding_quantization_error",
+    "events_daily_rollup_merge",
+    "events_variant_stats",
+    "label_centroids",
+    "lang_temperature_rates",
+    "multimodal_decode_stats",
+    "nation_balance_unpivot",
+    "near_dup_pairs_jaccard",
+    "source_doremi_epochs",
+    "source_mixture_reweighted",
+    "stream_dedup_eviction_timing",
+    "stream_dedup_user_event_keys",
+    "stream_doc_quality_scores",
+    "stream_errors_before_purchase_outer",
+    "stream_errors_before_purchase_pairs",
+    "stream_events_sessionized",
+    "stream_events_sliding",
+    "stream_stateful_running_totals",
+    "stream_static_enriched_segments",
+    "stream_user_value_totals",
+    "synthetic_customers",
+    "token_frequencies",
+    "unigram_lm_segmented",
+    "unigram_seed_candidates",
 ]
 
 

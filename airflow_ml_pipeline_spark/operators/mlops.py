@@ -8,6 +8,7 @@ oracle-checked.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,19 @@ def synthetic_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGE_CUSTOMERS = (
     f"/tmp/spark_graft_stage/synthetic_customers_2000_{os.getpid()}.parquet"
 )
+
+
+def _cleanup_stage() -> None:
+    """Remove this process's staged copy at interpreter exit (ADVICE
+    r12: without this, every bench/driver/test process leaves its
+    per-PID directory behind and /tmp accumulates staged copies
+    indefinitely)."""
+    import shutil
+
+    shutil.rmtree(STAGE_CUSTOMERS, ignore_errors=True)
+
+
+atexit.register(_cleanup_stage)
 
 #: frozen fit-time 75th percentile of monthly_charges on the committed
 #: (seed=42, n=2000, 16-partition) generated frame — the preprocessor's

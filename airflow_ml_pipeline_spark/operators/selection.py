@@ -1113,6 +1113,17 @@ def doremi_reweight(excess: DataFrame) -> DataFrame:
     per (domain, step) is int64 arithmetic — no float crosses engines
     un-rounded.
 
+    Residual cross-engine risk (ADVICE r12): the one exp() per
+    (domain, step) is evaluated by the JVM's Math.exp on the Spark
+    side and by libm on the DuckDB side; a 1-ulp divergence whose
+    true value lands within ~1e-10 of a .5 boundary of the 1e6
+    lattice would flip m by 1 and fail oracle parity. The inputs are
+    themselves 6dp-lattice values (excess_nats, eta*t exact in
+    binary), so the probability per cell is negligible (~1e-10 per
+    (domain, step) cell), but it is NOT zero — a one-off oracle red
+    here should be diagnosed as this ulp coincidence, not a logic
+    bug.
+
     Scale: the frame is |sources| x DOREMI_STEPS rows — pure broadcast
     arithmetic regardless of corpus size; the expensive part is the
     excess-loss input, which reuses the two LM lineages (each one

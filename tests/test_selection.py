@@ -554,8 +554,14 @@ def test_doremi_reweight_matches_python_replay(spark):
     k = len(rows)
     w_sum = {s: 0 for s, _, _ in rows}
     for t in range(1, DOREMI_STEPS + 1):
+        # floor(x+0.5) = HALF_UP on non-negative x — matches Spark's
+        # F.round and DuckDB's round(double), NOT Python's banker's
+        # round() (ADVICE r12: an exact .5 in a future fixture would
+        # fail here, in the replay, instead of in the kernel).
         m = {
-            s: int(round(math.exp(DOREMI_ETA * t * (e - mx)) * 1_000_000))
+            s: math.floor(
+                math.exp(DOREMI_ETA * t * (e - mx)) * 1_000_000 + 0.5
+            )
             for s, _, e in rows
         }
         tot = sum(m.values())
