@@ -45,6 +45,7 @@ import airflow_ml_pipeline_spark.operators.stats  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.textstats  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.dedup  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.similarity  # noqa: F401,E402
+import airflow_ml_pipeline_spark.operators.pq  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.grouped_pandas  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.mlops  # noqa: F401,E402
 import airflow_ml_pipeline_spark.operators.multimodal  # noqa: F401,E402
@@ -75,6 +76,8 @@ CHECK_PRIORITY = [
     # intra-cohort order carries no evidence signal). Full registry
     # listed; ordering contract: tests/test_registry_order.py.
     # -- round-13 new queries (zero driver rows until the r13 run) --
+    "ann_ivfpq_topk",
+    "pq_quantization_error",
     # -- latest driver row: round 8 (36 names) --
     "embedding_decontamination",
     "embedding_dim_stats",

@@ -1,0 +1,574 @@
+"""IVF-PQ: product-quantized ANN over the ``embeddings`` table.
+
+The completion of the ANN index lifecycle the engine already owns
+(``similarity.py``: brute force -> LSH -> IVF): on top of the frozen IVF
+coarse quantizer (``ivf_centroids.IVF_CENTROIDS``), each vector's
+RESIDUAL (v - coarse_centroid) is split into PQ_M subspaces and each
+subspace is quantized against a frozen per-subspace codebook of PQ_K
+entries — so a 64-dim float vector is stored as PQ_M 4-bit codes plus
+one float norm. This is THE standard 100 TB ANN memory posture
+(Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the Faiss ``IVF16,PQ8x4`` index family): the scan
+side of a query touches only (cluster_id, pq_code, vnorm) — ~12 bytes
+per vector instead of 256 — and scoring is PQ_M lookup-table reads per
+candidate (asymmetric distance computation, ADC).
+
+Lifecycle (mirrors ``operators/ivf_centroids.py``):
+
+- **Train offline**: ``pq_train.build_pq_codebooks`` fits one
+  KMeans(k=PQ_K, seed=42) per subspace over the residual slices of the
+  committed sf0.01 corpus; ``tools/freeze_pq_codebooks.py`` writes the
+  artifact module (``operators/pq_codebooks.py``). Refit
+  reproducibility is pinned by
+  tests/test_pq.py::test_frozen_pq_codebooks_match_refit.
+- **Encode at scale**: ``pq_index`` is pure column arithmetic against
+  the frozen literals — per subspace an argmin over PQ_K distance
+  folds, the whole code array emitted as ONE parsed ``F.expr`` string
+  (the r12 one-parse convention). The residual never materializes:
+  argmin_k |r_m - cw_k|^2 = argmin_k [ (|cw_k|^2 + 2 c_m.cw_k)
+  - 2 v_m.cw_k ], and the bracket is a PRECOMPUTED constant per
+  (coarse cell, subspace, code) — ``_pq_b_tables`` builds it
+  driver-side from the frozen literals and interpolates the SAME
+  doubles into both engines, so the scan-side work per (m, k) is one
+  8-term dot against the raw slice. At 100 TB the code columns are
+  written once, alongside cluster_id as the partition key.
+- **Query by ADC**: the query-to-codebook lookup tables (one
+  q.centroid dot per coarse cell, one q_m.codeword dot per (subspace,
+  code)) are computed once per query — driver-side Python doubles on
+  the Spark side, the 1-row ``q`` CTE's scalar columns on the DuckDB
+  side, both the same left-associative chains — so the ADC score is
+  bit-identical across engines and the entire top-k is
+  driver-hash-pinned.
+
+Reference parity: the reference repo has no ANN/PQ surface (it is a
+10k-row churn pipeline, ``src/ml_pipeline/``); this family is part of
+the engine's LLM-training-data surface (SURVEY.md §2.12 additions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.functions.vectors import l2_norm
+from airflow_ml_pipeline_spark.operators.pq_train import (
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+    build_pq_codebooks,  # noqa: F401  (re-export: the train step)
+    residual_expr,  # noqa: F401  (re-export: used by the train step/tests)
+)
+from airflow_ml_pipeline_spark.operators.similarity import (
+    IVF_NPROBE,
+    QUERY_VEC_ID,
+    TOP_K,
+    _ivf_probe_lists,
+    ivf_assign,
+)
+from airflow_ml_pipeline_spark.plans.registry import query
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def _pq_b_tables() -> list[list[list[float]]]:
+    """B[m][cell][k] = |cw_mk|^2 + 2 * (coarse_centroid[cell]_m . cw_mk)
+    — the cluster-dependent constant that replaces the residual in the
+    code argmin. Computed driver-side over the frozen literals with
+    explicit left-associative folds (plain Python floats ARE doubles)
+    and interpolated VERBATIM into both engines, so the argmin compares
+    identical doubles everywhere."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import (
+        PQ_CODEBOOK_N2,
+        PQ_CODEBOOKS,
+    )
+
+    tables: list[list[list[float]]] = []
+    for mi in range(PQ_M):
+        off = mi * PQ_SUBDIM
+        per_cell = []
+        for cell in IVF_CENTROIDS:
+            sub = cell[off : off + PQ_SUBDIM]
+            row = []
+            for k, cw in enumerate(PQ_CODEBOOKS[mi]):
+                d = 0.0
+                for x, y in zip(sub, cw):
+                    d = d + x * y
+                row.append(PQ_CODEBOOK_N2[mi][k] + 2.0 * d)
+            per_cell.append(row)
+        tables.append(per_cell)
+    return tables
+
+
+def _pq_code_sql(emb_col: str = "embedding") -> str:
+    """The PQ_M-element code array as ONE Spark SQL expression string,
+    computed DIRECTLY from the raw vector (no residual column): per
+    subspace the argmin over PQ_K codewords reuses ``ivf_assign``'s
+    single-pass struct-fold (each distance fold mentioned exactly once,
+    strict-improvement lowest-index tie rule), with the
+    cluster-dependent B term fetched by one element_at on a
+    constant-folded literal table. Requires a ``cluster_id`` column."""
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    b_tables = _pq_b_tables()
+    codes = []
+    for mi in range(PQ_M):
+        cbs = ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in cw) + ")"
+            for cw in PQ_CODEBOOKS[mi]
+        )
+        blit = ", ".join(
+            "array(" + ", ".join(f"{b!r}D" for b in row) + ")"
+            for row in b_tables[mi]
+        )
+        off = mi * PQ_SUBDIM + 1
+        codes.append(
+            f"""aggregate(
+            transform(
+                zip_with(
+                    element_at(array({blit}), cluster_id + 1),
+                    transform(array({cbs}), c ->
+                        aggregate(zip_with(slice(`{emb_col}`, {off}, {PQ_SUBDIM}), c,
+                                           (x, y) -> CAST(x AS DOUBLE) * y),
+                                  0.0D, (acc, x) -> acc + x)),
+                    (b, d) -> b - 2.0D * d),
+                (s, k) -> struct(CAST(k AS INT) AS k, s AS s)),
+            struct(CAST(-1 AS INT) AS k, CAST('Infinity' AS DOUBLE) AS s),
+            (acc, x) -> IF(x.s < acc.s, x, acc)).k"""
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_index(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """The stored IVF-PQ index columns: cluster_id (coarse cell — the
+    partition key at scale), pq_code (PQ_M small ints), vnorm (the exact
+    norm, kept so ADC can report cosine). Projection-only: no shuffle,
+    no join, no UDF — at 100 TB this runs once at ingest and the
+    original float vectors never need to be read again by a query."""
+    a = ivf_assign(df, emb_col)
+    return a.select(
+        *a.columns,
+        F.expr(_pq_code_sql(emb_col)).alias("pq_code"),
+        l2_norm(F.col(emb_col)).alias("vnorm"),
+    )
+
+
+def _adc_luts(qvec: list[float]) -> tuple[list[float], list[list[float]], float]:
+    """Driver-side ADC lookup tables over the frozen literals, every dot
+    the same left-associative IEEE sequence the oracle's q-CTE chains
+    evaluate (plain Python floats ARE doubles):
+
+    - lut0[j]   = q . coarse_centroid[j]   (the coarse cell's IP term)
+    - lut[m][k] = q_m . codebook[m][k]     (the residual term per code)
+    - qnorm     = |q|
+
+    so ADC(v) = lut0[cluster] + sum_m lut[m][code_m] approximates q.v
+    (exactly q.(centroid + codewords)), and ADC_cos = ADC / (qnorm *
+    vnorm) approximates cosine with EXACT norms (the norm is stored,
+    not quantized)."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    lut0 = []
+    for c in IVF_CENTROIDS:
+        d = 0.0
+        for x, y in zip(qvec, c):
+            d = d + x * y
+        lut0.append(d)
+    lut = []
+    for mi in range(PQ_M):
+        sub = qvec[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM]
+        row = []
+        for cw in PQ_CODEBOOKS[mi]:
+            d = 0.0
+            for x, y in zip(sub, cw):
+                d = d + x * y
+            row.append(d)
+        lut.append(row)
+    qn = 0.0
+    for x in qvec:
+        qn = qn + x * x
+    return lut0, lut, math.sqrt(qn)
+
+
+def _fetch_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]]
+
+
+def _sql_pq_coded(alias_cols: str = "vec_id, label, embedding") -> str:
+    """DuckDB CTE chain reproducing the engine's index columns bit-exactly:
+    coarse assignment (the green ``ann_ivf_topk`` least/CASE form), then
+    per subspace the PQ code as least+CASE over PQ_K distance chains —
+    each chain ``B - 2 * (v_m . cw)`` with B selected by ONE 16-branch
+    CASE per subspace building the cell's 16-entry list (a scalar-cheap
+    lookup; the naive per-element indexing of a nested 2048-double
+    literal inside a lambda re-built the literal per element and cost
+    ~40 s at sf0.001)."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+        IVF_K,
+    )
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    b_tables = _pq_b_tables()
+    scores = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        dchain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(v)!r}"
+            for i, v in enumerate(c)
+        )
+        scores.append(f"{IVF_CENTROID_N2[j]!r} - 2.0 * ({dchain}) AS s{j}")
+    least = "least(" + ", ".join(f"s{j}" for j in range(IVF_K)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s{j} = mn THEN {j}" for j in range(IVF_K))
+        + " ELSE -1 END"
+    )
+    bm_sql = []
+    chain_sql = []
+    min_sql = []
+    pick_sql = []
+    for mi in range(PQ_M):
+        branches = " ".join(
+            "WHEN "
+            + str(cell)
+            + " THEN ["
+            + ", ".join(f"{b!r}" for b in b_tables[mi][cell])
+            + "]"
+            for cell in range(IVF_K)
+        )
+        bm_sql.append(f"CASE cluster_id {branches} END AS bm{mi}")
+        off = mi * PQ_SUBDIM
+        for k, cw in enumerate(PQ_CODEBOOKS[mi]):
+            d = " + ".join(
+                f"CAST(embedding[{off + d1 + 1}] AS DOUBLE) * {float(v)!r}"
+                for d1, v in enumerate(cw)
+            )
+            chain_sql.append(f"bm{mi}[{k + 1}] - 2.0 * ({d}) AS t{mi}_{k}")
+        min_sql.append(
+            "least("
+            + ", ".join(f"t{mi}_{k}" for k in range(PQ_K))
+            + f") AS mn{mi}"
+        )
+        pick_sql.append(
+            "CAST(CASE "
+            + " ".join(
+                f"WHEN t{mi}_{k} = mn{mi} THEN {k}" for k in range(PQ_K)
+            )
+            + f" ELSE -1 END AS INTEGER) AS c{mi}"
+        )
+    sep = ",\n               "
+    return f"""
+    s AS (
+        SELECT {alias_cols}, {", ".join(scores)}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT {alias_cols}, CAST({case} AS INTEGER) AS cluster_id
+        FROM (SELECT *, {least} AS mn FROM s)
+    ),
+    bm AS (
+        SELECT *,
+               {sep.join(bm_sql)}
+        FROM assigned
+    ),
+    chains AS (
+        SELECT *,
+               {sep.join(chain_sql)}
+        FROM bm
+    ),
+    mins AS (
+        SELECT *,
+               {sep.join(min_sql)}
+        FROM chains
+    ),
+    coded AS (
+        SELECT *,
+               {sep.join(pick_sql)}
+        FROM mins
+    )"""
+
+
+VNORM_SQL = """sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE))))"""
+
+
+def _sql_ann_ivfpq() -> str:
+    """DuckDB twin of the ADC probe. The engine computes the LUTs
+    DRIVER-SIDE in Python; the oracle computes each LUT entry ONCE in
+    the 1-row ``q`` CTE as the same left-associative chain over
+    ``qvec`` and the frozen literals — plain Python floats ARE doubles
+    and both chains evaluate in the same order, so every table entry,
+    the probe set, the ADC sum, and the final rounded score are
+    bit-identical across engines (the ``_sql_ann_ivf`` treatment
+    extended to the PQ LUTs)."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+        IVF_K,
+    )
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    qnorm = (
+        "sqrt("
+        + " + ".join(f"qvec[{i + 1}] * qvec[{i + 1}]" for i in range(64))
+        + ")"
+    )
+    lut_cols = [f"({qnorm}) AS qn"]
+    for j, c in enumerate(IVF_CENTROIDS):
+        dchain = " + ".join(
+            f"qvec[{i + 1}] * {float(v)!r}" for i, v in enumerate(c)
+        )
+        lut_cols.append(f"({dchain}) AS l0_{j}")
+    for mi in range(PQ_M):
+        off = mi * PQ_SUBDIM
+        for k, cw in enumerate(PQ_CODEBOOKS[mi]):
+            dchain = " + ".join(
+                f"qvec[{off + d1 + 1}] * {float(v)!r}"
+                for d1, v in enumerate(cw)
+            )
+            lut_cols.append(f"({dchain}) AS lm{mi}_{k}")
+    # probe ranking: identical to _sql_ann_ivf (cosine to each coarse
+    # centroid, top IVF_NPROBE by (cos DESC, j)) — restated over the
+    # q CTE's precomputed dot columns
+    probes = []
+    for j in range(IVF_K):
+        cn = float(math.sqrt(IVF_CENTROID_N2[j]))
+        probes.append(
+            f"SELECT {j} AS j, l0_{j} / (qn * {cn!r}) AS cos FROM q"
+        )
+    cell_case = (
+        "CASE cluster_id "
+        + " ".join(f"WHEN {j} THEN l0_{j}" for j in range(IVF_K))
+        + " END"
+    )
+    terms = [f"({cell_case})"]
+    for mi in range(PQ_M):
+        terms.append(
+            "(CASE c"
+            + str(mi)
+            + " "
+            + " ".join(f"WHEN {k} THEN lm{mi}_{k}" for k in range(PQ_K))
+            + " END)"
+        )
+    adc = " + ".join(terms)
+    sep = ",\n               "
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and inlining the
+    # 145-column q into its 17 references (and the 190-column coded
+    # into the final select's 9 CASE references) re-evaluated the
+    # chains per reference — 20.5 s vs 1.8 s at sf0.001, measured.
+    coded = _sql_pq_coded().lstrip().replace(
+        "coded AS (", "coded AS MATERIALIZED (", 1
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT {sep.join(lut_cols)}
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+              FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    ),
+    cent_cos AS ({" UNION ALL ".join(probes)}),
+    probe AS (SELECT j FROM cent_cos ORDER BY cos DESC, j LIMIT {IVF_NPROBE}),
+    {coded}
+    SELECT vec_id, label,
+           round(({adc}) / (qn * {VNORM_SQL}), 6) AS adc_cos
+    FROM coded CROSS JOIN q
+    WHERE cluster_id IN (SELECT j FROM probe)
+    ORDER BY adc_cos DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_sql_ann_ivfpq())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN probe: scan only the nprobe=6 coarse cells nearest the
+    query, score candidates by ASYMMETRIC DISTANCE — the query-side
+    lookup tables are exact dots against the frozen codebooks, the data
+    side contributes only its stored (cluster_id, pq_code, vnorm) index
+    columns. At 100 TB this is the memory posture that makes ANN
+    feasible at all: 64 float32 dims (256 B) become 8 4-bit codes + one
+    norm (~12 B), the probe is partition pruning on cluster_id, and
+    scoring is 9 constant-array lookups + one divide per candidate —
+    the raw vectors are never read by the search (this in-line query
+    re-derives the index columns from the raw parquet because the test
+    corpus ships un-encoded; at scale ``pq_index`` runs once at
+    ingest).
+
+    ORACLE-CHECKED (value hash) via the same frozen-artifact treatment
+    as ``ann_ivf_topk``: assignment, code argmins, LUT values, and the
+    ADC sum are all restated in DuckDB over {v!r}-interpolated literals
+    with matching association order, so both engines order the SAME
+    rounded doubles. Recall vs the exact scan is measured by
+    tests/test_pq.py::test_ivfpq_recall_vs_bruteforce (on this
+    unclustered synthetic corpus recall ~= the scanned fraction minus
+    quantization noise; the gate is the measured floor)."""
+    qvec = _fetch_query_vec(spark, sf_dir)
+    lut0, lut, qnorm = _adc_luts(qvec)
+    probes = _ivf_probe_lists(qvec)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = pq_index(emb)
+    lut0_lit = "array(" + ", ".join(f"{v!r}D" for v in lut0) + ")"
+    terms = [f"element_at({lut0_lit}, cluster_id + 1)"]
+    for mi in range(PQ_M):
+        lit = "array(" + ", ".join(f"{v!r}D" for v in lut[mi]) + ")"
+        terms.append(f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)")
+    adc = " + ".join(terms)
+    return (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
+                "adc_cos"
+            ),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_pq_error() -> str:
+    """Reconstruction v_hat = coarse_centroid + codeword per subspace,
+    so err_i = (v_i - c_i) - cw_i, folded left-to-right in both
+    engines; the centroid and codeword lists are selected by scalar
+    CASEs (one per row), never indexed as nested literals inside a
+    lambda. The int8 baseline column restates the green
+    ``embedding_quantization_error`` kernel verbatim."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_K,
+    )
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    cc_case = (
+        "CASE cluster_id "
+        + " ".join(
+            "WHEN "
+            + str(j)
+            + " THEN ["
+            + ", ".join(f"{float(v)!r}" for v in IVF_CENTROIDS[j])
+            + "]"
+            for j in range(IVF_K)
+        )
+        + " END"
+    )
+    cw_cases = []
+    for mi in range(PQ_M):
+        cw_cases.append(
+            "CASE c"
+            + str(mi)
+            + " "
+            + " ".join(
+                "WHEN "
+                + str(k)
+                + " THEN ["
+                + ", ".join(f"{float(v)!r}" for v in PQ_CODEBOOKS[mi][k])
+                + "]"
+                for k in range(PQ_K)
+            )
+            + f" END AS cw{mi}"
+        )
+    rec = " || ".join(f"cw{mi}" for mi in range(PQ_M))
+    sep = ",\n               "
+    return f"""
+    WITH {_sql_pq_coded().lstrip()},
+    recon AS (
+        SELECT *,
+               {cc_case} AS cc,
+               {sep.join(cw_cases)}
+        FROM coded
+    )
+    SELECT vec_id, label, cluster_id,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> pow(CAST(embedding[i] AS DOUBLE) - cc[i]
+                          - rec[i], 2)))
+                 / 64 * 1000000, 3) AS pq_mse_ppm,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> pow(CAST(embedding[i] AS DOUBLE)
+                          - round(CAST(embedding[i] AS DOUBLE) / sc) * sc,
+                          2))) / 64 * 1000000, 3) AS int8_mse_ppm
+    FROM (SELECT *, ({rec}) AS rec,
+                 greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> abs(x))) / 127.0, 1e-12) AS sc
+          FROM recon)
+    """
+
+
+@query("pq_quantization_error", oracle=_sql_pq_error())
+def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector IVF-PQ reconstruction MSE (ppm) beside the int8
+    scalar-quantization baseline (``embedding_quantization_error``): the
+    decision table for the 100 TB storage trade — PQ stores ~12 B/vector
+    vs int8's 64 B, at the cost of higher (but bounded) reconstruction
+    error. Reconstruction = coarse_centroid[cluster] + per-subspace
+    codeword; all JVM-side array arithmetic against frozen literals, no
+    shuffle, no UDF."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ivf_assign(emb)
+    a = a.select(*a.columns, F.expr(_pq_code_sql()).alias("pq_code"))
+
+    cent2d = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in IVF_CENTROIDS
+    )
+    cw_terms = []
+    for mi in range(PQ_M):
+        lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in cw) + ")"
+                for cw in PQ_CODEBOOKS[mi]
+            )
+            + ")"
+        )
+        cw_terms.append(
+            f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)"
+        )
+    recon = "concat(" + ", ".join(cw_terms) + ")"
+    pq_mse = F.expr(
+        f"""aggregate(
+            zip_with(
+                zip_with(`embedding`, element_at(array({cent2d}), cluster_id + 1),
+                         (x, y) -> CAST(x AS DOUBLE) - y),
+                {recon},
+                (x, y) -> pow(x - y, 2D)),
+            0.0D, (acc, x) -> acc + x) / 64"""
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+    b = a.select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        F.round(pq_mse * 1_000_000, 3).alias("pq_mse_ppm"),
+        v.alias("v"),
+        scale.alias("sc"),
+    )
+    err8 = F.transform(
+        F.col("v"),
+        lambda x: F.pow(x - F.round(x / F.col("sc")) * F.col("sc"), F.lit(2)),
+    )
+    int8_mse = F.aggregate(err8, F.lit(0.0), lambda acc, x: acc + x) / F.lit(
+        64
+    )
+    return b.select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        "pq_mse_ppm",
+        F.round(int8_mse * 1_000_000, 3).alias("int8_mse_ppm"),
+    )

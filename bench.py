@@ -172,6 +172,8 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "pq_quantization_error",
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",

@@ -771,3 +771,29 @@ def test_budget_ablation_single_window_pass(spark, sf_dir):
     # exactly one Window node id in the formatted plan
     import re
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+# ---- round-13 additions ----
+
+def test_ivfpq_probe_is_projection_only(spark, sf_dir):
+    """ann_ivfpq_topk: assignment, PQ encoding, and ADC scoring are all
+    pure column arithmetic against frozen literals over ONE scan — no
+    join of any kind (the LUTs are driver-side literals, not a
+    broadcast frame), no shuffle before the top-k
+    (TakeOrderedAndProject), no all-pairs anything."""
+    plan = _plan(registry.QUERIES["ann_ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1], plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_error_single_scan_no_shuffle(spark, sf_dir):
+    """pq_quantization_error: per-vector reconstruction arithmetic over
+    one scan — no Exchange, no join (the 100 TB posture: encode and
+    audit in the same ingest pass)."""
+    plan = _plan(registry.QUERIES["pq_quantization_error"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,182 @@
+"""IVF-PQ tests: frozen-artifact reproducibility, exact-argmin code
+parity vs an independent numpy computation, recall vs the brute-force
+baseline, ADC-vs-exact agreement, and the reconstruction-error trade
+vs the int8 baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_ml_pipeline_spark.operators import pq
+from airflow_ml_pipeline_spark.operators.pq_train import (
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+    build_pq_codebooks,
+)
+from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+
+def test_frozen_pq_codebooks_match_refit(spark):
+    """The committed PQ codebooks (pq_codebooks.PQ_CODEBOOKS) are the
+    artifact build_pq_codebooks' per-subspace KMeans(k=16, seed=42)
+    produces on the committed sf0.01 corpus — a refit reproduces them
+    (1e-6, the coarse-quantizer convention: float-reduction order
+    varies with core count, so an ulp-tight pin is flaky off the
+    committed host; semantic drift moves codewords far more). If
+    tests/test_corpus_fingerprints.py reports a corpus change,
+    regenerate via tools/freeze_pq_codebooks.py before trusting this
+    pin."""
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    refit = build_pq_codebooks(spark, "/root/testdata/sf0.01")
+    assert len(refit) == len(PQ_CODEBOOKS) == PQ_M
+    worst = max(
+        abs(a - b)
+        for book_r, book_f in zip(refit, PQ_CODEBOOKS)
+        for cw_r, cw_f in zip(book_r, book_f)
+        for a, b in zip(cw_r, cw_f)
+    )
+    assert worst < 1e-6, f"refit diverges from frozen codebooks by {worst}"
+
+
+def test_pq_codes_match_numpy(spark, sf_dir):
+    """pq_index's per-subspace argmin (the B-table form, computed with
+    no residual column) matches an independent numpy nearest-codeword
+    computation ON THE RESIDUAL for every vector — pinning that the
+    algebraic rewrite |r_m - cw|^2 -> B[cell][m][k] - 2 v_m.cw picks
+    the same codeword (distance gaps on this corpus are far above
+    float-association ulps)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: (r.cluster_id, list(r.pq_code))
+        for r in pq.pq_index(emb)
+        .select("vec_id", "cluster_id", "pq_code")
+        .collect()
+    }
+    cents = np.array(IVF_CENTROIDS)
+    books = [np.array(b) for b in PQ_CODEBOOKS]
+    for r in emb.collect():
+        v = np.array([float(x) for x in r.embedding])
+        cell = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        resid = v - cents[cell]
+        codes = []
+        for mi in range(PQ_M):
+            rm = resid[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM]
+            codes.append(int(np.argmin(((books[mi] - rm) ** 2).sum(axis=1))))
+        assert got[r.vec_id] == (cell, codes), (
+            r.vec_id,
+            got[r.vec_id],
+            (cell, codes),
+        )
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """Recall is bounded by the IVF scan fraction (6/16 lists on an
+    unclustered corpus) MINUS ADC quantization noise (4-bit codes);
+    measured 0.3-0.4 across the three SFs — gate at the same 0.2 floor
+    as the un-quantized IVF probe, and require the query's own vector
+    (ADC error can't displace an exact self-match's cell)."""
+    from airflow_ml_pipeline_spark.operators import similarity
+
+    exact = [
+        r.vec_id
+        for r in similarity.knn_cosine_bruteforce(spark, sf_dir).collect()
+    ]
+    approx = [r.vec_id for r in pq.ann_ivfpq_topk(spark, sf_dir).collect()]
+    assert similarity.QUERY_VEC_ID in approx
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.2, f"IVF-PQ recall {recall} below floor"
+
+
+def test_adc_approximates_exact_cosine(spark, sf_dir):
+    """ADC(v)/(|q||v|) must approximate the true cosine: for every
+    vector in the probed cells the ADC error is bounded by the PQ
+    reconstruction error (Cauchy-Schwarz: |q.(v - v_hat)| <=
+    |q| * |v - v_hat|, so |cos_err| <= recon_l2 / |v|). Checks the
+    bound vector-by-vector — a formulation bug (wrong LUT orientation,
+    off-by-one code) violates it immediately and by orders of
+    magnitude."""
+    import math
+
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = pq._fetch_query_vec(spark, sf_dir)
+    q = np.array(qvec)
+    qn = float(np.linalg.norm(q))
+    cents = np.array(IVF_CENTROIDS)
+    books = [np.array(b) for b in PQ_CODEBOOKS]
+    adc = {
+        r.vec_id: r.adc_cos
+        for r in pq.ann_ivfpq_topk(spark, sf_dir).collect()
+    }
+    by_id = {r.vec_id: r for r in emb.collect()}
+    for vid, adc_cos in adc.items():
+        v = np.array([float(x) for x in by_id[vid].embedding])
+        vn = float(np.linalg.norm(v))
+        cell = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        resid = v - cents[cell]
+        vhat = cents[cell].copy()
+        recon_err2 = 0.0
+        for mi in range(PQ_M):
+            rm = resid[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM]
+            k = int(np.argmin(((books[mi] - rm) ** 2).sum(axis=1)))
+            vhat[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM] += books[mi][k]
+            recon_err2 += float(((rm - books[mi][k]) ** 2).sum())
+        true_cos = float(q @ v) / (qn * vn)
+        bound = math.sqrt(recon_err2) / vn + 1e-6
+        assert abs(adc_cos - true_cos) <= bound, (
+            vid,
+            adc_cos,
+            true_cos,
+            bound,
+        )
+
+
+def test_pq_error_exceeds_int8_but_bounded(spark, sf_dir):
+    """The storage trade the twin query documents: 4-bit product codes
+    lose more than 8-bit scalar quantization (mean pq_mse >= mean
+    int8_mse) but remain bounded — PQ reconstruction must still beat
+    the 'no index' strawman of predicting the coarse centroid alone
+    on average (the codebooks carry real signal)."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    rows = pq.pq_quantization_error(spark, sf_dir).collect()
+    pq_mse = np.array([r.pq_mse_ppm for r in rows])
+    int8_mse = np.array([r.int8_mse_ppm for r in rows])
+    assert pq_mse.mean() >= int8_mse.mean()
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = np.array(IVF_CENTROIDS)
+    coarse_only = []
+    for r in emb.collect():
+        v = np.array([float(x) for x in r.embedding])
+        cell = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        coarse_only.append(float(((v - cents[cell]) ** 2).mean()) * 1e6)
+    assert pq_mse.mean() < np.mean(coarse_only), (
+        "PQ codes add no signal over the coarse centroid"
+    )
+
+
+def test_pq_index_emits_compact_codes(spark, sf_dir):
+    """Contract of the stored index: PQ_M codes in [0, PQ_K), an
+    integer cluster_id, a positive norm — the columns a 100 TB deploy
+    writes once at ingest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pq.pq_index(emb).select("cluster_id", "pq_code", "vnorm").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.cluster_id < 16
+        assert len(r.pq_code) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.pq_code)
+        assert r.vnorm > 0

@@ -137,6 +137,8 @@ AUDITED = [
     "source_boilerplate_scrubbed",
     "unigram_em_prune_divergence",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "pq_quantization_error",
     "engineered_customer_features",
     "unigram_lm_segmented",
     "tokenizer_fertility_by_lang",

@@ -159,6 +159,8 @@ QUERIES = [
     # curve row (previously covered only by prose in the FOOTER)
     ("ann_lsh_topk", "embeddings"),
     ("ann_ivf_topk", "embeddings"),
+    ("ann_ivfpq_topk", "embeddings"),
+    ("pq_quantization_error", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
     ("dedup_corpus", "documents"),
