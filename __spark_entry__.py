@@ -78,6 +78,7 @@ CHECK_PRIORITY = [
     # -- round-13 new queries (zero driver rows until the r13 run) --
     "ann_ivfpq_topk",
     "pq_quantization_error",
+    "stream_semantic_dedup_ingest",
     # -- latest driver row: round 8 (36 names) --
     "embedding_decontamination",
     "embedding_dim_stats",

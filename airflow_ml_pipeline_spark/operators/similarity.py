@@ -830,11 +830,12 @@ def semantic_dedup_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_spread(spark, sf_dir, "embeddings"))
 
 
-def semantic_dedup(
-    emb: DataFrame, bits: int = SDD_BITS, tau: float = SDD_TAU
-) -> DataFrame:
-    """Library form of ``semantic_dedup_bucket_nn``: ``emb`` needs
-    (vec_id, embedding). See the query docstring for semantics/scale."""
+def sdd_bucket_frame(emb: DataFrame, bits: int = SDD_BITS) -> DataFrame:
+    """(vec_id, embedding, bucket, nrm): the SemDeDup sign-projection
+    bucket code + precomputed norm for every vector — the shared front
+    half of the batch dedup and the streaming ingest twin
+    (streaming/ingest.py::stream_semantic_dedup_ingest), so the two can
+    never desynchronize on the clustering."""
     planes = _sdd_planes(bits=bits)
     bucket = None
     for j, row in enumerate(planes):
@@ -845,12 +846,30 @@ def semantic_dedup(
             F.lit(0)
         )
         bucket = bit if bucket is None else bucket + bit
-    b = emb.select(
+    return emb.select(
         "vec_id",
         F.col("embedding"),
         bucket.cast("bigint").alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
     )
+
+
+def sdd_cosine(nrm_a: F.Column, nrm_b: F.Column, dot_ab: F.Column) -> F.Column:
+    """The SemDeDup comparison key: cosine ROUNDED to 6dp (the rounded
+    value is the cross-engine-identical key both the argmax and the
+    tau threshold compare), with the zero-norm guard (degenerate
+    embeddings score 0.0 instead of ANSI DIVIDE_BY_ZERO)."""
+    return F.when(
+        nrm_a * nrm_b > 0, F.round(dot_ab / (nrm_a * nrm_b), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def semantic_dedup(
+    emb: DataFrame, bits: int = SDD_BITS, tau: float = SDD_TAU
+) -> DataFrame:
+    """Library form of ``semantic_dedup_bucket_nn``: ``emb`` needs
+    (vec_id, embedding). See the query docstring for semantics/scale."""
+    b = sdd_bucket_frame(emb, bits=bits)
     o = b.select(
         F.col("vec_id").alias("nn_id"),
         F.col("bucket").alias("bucket_o"),
@@ -860,15 +879,12 @@ def semantic_dedup(
     # guarded division: a zero-norm (all-zero) vector scores cosine 0.0
     # against everything instead of an ANSI DIVIDE_BY_ZERO — degenerate
     # embeddings are upstream-filtered in production, but the library form
-    # must not crash on them
-    c = F.when(
-        F.col("nrm") * F.col("nrm_o") > 0,
-        F.round(
-            dot(F.col("embedding"), F.col("emb_o"))
-            / (F.col("nrm") * F.col("nrm_o")),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    # must not crash on them (guard + rounding shared via sdd_cosine)
+    c = sdd_cosine(
+        F.col("nrm"),
+        F.col("nrm_o"),
+        dot(F.col("embedding"), F.col("emb_o")),
+    )
     pairs = (
         b.join(o, (F.col("bucket") == F.col("bucket_o")) & (F.col("vec_id") != F.col("nn_id")))
         .select("vec_id", "bucket", "nn_id", c.alias("c"))

@@ -1510,3 +1510,264 @@ def stream_dedup_eviction_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("batch_id").cast("bigint").alias("emitted_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC dedup at ingest: the SemDeDup stage of the curation
+# funnel, applied per micro-batch (VERDICT r12 ask #5 — the one curation
+# stage that had batch-only coverage). Each arriving vector is bucketed by
+# the STANDING cluster assignment (the frozen sign-projection planes the
+# batch twin `semantic_dedup_bucket_nn` uses — the deterministic,
+# oracle-checkable stand-in for a trained k-means/IVF centroid store; the
+# trained variant would swap in `similarity.ivf_assign` unchanged), then
+# compared ONLY within its bucket against earlier-seen vectors.
+# ---------------------------------------------------------------------------
+
+SEM_N_BATCHES = 4
+
+
+def sem_ingest_dirs(sf_dir: str) -> tuple[str, str, str, str]:
+    """(arrivals, store, checkpoint, survivors) for the semantic-dedup
+    ingester. Tagged by the EMBEDDINGS corpus fingerprint (this family
+    streams vectors, not documents)."""
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        _embeddings_fingerprint,
+    )
+
+    base = f"sem-{os.path.basename(os.path.normpath(sf_dir))}"
+    tag = f"{base}-{_embeddings_fingerprint(sf_dir)}"
+    _prune_stale_tags(base, tag)
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "arrivals"),
+        os.path.join(root, "store"),
+        os.path.join(root, "checkpoint"),
+        os.path.join(root, "survivors"),
+    )
+
+
+def stage_range_vec_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the embeddings as SEM_N_BATCHES single-file arrivals where
+    file i holds ``vec_id * N // n_total == i`` (contiguous vec_id
+    RANGES, mtimes strictly ascending, names sorted) — RANGE staging,
+    not the modulus staging of the near-dup ingester, deliberately:
+    earlier batch then implies LOWER vec_id, which makes the streaming
+    suppressed-set EQUAL the batch twin's keep-priority rule
+    (nn_id < vec_id) exactly — the metamorphic convergence pin
+    tests/test_stream_semantic.py asserts."""
+    import glob
+    import time
+
+    arrivals, _, _, _ = sem_ingest_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if os.path.exists(marker):
+        return arrivals
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    tmp = f"{arrivals}.build.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(SEM_N_BATCHES):
+        part_dir = os.path.join(tmp, f"part{i}")
+        emb.filter(
+            (F.col("vec_id") * SEM_N_BATCHES / F.lit(n_total)).cast("int")
+            == i
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(tmp, f"batch-{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = time.time() + i  # strictly increasing, 1s apart
+        os.utime(dst, (t, t))
+    try:
+        os.rename(tmp, arrivals)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return arrivals
+
+
+def upsert_sem_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str
+) -> None:
+    """foreachBatch body: bucket the arriving vectors with the standing
+    sign-projection, drop a vector when ANY already-seen same-bucket
+    vector (an earlier batch's store row OR a lower-id row of this same
+    batch) scores rounded-cosine >= SDD_TAU against it, then append
+    this batch's bucket rows to the seen store and its survivors to the
+    output — batch-owned partition overwrites, so a retried batch
+    rewrites exactly its own output (the module's exactly-once
+    contract). The store records EVERY arrival (seen-content semantics,
+    like the near-dup ingester: novelty is judged against all content
+    seen earlier, kept or not — exactly the batch twin's rule, which
+    compares against pruned vectors too)."""
+    from airflow_ml_pipeline_spark.functions.vectors import dot
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        SDD_TAU,
+        sdd_bucket_frame,
+        sdd_cosine,
+    )
+
+    spark = batch_df.sparkSession
+    b = sdd_bucket_frame(batch_df).join(
+        batch_df.select("vec_id", "label"), "vec_id"
+    )
+    b = b.localCheckpoint(eager=True)  # feeds the join, the store, the out
+    prior = store_before(spark, store_dir, batch_id)
+    seen = b.select("vec_id", "bucket", "embedding", "nrm")
+    if prior is not None:
+        seen = prior.select("vec_id", "bucket", "embedding", "nrm").unionByName(
+            seen
+        )
+    o = seen.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("bucket").alias("bucket_o"),
+        F.col("embedding").alias("emb_o"),
+        F.col("nrm").alias("nrm_o"),
+    )
+    cos = sdd_cosine(
+        F.col("nrm"), F.col("nrm_o"), dot(F.col("embedding"), F.col("emb_o"))
+    )
+    dropped = (
+        b.join(
+            o,
+            (F.col("bucket") == F.col("bucket_o"))
+            & (F.col("nn_id") < F.col("vec_id")),
+        )
+        .filter(cos >= SDD_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    survivors = b.select("vec_id", "label", "bucket").join(
+        dropped, "vec_id", "left_anti"
+    )
+    b.select("vec_id", "bucket", "embedding", "nrm").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_sem_dedup_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Replay the embeddings corpus through the streaming semantic-dedup
+    ingester (AvailableNow, one staged file per micro-batch) and return
+    the survivors directory. Idempotent per corpus version."""
+    arrivals, store, checkpoint, survivors = sem_ingest_dirs(sf_dir)
+    stage_range_vec_batches(spark, sf_dir)
+    schema = spark.read.parquet(arrivals).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: upsert_sem_batch(df, bid, store, survivors)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # defensive: the oracle's batch arithmetic assumes file i == batch i;
+    # fail loudly if the source ever reorders arrivals
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    bad = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter(
+            (F.col("vec_id") * SEM_N_BATCHES / F.lit(n_total)).cast("int")
+            != F.col("batch_id")
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"semantic ingest: {bad} vectors landed in the wrong micro-batch"
+        )
+    return survivors
+
+
+def _sem_ingest_oracle() -> str:
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        SDD_TAU,
+        _sdd_planes,
+    )
+
+    planes = _sdd_planes()
+    vals = ", ".join(
+        "({}, [{}])".format(j, ", ".join(str(x) for x in row))
+        for j, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(j, t) AS (VALUES {vals}),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v[i] * t[i])) >= 0
+                    THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes GROUP BY e.vec_id
+    ),
+    b AS (SELECT c.vec_id, e.label, c.bucket, e.v,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+                     AS nrm
+          FROM codes c JOIN e USING (vec_id)),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM b a JOIN b o ON a.bucket = o.bucket AND o.vec_id < a.vec_id
+        WHERE (CASE WHEN a.nrm * o.nrm > 0
+                    THEN round(list_sum(list_transform(range(1, 65),
+                             i -> a.v[i] * o.v[i])) / (a.nrm * o.nrm), 6)
+                    ELSE 0.0 END) >= {SDD_TAU!r}
+    )
+    SELECT b.vec_id, b.label, b.bucket,
+           CAST(b.vec_id * {SEM_N_BATCHES} // nn.n AS INTEGER) AS batch_id
+    FROM b CROSS JOIN nn
+    WHERE b.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("stream_semantic_dedup_ingest", oracle=_sem_ingest_oracle())
+def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup at ingest: each arriving micro-batch of
+    embedding vectors keeps only those with no already-seen same-bucket
+    neighbor at rounded-cosine >= SDD_TAU — a paraphrase or re-encode of
+    earlier content is suppressed the moment it arrives. Completes the
+    at-ingest coverage of the curation funnel's dedup stages: exact
+    (stream_dedup_ingest_fps), near-dup (stream_near_dup_ingest), and
+    now semantic (batch twin: semantic_dedup_bucket_nn — the SAME
+    sdd_bucket_frame/sdd_cosine kernels, so the two paths cannot
+    desynchronize on clustering or scoring).
+
+    Determinism/convergence contract the oracle states: arrivals are
+    RANGE-staged (batch i = vec_id * N // n_total == i, mtime-ordered,
+    asserted after the run), so earlier batch implies lower vec_id and
+    the streaming suppression rule (seen earlier, same bucket,
+    cos >= tau) coincides EXACTLY with the batch twin's keep-priority
+    rule (nn_id < vec_id) — the survivor set equals the batch twin's
+    unpruned set (tests/test_stream_semantic.py pins the equality), so
+    the result is independent of micro-batch boundaries.
+
+    Scale: per batch the candidate join touches only same-bucket pairs
+    against the bucket-keyed store — at 100 TB the store is partitioned
+    by bucket (a partition-pruned lookup per arriving bucket), state
+    grows with seen-vector cardinality (bounded in production by a
+    retention horizon exactly like the exact ingester's watermark
+    variant), and the within-batch work is batch-sized, never
+    corpus-sized."""
+    survivors = run_sem_dedup_ingest(spark, sf_dir)
+    return (
+        spark.read.option("basePath", survivors)
+        .parquet(survivors)
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.col("batch_id").cast("int").alias("batch_id"),
+        )
+    )
