@@ -432,14 +432,13 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
 WALK_CAP = 50
 
 
-def _walk_body(linked: str) -> str:
-    """The walk CTE body + final aggregate both engines run VERBATIM
-    over a prepared ``linked(user_id, event_id, event_type, nxt, rn)``
-    relation (Spark binds a materialized temp view; the oracle binds an
-    inline CTE). The BROADCAST hint is a Spark join-strategy comment
-    (each recursion level hash-joins the frontier against the cap-bounded
-    linked table in place instead of shuffle-joining it — A/B r9); DuckDB
-    parses it as a plain comment, so the statement stays identical."""
+def _walk_body_single(linked: str) -> str:
+    """The ORIGINAL one-step walk (r9 form) — retained as the semantic
+    reference: tests/test_recursive_cc_port.py::test_two_step_walk_
+    equals_single_step pins that the committed two-step body below
+    produces identical aggregates over the full corpus (necessary
+    because engine and oracle run the SAME statement, so a semantic slip
+    in the rewrite would hash-agree across engines and hide)."""
     return f"""walk AS (
         SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
         FROM {linked} WHERE rn = 1
@@ -463,18 +462,106 @@ def _walk_body(linked: str) -> str:
     """
 
 
-def _sql_walk_over_linked(linked: str) -> str:
+def _walk_body(linked: str, hop: str) -> str:
+    """The walk CTE body + final aggregate both engines run VERBATIM
+    over prepared ``linked(user_id, event_id, event_type, nxt, rn)``
+    and ``hop(user_id, entry, out_type, out_nxt, step, mid_type)``
+    relations (Spark binds materialized temp views; the oracle binds
+    inline CTEs). The BROADCAST hint is a Spark join-strategy comment
+    (each recursion level hash-joins the frontier against the cap-bounded
+    linked table in place instead of shuffle-joining it — A/B r9); DuckDB
+    parses it as a plain comment, so the statement stays identical.
+
+    TWO STEPS PER LEVEL (r13, VERDICT r12 ask #4): UnionLoop prices
+    recursion by DEPTH (~0.2 s fixed job overhead + one broadcast build
+    per level), so the walk advances two links per iteration over a
+    precomputed JUMP relation — the odd-depth event rides along as
+    ``mid_type`` instead of being its own frontier row, and the level
+    count halves (26 vs 51 jobs) while each level keeps exactly ONE
+    broadcast join (a first attempt that joined ``linked`` twice per
+    level rebuilt two broadcasts per level and only recovered ~20%).
+    The jump row keyed by the event the frontier is about to visit
+    (l1) precomposes both hops via window leads:
+
+    - if l1's event is a purchase or has no successor, the jump is a
+      TERMINAL one-step (out = l1, step 1, no mid) — never walking
+      past a purchase, never losing a dead-end's last event;
+    - otherwise the jump lands two ahead (out = l2, step 2) carrying
+      l1's type as ``mid_type``, and the aggregate counts a mid
+      purchase at depth-1.
+    Frontier gating is unchanged (walk only while the frontier's own
+    event isn't 'purchase', depth < cap). Equivalence to the one-step
+    walk over the full corpus is pinned by
+    tests/test_recursive_cc_port.py (both engines run the same
+    statement, so only an independent equivalence check can catch a
+    rewrite slip)."""
+    return f"""walk AS (
+        SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth,
+               CAST(NULL AS STRING) AS mid_type
+        FROM {linked} WHERE rn = 1
+        UNION ALL
+        SELECT /*+ BROADCAST(j) */ w.user_id, j.out_type, j.out_nxt,
+               w.depth + j.step, j.mid_type
+        FROM walk w JOIN {hop} j
+          ON j.user_id = w.user_id AND j.entry = w.nxt
+        WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
+    )
+    SELECT user_id,
+           CAST(MAX(depth) AS BIGINT) AS walked,
+           CAST(COALESCE(MIN(CASE WHEN mid_type = 'purchase' THEN depth - 1
+                                  WHEN event_type = 'purchase' THEN depth
+                             END), -1) AS BIGINT)
+               AS steps_to_purchase,
+           CAST(CASE WHEN MIN(CASE WHEN mid_type = 'purchase' THEN depth - 1
+                                   WHEN event_type = 'purchase' THEN depth
+                              END) IS NOT NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS reached
+    FROM walk
+    GROUP BY user_id
+    """
+
+
+def _hop_body(linked: str) -> str:
+    """The two-step jump relation as CTE text over ``linked`` — built
+    from window leads (no self-join): for each event l1, where a walker
+    arriving AT l1 ends up after up to two hops. Inlined into the
+    oracle's statement; the ENGINE materializes it instead (UnionLoop
+    re-evaluates inline CTEs every recursion level — the r9 lesson that
+    already forced ``linked`` into a pinned temp view)."""
+    return f"""hop0 AS (
+        SELECT user_id, event_id, event_type, nxt, rn,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS t2,
+               LEAD(nxt) OVER (PARTITION BY user_id ORDER BY rn) AS n2
+        FROM {linked}
+    ),
+    hop AS (
+        SELECT user_id, event_id AS entry,
+               CASE WHEN event_type = 'purchase' OR nxt IS NULL
+                    THEN event_type ELSE t2 END AS out_type,
+               CASE WHEN event_type = 'purchase' OR nxt IS NULL
+                    THEN CAST(NULL AS BIGINT) ELSE n2 END AS out_nxt,
+               CAST(CASE WHEN event_type = 'purchase' OR nxt IS NULL
+                    THEN 1 ELSE 2 END AS BIGINT) AS step,
+               CASE WHEN event_type = 'purchase' OR nxt IS NULL
+                    THEN CAST(NULL AS STRING) ELSE event_type END
+                   AS mid_type
+        FROM hop0
+    )"""
+
+
+def _sql_walk_over(linked: str, hop: str) -> str:
     return f"""
-    WITH RECURSIVE {_walk_body(linked)}"""
+    WITH RECURSIVE {_walk_body(linked, hop)}"""
 
 
 def _sql_steps_to_purchase(table: str = "events") -> str:
     """Oracle form: the SAME walk body (verbatim — one generator) with
-    the linked list as an inline CTE, capped at rn <= WALK_CAP + 1 like
-    the Spark side: a depth-d walk row has rn = d + 1, so rows past the
-    cap are unreachable by construction and pre-dropping them bounds the
-    per-level join input to |users|·(cap+1) regardless of how many
-    events a user has."""
+    the linked list AND the hop relation as inline CTEs, capped at
+    rn <= WALK_CAP + 1 like the Spark side: a depth-d walk row has
+    rn = d + 1, so rows past the cap are unreachable by construction
+    and pre-dropping them bounds the per-level join input to
+    |users|·(cap+1) regardless of how many events a user has."""
     return f"""
     WITH RECURSIVE linked_all AS (
         SELECT user_id, event_id, event_type,
@@ -485,7 +572,8 @@ def _sql_steps_to_purchase(table: str = "events") -> str:
         FROM {table}
     ),
     linked AS (SELECT * FROM linked_all WHERE rn <= {WALK_CAP + 1}),
-    {_walk_body("linked")}"""
+    {_hop_body("linked")},
+    {_walk_body("linked", "hop")}"""
 
 
 @query("events_steps_to_purchase", oracle=_sql_steps_to_purchase())
@@ -507,13 +595,15 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     8.6x super-linear curve: 25 s at sf0.1); pinned, capped at
     rn <= WALK_CAP+1 (depth-d rows have rn = d+1, so the cap drops only
     unreachable rows and bounds the stored table to |users|·(cap+1)
-    regardless of history length), and per-level BROADCAST-joined, each
-    level is a frontier-sized hash join in place — never corpus x corpus
-    and never a per-level shuffle (10.2 s median, n=4 single-session, at
-    sf0.1; the floor is UnionLoop's ~0.2 s/level job overhead x WALK_CAP
-    levels, so cost is recursion DEPTH, not data size — SCALING.md r9).
-    ``walked`` < WALK_CAP or reached=1 certifies per-user termination;
-    -1 marks no purchase within the cap."""
+    regardless of history length). Recursion cost is DEPTH-priced
+    (~0.2 s/level fixed UnionLoop job overhead + one broadcast build),
+    so since r13 each level advances TWO links over the materialized
+    ``hop`` jump relation (one window pass over linked, pinned the same
+    way) — 26 levels instead of 51, still one frontier-sized broadcast
+    hash join per level, never corpus x corpus, never a per-level
+    shuffle (SCALING.md r13 A/B). ``walked`` < WALK_CAP or reached=1
+    certifies per-user termination; -1 marks no purchase within the
+    cap."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
 
@@ -535,4 +625,11 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     linked.createOrReplaceTempView("events_walk_linked")
-    return spark.sql(_sql_walk_over_linked("events_walk_linked"))
+    # the hop jump relation, pinned for the same reason as linked (an
+    # inline CTE would re-run its window every level); built by the
+    # SAME SQL text the oracle inlines, over the pinned linked view
+    hop = spark.sql(
+        f"WITH {_hop_body('events_walk_linked')} SELECT * FROM hop"
+    ).localCheckpoint(eager=False)
+    hop.createOrReplaceTempView("events_walk_hop")
+    return spark.sql(_sql_walk_over("events_walk_linked", "events_walk_hop"))

@@ -84,3 +84,43 @@ def test_aggregate_in_recursive_step_still_unsupported(spark, edges_view):
     """
     with pytest.raises(AnalysisException, match="INVALID_RECURSIVE_REFERENCE"):
         spark.sql(sql).collect()
+
+
+def test_two_step_walk_equals_single_step(spark, sf_dir):
+    """THE equivalence pin for the r13 two-step walk rewrite
+    (events_steps_to_purchase): engine and oracle run the SAME
+    statement, so a semantic slip in the rewrite would hash-agree
+    across engines and hide — only an independent comparison against
+    the retained one-step body can catch it. Runs both forms over the
+    full corpus via Spark and asserts identical aggregates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from airflow_ml_pipeline_spark.operators import events
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    linked = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lead("event_id").over(w).alias("nxt"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= events.WALK_CAP + 1)
+        .localCheckpoint(eager=False)
+    )
+    linked.createOrReplaceTempView("walk_eq_linked")
+    single = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "WITH RECURSIVE " + events._walk_body_single("walk_eq_linked")
+        ).collect()
+    )
+    double = sorted(
+        tuple(r)
+        for r in events.events_steps_to_purchase(spark, sf_dir).collect()
+    )
+    assert single == double
