@@ -1130,53 +1130,52 @@ def doremi_reweight(excess: DataFrame) -> DataFrame:
     vocabulary-sized shuffle). The excess frame is pinned — three
     consumers (max, count, step grid) would otherwise re-run its
     lineage per reference."""
-    excess = excess.localCheckpoint(eager=False)
-    mx = excess.agg(F.max("excess_nats").alias("mx"))
-    kk = excess.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    stepped = (
-        excess.crossJoin(F.broadcast(mx))
-        .select(
-            "source",
-            "n_docs",
-            "excess_nats",
-            "mx",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(DOREMI_STEPS))
-            ).alias("t"),
+    # ONE-EXPR grid (r13, VERDICT r12 ask #6): the r12 form staged the
+    # grid through 2 lazy localCheckpoints + 2 broadcast cross-joins +
+    # a groupBy join-back — ~1.2 s of per-call construction (py4j +
+    # analysis) measured on a 2-row input, paid by all four DoReMi
+    # queries. The |sources| x DOREMI_STEPS grid now folds inside ONE
+    # parsed expression over a collect_list'd struct array: every total
+    # is an order-independent int64 sum, per-source outputs stay keyed
+    # by source inside the structs, and the arithmetic is TERM-FOR-TERM
+    # the r12 chain (same exp / round / div lattice — the oracle is
+    # unchanged and the planted-replay tests pin the values).
+    # m_t is referenced twice (totals + weights) and mx once per m_t —
+    # recomputation is |sources| x steps x 2 exp() calls on ONE row.
+    mx = """aggregate(xs, cast('-Infinity' as double),
+                      (mxa, xe) -> if(xe.excess_nats > mxa,
+                                      xe.excess_nats, mxa))"""
+    m_t = f"""transform(xs, xm -> cast(round(
+                exp({DOREMI_ETA!r} * t * (xm.excess_nats - {mx}))
+                * 1000000, 0) as bigint))"""
+    mw = f"""zip_with(
+        xs,
+        aggregate(
+            sequence(1, {DOREMI_STEPS}),
+            transform(xs, x0 -> 0L),
+            (acc, t) -> zip_with(
+                acc,
+                transform({m_t},
+                    m -> m * 1000000 div aggregate(
+                        {m_t}, 0L, (ta, m2) -> ta + m2)),
+                (wa, w) -> wa + w)),
+        (x, ws) -> struct(
+            x.source AS source,
+            x.n_docs AS n_docs,
+            x.excess_nats AS excess_nats,
+            cast(ws div {DOREMI_STEPS} as bigint) AS alpha_bar_ppm,
+            cast(({1_000_000 - DOREMI_SMOOTH_PPM}
+                  * (ws div {DOREMI_STEPS})) div 1000000
+                 + {DOREMI_SMOOTH_PPM} div size(xs) as bigint)
+                AS weight_ppm))"""
+    return (
+        excess.agg(
+            F.collect_list(
+                F.struct("source", "n_docs", "excess_nats")
+            ).alias("xs")
         )
-        .select(
-            "source",
-            "n_docs",
-            "excess_nats",
-            "t",
-            F.expr(
-                f"cast(round(exp({DOREMI_ETA!r} * t * (excess_nats - mx))"
-                " * 1000000, 0) as bigint)"
-            ).alias("m"),
-        )
-        .localCheckpoint(eager=False)  # feeds the per-step totals AND wstep
-    )
-    tm = stepped.groupBy("t").agg(F.sum("m").cast("bigint").alias("tot_m"))
-    wstep = stepped.join(F.broadcast(tm), "t").select(
-        "source",
-        "n_docs",
-        "excess_nats",
-        F.expr("m * 1000000 div tot_m").alias("w_ppm"),
-    )
-    ab = wstep.groupBy("source", "n_docs", "excess_nats").agg(
-        F.expr(f"cast(sum(w_ppm) div {DOREMI_STEPS} as bigint)").alias(
-            "alpha_bar_ppm"
-        )
-    )
-    return ab.crossJoin(F.broadcast(kk)).select(
-        "source",
-        "n_docs",
-        "excess_nats",
-        "alpha_bar_ppm",
-        F.expr(
-            f"cast(({1_000_000 - DOREMI_SMOOTH_PPM} * alpha_bar_ppm)"
-            f" div 1000000 + {DOREMI_SMOOTH_PPM} div k as bigint)"
-        ).alias("weight_ppm"),
+        .select(F.explode(F.expr(mw)).alias("r"))
+        .select("r.*")
     )
 
 
