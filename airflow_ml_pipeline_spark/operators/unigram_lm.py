@@ -173,43 +173,56 @@ def frozen_scores_map() -> Column:
     )
 
 
-def viterbi_dp(word: Column, scores: Column | None = None) -> Column:
+def _frozen_scores_sql() -> str:
+    """The frozen vocabulary as a Spark SQL map literal — constant-folded
+    to the same Literal the Column form produces."""
+    ks = ", ".join(f"'{p}'" for p, _ in UNIGRAM_FROZEN_PIECES)
+    vs = ", ".join(str(s) for _, s in UNIGRAM_FROZEN_PIECES)
+    return (
+        f"map_from_arrays(array({ks}),"
+        f" cast(array({vs}) as array<bigint>))"
+    )
+
+
+def _viterbi_dp_sql(word: str, scores: str | None = None) -> str:
+    """ONE-PARSE (r13, VERDICT r12 ask #6) expr text of the Viterbi dp
+    fold — term-for-term the pre-r13 Column-builder tree (the Python
+    loop over piece lengths built ~0.2 s of py4j round-trips per call;
+    the parsed string is the identical expression). ``word`` / ``scores``
+    are SQL fragments (column names or expressions)."""
+    if scores is None:
+        scores = _frozen_scores_sql()
+    cands = ["element_at(acc, cast(i as int)) - 1"]  # L=1, score 0
+    for L in _piece_lens():
+        cands.append(
+            f"""if(i >= {L},
+              element_at(acc, cast(i - {L} + 1 as int))
+              + coalesce(element_at({scores},
+                             substring({word}, cast(i - {L} + 1 as int),
+                                       {L})) * {_OBJ_M},
+                         -1000000000000) - 1,
+              -1000000000000)"""
+        )
+    cand_sql = ",\n          ".join(cands)
+    return f"""aggregate(
+        sequence(1, length({word})),
+        array(cast(0 as bigint)),
+        (acc, i) -> concat(acc, array(greatest(
+          {cand_sql}))))"""
+
+
+def viterbi_dp(word: str, scores: str | None = None) -> Column:
     """The full Viterbi dp ARRAY for ``word`` (slot i+1 = best objective
     of the length-i prefix, dp(0)=0 at slot 1) — the shared kernel
     behind :func:`viterbi_obj` (which reads the final slot) and
     :func:`viterbi_backtrace_pieces` (which walks the array back to
     recover the optimal segmentation's pieces). One ``F.aggregate`` fold
-    over char positions — windowless, UDF-less."""
-    if scores is None:
-        scores = frozen_scores_map()
-
-    def step(acc: Column, i: Column) -> Column:
-        cands = [F.element_at(acc, i.cast("int")) - 1]  # L=1, score 0
-        for L in _piece_lens():
-            cands.append(
-                F.when(
-                    i >= L,
-                    F.element_at(acc, (i - L + 1).cast("int"))
-                    + F.coalesce(
-                        F.element_at(
-                            scores, F.substring(word, (i - L + 1).cast("int"), F.lit(L))
-                        )
-                        * _OBJ_M,
-                        F.lit(-(10**12)),
-                    )
-                    - 1,
-                ).otherwise(F.lit(-(10**12)))
-            )
-        return F.concat(acc, F.array(F.greatest(*cands)))
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.array(F.lit(0).cast("bigint")),
-        step,
-    )
+    over char positions — windowless, UDF-less. ``word``/``scores`` are
+    SQL fragments; the whole fold is ONE parsed expr (r13)."""
+    return F.expr(_viterbi_dp_sql(word, scores))
 
 
-def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
+def viterbi_obj(word: str, scores: str | None = None) -> Column:
     """The integer Viterbi objective of ``word`` under a piece
     vocabulary: ``max over segmentations of 128·Σscore − n_pieces``,
     the final slot of :func:`viterbi_dp`.
@@ -217,31 +230,28 @@ def viterbi_obj(word: Column, scores: Column | None = None) -> Column:
     GREATEST over piece lengths L of dp(i−L) + 128·score(word[i−L+1..i])
     − 1, with the single-char fallback at score 0.
 
-    ``scores``: piece→score map column; defaults to the frozen literal
-    vocabulary. A per-row map (e.g. the leave-one-out variants the
-    pruning step builds with ``map_filter``) works identically — a piece
-    absent from the map simply never wins (coalesce to −∞), so the
-    candidate lengths can stay the frozen set."""
-    dp = viterbi_dp(word, scores)
+    ``scores``: piece→score map SQL fragment; defaults to the frozen
+    literal vocabulary. A per-row map (e.g. the leave-one-out variants
+    the pruning step builds with ``map_filter``) works identically — a
+    piece absent from the map simply never wins (coalesce to −∞), so
+    the candidate lengths can stay the frozen set."""
+    dp = _viterbi_dp_sql(word, scores)
     # the objective encoding (128·Σscore − n_pieces) is only a valid
     # lexicographic order while n_pieces ≤ word length < _OBJ_M; a
     # 128+-char token would corrupt it IDENTICALLY in both engines, so
     # the oracle could never catch it — fail the job instead of
     # reporting wrong numbers (assert_true returns NULL on success, so
     # the coalesce adds 0 to the objective)
-    guard = F.assert_true(
-        F.length(word) < _OBJ_M,
-        F.concat(
-            F.lit(f"unigram viterbi: word length must be < {_OBJ_M}: "), word
-        ),
-    )
-    return F.element_at(dp, F.length(word) + 1) + F.coalesce(
-        guard.cast("bigint"), F.lit(0)
+    return F.expr(
+        f"""element_at({dp}, length({word}) + 1)
+        + coalesce(cast(assert_true(length({word}) < {_OBJ_M},
+              concat('unigram viterbi: word length must be < {_OBJ_M}: ',
+                     {word})) as bigint), 0)"""
     )
 
 
 def viterbi_backtrace_pieces(
-    word: Column, dp: Column, scores: Column | None = None
+    word: str, dp: str, scores: str | None = None
 ) -> Column:
     """The VOCABULARY pieces used by the deterministic optimal
     segmentation of ``word``, recovered by walking the :func:`viterbi_dp`
@@ -259,72 +269,58 @@ def viterbi_backtrace_pieces(
     ``dp`` must be a MATERIALIZED column (computed in a prior select),
     not an inline expression — higher-order-function lambdas are
     excluded from common-subexpression elimination, so an inline dp
-    would re-run the whole forward DP once per backtrace step."""
+    would re-run the whole forward DP once per backtrace step.
+
+    ONE-PARSE (r13): the cascade is emitted as a single expr string
+    (term-for-term the pre-r13 Column-builder tree — same candidate
+    order, same null semantics, so the parity/property tests pin the
+    identical values). The chosen-struct and walked-fold fragments are
+    textually inlined per reference, exactly as the Column form
+    embedded copies of those subtrees."""
     if scores is None:
-        scores = frozen_scores_map()
+        scores = _frozen_scores_sql()
 
-    def val(p: Column) -> Column:  # dp value of the length-p prefix
-        return F.element_at(dp, (p + 1).cast("int"))
+    def val(p: str) -> str:  # dp value of the length-p prefix
+        return f"element_at({dp}, cast({p} + 1 as int))"
 
-    def step(acc: Column, _i: Column) -> Column:
-        pos = acc["pos"]
-        chosen = F.when(
-            val(pos - 1) - 1 == val(pos),
-            F.struct(
-                F.lit(1).alias("l"), F.lit(None).cast("string").alias("p")
-            ),
+    branches = [
+        f"""WHEN {val("acc.pos - 1")} - 1 = {val("acc.pos")}
+            THEN struct(1 AS l, cast(null as string) AS p)"""
+    ]
+    for L in _piece_lens():
+        piece = f"substring({word}, cast(acc.pos - {L} + 1 as int), {L})"
+        branches.append(
+            f"""WHEN (acc.pos >= {L})
+                 AND element_at({scores}, {piece}) IS NOT NULL
+                 AND ({val(f"acc.pos - {L}")}
+                      + element_at({scores}, {piece}) * {_OBJ_M} - 1
+                      = {val("acc.pos")})
+            THEN struct({L} AS l, {piece} AS p)"""
         )
-        for L in _piece_lens():
-            piece = F.substring(word, (pos - L + 1).cast("int"), F.lit(L))
-            hit = F.when(
-                pos >= L,
-                F.when(
-                    F.element_at(scores, piece).isNotNull()
-                    & (
-                        val(pos - L)
-                        + F.element_at(scores, piece) * _OBJ_M
-                        - 1
-                        == val(pos)
-                    ),
-                    F.lit(True),
-                ).otherwise(F.lit(False)),
-            ).otherwise(F.lit(False))
-            chosen = chosen.when(
-                hit, F.struct(F.lit(L).alias("l"), piece.alias("p"))
-            )
-        nxt = F.struct(
-            (pos - chosen["l"]).alias("pos"),
-            F.when(
-                chosen["p"].isNotNull(),
-                F.concat(acc["used"], F.array(chosen["p"])),
-            )
-            .otherwise(acc["used"])
-            .alias("used"),
-        )
-        return F.when(pos <= 0, acc).otherwise(nxt)
-
-    walked = F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.struct(
-            F.length(word).cast("bigint").alias("pos"),
-            F.array().cast("array<string>").alias("used"),
-        ),
-        step,
-    )
-    done = F.assert_true(
-        walked["pos"] == 0,
-        F.concat(F.lit("unigram backtrace: cascade missed on word "), word),
-    )
+    chosen = "(CASE " + " ".join(branches) + " END)"
+    walked = f"""aggregate(
+        sequence(1, length({word})),
+        struct(cast(length({word}) as bigint) AS pos,
+               cast(array() as array<string>) AS used),
+        (acc, i) -> if(acc.pos <= 0, acc,
+            struct(
+                acc.pos - {chosen}.l AS pos,
+                if({chosen}.p IS NOT NULL,
+                   concat(acc.used, array({chosen}.p)),
+                   acc.used) AS used)))"""
     # arithmetic dependence keeps the guard ALIVE: a when(done.isNull(),
     # used).otherwise(used) has identical branches and Catalyst's
     # SimplifyConditionals deletes the assert entirely (r9 review,
     # verified on the optimized plan). slice(used, 1 + coalesce(assert,
     # 0), size) is the full array on success and throws on a cascade
     # miss — same idiom as viterbi_obj's objective guard.
-    return F.slice(
-        walked["used"],
-        F.lit(1) + F.coalesce(done.cast("int"), F.lit(0)),
-        F.size(walked["used"]),
+    return F.expr(
+        f"""slice(
+        {walked}.used,
+        1 + coalesce(cast(assert_true({walked}.pos = 0,
+              concat('unigram backtrace: cascade missed on word ',
+                     {word})) as int), 0),
+        size({walked}.used))"""
     )
 
 
@@ -401,7 +397,7 @@ def unigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.select("word").distinct()
-    obj = viterbi_obj(F.col("word"))
+    obj = viterbi_obj("word")
     per_word = vocab.select(
         "word",
         F.pmod(-obj, F.lit(_OBJ_M)).alias("n_pieces"),
@@ -440,7 +436,7 @@ def _loo_losses(wfreq: DataFrame, variants: DataFrame) -> DataFrame:
     criterion, with Viterbi standing in for the lattice likelihood).
     ``variants`` is (excl, smap) with one sentinel row (excl='') whose
     map is the full vocabulary."""
-    obj = viterbi_obj(F.col("word"), scores=F.col("smap"))
+    obj = viterbi_obj("word", scores="smap")
     per = wfreq.crossJoin(F.broadcast(variants)).select(
         "word", "cnt", "excl", obj.alias("obj")
     )
@@ -686,7 +682,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     vocab = words.select("word").distinct()
-    obj = viterbi_obj(F.col("word"))
+    obj = viterbi_obj("word")
     per_word = vocab.select(
         "word", F.pmod(-obj, F.lit(_OBJ_M)).alias("n_pieces")
     )
@@ -858,11 +854,11 @@ def _em_score_frame(spark: SparkSession, wfreq: DataFrame) -> DataFrame:
     new_score_ppm) under the frozen vocabulary — shared by
     ``unigram_vocab_em`` (which emits it) and the EM-driven prune round
     (which segments under its scores)."""
-    dp = wfreq.select("word", "cnt", viterbi_dp(F.col("word")).alias("dp"))
+    dp = wfreq.select("word", "cnt", viterbi_dp("word").alias("dp"))
     used = dp.select(
         "word",
         "cnt",
-        viterbi_backtrace_pieces(F.col("word"), F.col("dp")).alias("used"),
+        viterbi_backtrace_pieces("word", "dp").alias("used"),
     )
     # Pin the backtrace output BEFORE the explode: a Generate whose
     # generator child is the fold/cascade expression tree costs ~6.5 s of

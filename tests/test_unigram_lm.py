@@ -42,7 +42,7 @@ def _ref_viterbi(word: str, pieces: dict[str, int]) -> tuple[int, int]:
 
 def _spark_seg(spark, words: list[str]) -> dict[str, tuple[int, int]]:
     sdf = spark.createDataFrame([(w,) for w in words], ["word"])
-    obj = viterbi_obj(F.col("word"))
+    obj = viterbi_obj("word")
     rows = sdf.select(
         "word",
         F.pmod(-obj, F.lit(_OBJ_M)).alias("k"),
@@ -261,9 +261,9 @@ def _spark_backtrace(spark, words: list[str]) -> dict[str, list[str]]:
     )
 
     sdf = spark.createDataFrame([(w,) for w in words], ["word"])
-    dp = sdf.select("word", viterbi_dp(F.col("word")).alias("dp"))
+    dp = sdf.select("word", viterbi_dp("word").alias("dp"))
     rows = dp.select(
-        "word", viterbi_backtrace_pieces(F.col("word"), F.col("dp")).alias("u")
+        "word", viterbi_backtrace_pieces("word", "dp").alias("u")
     ).collect()
     return {r.word: list(r.u) for r in rows}
 
@@ -352,10 +352,10 @@ def test_backtrace_cascade_miss_fails_loud(spark):
     )
 
     df = spark.createDataFrame([("er",)], "word string")
-    bad_dp = F.lit([0, -999, -999]).cast("array<bigint>")
+    bad_dp = "cast(array(0, -999, -999) as array<bigint>)"
     with pytest.raises(Exception, match="cascade missed"):
         df.select(
-            viterbi_backtrace_pieces(F.col("word"), bad_dp).alias("u")
+            viterbi_backtrace_pieces("word", bad_dp).alias("u")
         ).collect()
 
 
