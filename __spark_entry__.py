@@ -79,6 +79,8 @@ CHECK_PRIORITY = [
     "ann_ivfpq_topk",
     "pq_quantization_error",
     "stream_semantic_dedup_ingest",
+    "ann_ivfpq_rerank_topk",
+    "pq_code_histogram",
     # -- latest driver row: round 8 (36 names) --
     "embedding_decontamination",
     "embedding_dim_stats",

@@ -572,3 +572,140 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_mse_ppm",
         F.round(int8_mse * 1_000_000, 3).alias("int8_mse_ppm"),
     )
+
+
+RERANK_SHORTLIST = 50
+
+
+def _sql_ann_ivfpq_rerank() -> str:
+    """Oracle for the two-stage probe: the ADC shortlist CTE reuses the
+    full coded/probe machinery (deterministic under the rounded-ADC +
+    vec_id total order), then the exact-cosine rerank reuses the green
+    ``SQL_COS_VS_QVEC`` statement verbatim."""
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        SQL_COS_VS_QVEC,
+    )
+
+    adc_sql = _sql_ann_ivfpq()
+    # the ADC top-k statement with the shortlist size in place of TOP_K
+    # (string surgery on the LIMIT tail keeps ONE generator for the
+    # whole coded/probe restatement)
+    assert adc_sql.rstrip().endswith(f"LIMIT {TOP_K}")
+    shortlist = adc_sql.rstrip()[: -len(f"LIMIT {TOP_K}")] + (
+        f"LIMIT {RERANK_SHORTLIST}"
+    )
+    return f"""
+    WITH short AS ({shortlist}),
+    q2 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label, {SQL_COS_VS_QVEC} AS cos_sim
+    FROM embeddings e
+    JOIN short s ON s.vec_id = e.vec_id
+    CROSS JOIN q2
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("ann_ivfpq_rerank_topk", oracle=_sql_ann_ivfpq_rerank())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval — the standard production shape
+    (Faiss's ``index.search`` + refine): stage 1 scans only the probed
+    cells' compact codes and shortlists RERANK_SHORTLIST candidates by
+    asymmetric distance; stage 2 fetches ONLY those candidates' raw
+    vectors and reranks by exact cosine. At 100 TB the shortlist fetch
+    is a broadcast semi-join against the vector store (50 point reads),
+    so the exact math touches 50 vectors instead of the corpus — ADC's
+    quantization noise is confined to shortlist MEMBERSHIP, and within
+    the probed cells the final ranking is exact
+    (tests/test_pq.py::test_rerank_recall_at_least_adc pins
+    recall(rerank) >= recall(ADC-only) against brute force).
+
+    Determinism across engines: the shortlist is a total order on the
+    bit-identical (rounded ADC, vec_id) key; the rerank reuses the
+    SQL_COS_VS_QVEC twin the brute-force query is green under."""
+    qvec = _fetch_query_vec(spark, sf_dir)
+    lut0, lut, qnorm = _adc_luts(qvec)
+    probes = _ivf_probe_lists(qvec)
+
+    from airflow_ml_pipeline_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = pq_index(emb)
+    lut0_lit = "array(" + ", ".join(f"{v!r}D" for v in lut0) + ")"
+    terms = [f"element_at({lut0_lit}, cluster_id + 1)"]
+    for mi in range(PQ_M):
+        lit = "array(" + ", ".join(f"{v!r}D" for v in lut[mi]) + ")"
+        terms.append(f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)")
+    adc = " + ".join(terms)
+    short = (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(
+            "vec_id",
+            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
+                "adc_cos"
+            ),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(RERANK_SHORTLIST)
+        .select("vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
+    )
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        l2_norm(F.col("embedding")) * F.col("qnorm")
+    )
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_pq_code_histogram() -> str:
+    sels = []
+    for mi in range(PQ_M):
+        sels.append(
+            f"""SELECT {mi} AS subspace, c{mi} AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_cells
+        FROM coded GROUP BY c{mi}"""
+        )
+    un = "\n    UNION ALL\n    ".join(sels)
+    return f"""
+    WITH {_sql_pq_coded().lstrip()}
+    {un}
+    """
+
+
+@query("pq_code_histogram", oracle=_sql_pq_code_histogram())
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-utilization audit: per (subspace, code) how many vectors
+    carry the code and how many coarse cells they span — the index-
+    health table a PQ deployment watches (a dead code wastes a 16th of
+    a subspace's resolution; one dominant code means the subspace
+    carries ~0 bits and the codebook should be retrained). Emits only
+    codes in use, matching the oracle's GROUP BY over realized codes.
+    One encode pass + one |codes|-keyed aggregate with map-side
+    partials; nothing here scales past PQ_M x PQ_K x IVF_K rows.
+    The encoded frame is PINNED before the explode — a Generate whose
+    child is the full code-argmin fold tree pays seconds of per-stage
+    machinery even on tiny inputs (the r9 unigram_vocab_em lesson;
+    measured here: 5.8 -> ~1 s warm at sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = pq_index(emb).select("cluster_id", "pq_code").localCheckpoint(
+        eager=False
+    )
+    coded = indexed.select(
+        "cluster_id", F.posexplode("pq_code").alias("subspace", "code")
+    )
+    return coded.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_cells"),
+    )

@@ -173,6 +173,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
+    "pq_code_histogram",
     "pq_quantization_error",
     "embedding_near_dup_pairs",
     "embedding_decontamination",

@@ -797,3 +797,15 @@ def test_pq_error_single_scan_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_rerank_broadcasts_shortlist(spark, sf_dir):
+    """ann_ivfpq_rerank_topk: the exact-rerank stage fetches the ADC
+    shortlist via BROADCAST joins (50 rows against the vector store) —
+    no sort-merge join, no cartesian, and a TakeOrderedAndProject
+    top-k."""
+    plan = _plan(registry.QUERIES["ann_ivfpq_rerank_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -180,3 +180,36 @@ def test_pq_index_emits_compact_codes(spark, sf_dir):
         assert len(r.pq_code) == PQ_M
         assert all(0 <= c < PQ_K for c in r.pq_code)
         assert r.vnorm > 0
+
+
+def test_rerank_recall_at_least_adc(spark, sf_dir):
+    """The rerank stage can only help: within the probed cells the final
+    ranking is exact, so recall vs brute force is >= the ADC-only
+    probe's, and every rerank result must come from a probed cell."""
+    from airflow_ml_pipeline_spark.operators import similarity
+
+    exact = {
+        r.vec_id
+        for r in similarity.knn_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    adc = {r.vec_id for r in pq.ann_ivfpq_topk(spark, sf_dir).collect()}
+    rer = [r.vec_id for r in pq.ann_ivfpq_rerank_topk(spark, sf_dir).collect()]
+    assert len(rer) == 10
+    assert len(exact & set(rer)) >= len(exact & adc)
+    # the query's own vector is an exact self-match in a probed cell
+    assert similarity.QUERY_VEC_ID in rer
+
+
+def test_code_histogram_accounts_every_vector(spark, sf_dir):
+    """Mass conservation: per subspace the histogram's n_vecs sums to the
+    corpus size, codes lie in [0, PQ_K), and n_cells <= 16."""
+    from airflow_ml_pipeline_spark.sources.catalog import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = pq.pq_code_histogram(spark, sf_dir).collect()
+    per_sub = {}
+    for r in rows:
+        assert 0 <= r.code < PQ_K
+        assert 1 <= r.n_cells <= 16
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vecs
+    assert per_sub == {mi: n for mi in range(PQ_M)}

@@ -138,6 +138,8 @@ AUDITED = [
     "unigram_em_prune_divergence",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
+    "pq_code_histogram",
     "pq_quantization_error",
     "engineered_customer_features",
     "unigram_lm_segmented",

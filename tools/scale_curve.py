@@ -160,6 +160,8 @@ QUERIES = [
     ("ann_lsh_topk", "embeddings"),
     ("ann_ivf_topk", "embeddings"),
     ("ann_ivfpq_topk", "embeddings"),
+    ("ann_ivfpq_rerank_topk", "embeddings"),
+    ("pq_code_histogram", "embeddings"),
     ("pq_quantization_error", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
