@@ -428,8 +428,13 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
 
 
 #: recursion cap for the linked-list walk — bounds both engines' CTE
-#: iteration count (Spark's recursion level limit defaults to 100)
+#: iteration count (Spark's recursion level limit defaults to 100).
+#: MUST stay even (ADVICE r13): the two-step walk only equals the
+#: one-step walk when live frontiers (always even-depth — an odd-depth
+#: row is terminal by the hop construction) can never jump past the
+#: cap; an odd cap would let a depth cap-1 frontier land on cap+1.
 WALK_CAP = 50
+assert WALK_CAP % 2 == 0, "two-step walk requires an even WALK_CAP"
 
 
 def _walk_body_single(linked: str) -> str:
@@ -465,9 +470,9 @@ def _walk_body_single(linked: str) -> str:
 def _walk_body(linked: str, hop: str) -> str:
     """The walk CTE body + final aggregate both engines run VERBATIM
     over prepared ``linked(user_id, event_id, event_type, nxt, rn)``
-    and ``hop(user_id, entry, out_type, out_nxt, step, mid_type)``
-    relations (Spark binds materialized temp views; the oracle binds
-    inline CTEs). The BROADCAST hint is a Spark join-strategy comment
+    and ``hop(user_id, entry, out_type, out_nxt, step)`` relations
+    (Spark binds materialized temp views; the oracle binds inline
+    CTEs). The BROADCAST hint is a Spark join-strategy comment
     (each recursion level hash-joins the frontier against the cap-bounded
     linked table in place instead of shuffle-joining it — A/B r9); DuckDB
     parses it as a plain comment, so the statement stays identical.
@@ -475,46 +480,45 @@ def _walk_body(linked: str, hop: str) -> str:
     TWO STEPS PER LEVEL (r13, VERDICT r12 ask #4): UnionLoop prices
     recursion by DEPTH (~0.2 s fixed job overhead + one broadcast build
     per level), so the walk advances two links per iteration over a
-    precomputed JUMP relation — the odd-depth event rides along as
-    ``mid_type`` instead of being its own frontier row, and the level
-    count halves (26 vs 51 jobs) while each level keeps exactly ONE
-    broadcast join (a first attempt that joined ``linked`` twice per
-    level rebuilt two broadcasts per level and only recovered ~20%).
-    The jump row keyed by the event the frontier is about to visit
-    (l1) precomposes both hops via window leads:
+    precomputed JUMP relation and the level count halves (26 vs 51
+    jobs) while each level keeps exactly ONE broadcast join (a first
+    attempt that joined ``linked`` twice per level rebuilt two
+    broadcasts per level and only recovered ~20%). The jump row keyed
+    by the event the frontier is about to visit (l1) precomposes both
+    hops via window leads:
 
     - if l1's event is a purchase or has no successor, the jump is a
-      TERMINAL one-step (out = l1, step 1, no mid) — never walking
-      past a purchase, never losing a dead-end's last event;
-    - otherwise the jump lands two ahead (out = l2, step 2) carrying
-      l1's type as ``mid_type``, and the aggregate counts a mid
-      purchase at depth-1.
+      TERMINAL one-step (out = l1, step 1) — never walking past a
+      purchase, never losing a dead-end's last event;
+    - otherwise the jump lands two ahead (out = l2, step 2); the
+      ridden-over mid event l1 is by construction NEVER a purchase
+      (a purchase l1 takes the terminal branch), so the aggregate
+      needs no mid accounting at all (ADVICE r13 removed the dead
+      ``mid_type`` plumbing — only terminal-depth events can be
+      purchases, exactly as in the one-step walk).
     Frontier gating is unchanged (walk only while the frontier's own
-    event isn't 'purchase', depth < cap). Equivalence to the one-step
-    walk over the full corpus is pinned by
-    tests/test_recursive_cc_port.py (both engines run the same
-    statement, so only an independent equivalence check can catch a
-    rewrite slip)."""
+    event isn't 'purchase', depth < cap; WALK_CAP must stay even —
+    see its assert). Equivalence to the one-step walk over the full
+    corpus is pinned by tests/test_recursive_cc_port.py (both engines
+    run the same statement, so only an independent equivalence check
+    can catch a rewrite slip)."""
     return f"""walk AS (
-        SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth,
-               CAST(NULL AS STRING) AS mid_type
+        SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
         FROM {linked} WHERE rn = 1
         UNION ALL
         SELECT /*+ BROADCAST(j) */ w.user_id, j.out_type, j.out_nxt,
-               w.depth + j.step, j.mid_type
+               w.depth + j.step
         FROM walk w JOIN {hop} j
           ON j.user_id = w.user_id AND j.entry = w.nxt
         WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
     )
     SELECT user_id,
            CAST(MAX(depth) AS BIGINT) AS walked,
-           CAST(COALESCE(MIN(CASE WHEN mid_type = 'purchase' THEN depth - 1
-                                  WHEN event_type = 'purchase' THEN depth
-                             END), -1) AS BIGINT)
+           CAST(COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                  THEN depth END), -1) AS BIGINT)
                AS steps_to_purchase,
-           CAST(CASE WHEN MIN(CASE WHEN mid_type = 'purchase' THEN depth - 1
-                                   WHEN event_type = 'purchase' THEN depth
-                              END) IS NOT NULL
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                   THEN depth END) IS NOT NULL
                 THEN 1 ELSE 0 END AS BIGINT) AS reached
     FROM walk
     GROUP BY user_id
@@ -542,10 +546,7 @@ def _hop_body(linked: str) -> str:
                CASE WHEN event_type = 'purchase' OR nxt IS NULL
                     THEN CAST(NULL AS BIGINT) ELSE n2 END AS out_nxt,
                CAST(CASE WHEN event_type = 'purchase' OR nxt IS NULL
-                    THEN 1 ELSE 2 END AS BIGINT) AS step,
-               CASE WHEN event_type = 'purchase' OR nxt IS NULL
-                    THEN CAST(NULL AS STRING) ELSE event_type END
-                   AS mid_type
+                    THEN 1 ELSE 2 END AS BIGINT) AS step
         FROM hop0
     )"""
 

@@ -55,7 +55,30 @@ def _cleanup_stage() -> None:
     shutil.rmtree(STAGE_CUSTOMERS, ignore_errors=True)
 
 
+def _prune_dead_stages() -> None:
+    """Sweep stale per-PID staged copies left by processes that never
+    reached atexit (SIGKILL'd bench runs, driver timeouts — VERDICT r13
+    noted /tmp accumulation survives the atexit hook). A staged path
+    whose embedded PID is no longer alive is garbage by construction:
+    the path is only ever read by the process that wrote it."""
+    import glob
+    import re
+    import shutil
+
+    for p in glob.glob("/tmp/spark_graft_stage/synthetic_customers_2000_*"):
+        m = re.search(r"_(\d+)\.parquet$", p)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 atexit.register(_cleanup_stage)
+_prune_dead_stages()
 
 #: frozen fit-time 75th percentile of monthly_charges on the committed
 #: (seed=42, n=2000, 16-partition) generated frame — the preprocessor's

@@ -678,8 +678,15 @@ def _sql_pq_code_histogram() -> str:
         FROM coded GROUP BY c{mi}"""
         )
     un = "\n    UNION ALL\n    ".join(sels)
+    # AS MATERIALIZED (ADVICE r13): DuckDB inlines CTEs by default, so
+    # the PQ_M UNION ALL branches would each re-evaluate the full encode
+    # chain — the same re-evaluation mode _sql_ann_ivfpq documents and
+    # pins; identical string surgery here (oracle runtime only).
+    coded = _sql_pq_coded().lstrip().replace(
+        "coded AS (", "coded AS MATERIALIZED (", 1
+    )
     return f"""
-    WITH {_sql_pq_coded().lstrip()}
+    WITH {coded}
     {un}
     """
 

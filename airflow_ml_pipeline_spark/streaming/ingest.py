@@ -1564,6 +1564,19 @@ def stage_range_vec_batches(spark: SparkSession, sf_dir: str) -> str:
         return arrivals
     emb = load_table(spark, sf_dir, "embeddings")
     n_total = emb.count()
+    # Completeness guard (ADVICE r13): batch index = vec_id * N // n_total
+    # lands in [0, N) iff vec_id is in [0, n_total) — a non-dense corpus
+    # with any vec_id outside that range would silently stage NOTHING for
+    # that vector and only surface later as an oracle mismatch. Fail
+    # loudly at staging time instead.
+    oob = emb.filter(
+        (F.col("vec_id") < 0) | (F.col("vec_id") >= n_total)
+    ).count()
+    if oob:
+        raise RuntimeError(
+            f"semantic ingest staging: {oob} vec_ids outside [0, {n_total})"
+            " — range staging requires dense 0..n-1 vec_ids"
+        )
     tmp = f"{arrivals}.build.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     for i in range(SEM_N_BATCHES):

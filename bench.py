@@ -366,7 +366,29 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf_val,
     }
-    print(json.dumps(out, separators=(",", ":")))
+    # The driver records only the LAST ~2000 bytes of stdout and parses
+    # the JSON line out of that window (BENCH_r12/r13 both landed
+    # "parsed": null once the full 165-query map outgrew it — VERDICT
+    # r13 ask #6). Keep the headline line comfortably inside the window:
+    # the full map always lands in bench_results.json; stdout keeps the
+    # SLOWEST queries that fit the budget plus an omission count.
+    budget = 1800
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept: dict[str, float] = {}
+        out["queries"] = kept
+        out["queries_omitted"] = len(timings)
+        out["detail"] = "bench_results.json"
+        for n, t in ordered:
+            kept[n] = round(t, 2)
+            out["queries_omitted"] = len(timings) - len(kept)
+            if len(json.dumps(out, separators=(",", ":"))) > budget:
+                del kept[n]
+                break
+        out["queries_omitted"] = len(timings) - len(kept)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
