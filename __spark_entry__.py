@@ -65,69 +65,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence
 #: queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-13 rotation (VERDICT r12 ask #2) ----
-    # Head: queries newly declared in round 13 (zero driver rows)
-    # as they land, then the whole registry strictly by the age of
-    # each query's latest committed driver row — the judge-
-    # recomputed cohorts: r8 (36, the stalest evidence in the
-    # registry) -> r9 (50) -> r10 (50) -> r11 (50) -> the 50 names
-    # the r12 driver just checked last. Within a cohort the order
-    # is alphabetical (the driver samples a ~50-name prefix;
-    # intra-cohort order carries no evidence signal). Full registry
-    # listed; ordering contract: tests/test_registry_order.py.
-    # -- round-13 new queries (zero driver rows until the r13 run) --
-    "ann_ivfpq_topk",
-    "pq_quantization_error",
-    "stream_semantic_dedup_ingest",
-    "ann_ivfpq_rerank_topk",
-    "pq_code_histogram",
-    # -- latest driver row: round 8 (36 names) --
-    "embedding_decontamination",
-    "embedding_dim_stats",
-    "event_value_hour_stats",
-    "events_funnel",
-    "events_hourly_continuous",
-    "events_latest_by_key",
-    "events_sessionized",
-    "events_steps_to_purchase",
-    "events_trailing_burst",
-    "forecast_revenue_change",
-    "grouping_sets_revenue",
-    "lang_nchars_median_udaf",
-    "langid_heuristic",
-    "lineitem_distinct_stats",
-    "local_supplier_revenue",
-    "multimodal_dedup_by_digest",
-    "multimodal_frame_samples",
-    "nation_eventtype_matrix",
-    "nation_market_share",
-    "nation_value_concentration",
-    "near_dup_canonical_by_source",
-    "near_dup_cross_source_matrix",
-    "orders_retention_cohort",
-    "part_best_supplier",
-    "part_type_edit_distance",
-    "priority_order_counts",
-    "purchase_last_view_asof",
-    "revenue_by_segment",
-    "segment_acctbal_top_decile",
-    "segment_balance_flags",
-    "small_quantity_revenue",
-    "source_unigram_kl",
-    "stream_ingest_funnel",
-    "tokenizer_fertility_by_lang",
-    "top_orders_by_revenue",
-    "unigram_vocab_pruned",
-    # -- latest driver row: round 9 (50 names) --
-    "ann_lsh_topk",
-    "basket_brand_pairs",
-    "bm25_topk",
-    "bpe_encoded_corpus",
-    "bpe_fertility_by_lang",
-    "bpe_trained_merges",
-    "brand_discount_qty_slope",
-    "cdc_chunk_dedup",
-    "corpus_funnel_by_source",
+    # ---- round-14 rotation (VERDICT r13 ask #1) ----
+    # Head: queries newly declared in round 14 (zero driver rows),
+    # then the registry strictly by the age of each query's latest
+    # committed driver row — cohorts r9 (41, the stalest evidence)
+    # -> r10 (50) -> r11 (50) -> r12 (50) -> r13 (50), alphabetical
+    # within a cohort (the driver samples a ~50-name prefix;
+    # intra-cohort order carries no evidence signal). Ordering
+    # contract: tests/test_registry_order.py.
+    # -- round-14 new queries (zero driver rows until the r14 run) --
+    "knn_cosine_bruteforce_filtered",
+    "ann_ivfpq_filtered_topk",
+    # -- latest driver row: round 9 (41 names) --
     "corpus_prepared",
     "corpus_shard_skew_report",
     "corpus_sketch_stats",
@@ -322,6 +271,57 @@ CHECK_PRIORITY = [
     "token_frequencies",
     "unigram_lm_segmented",
     "unigram_seed_candidates",
+    # -- latest driver row: round 13 (50 names) --
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "basket_brand_pairs",
+    "bm25_topk",
+    "bpe_encoded_corpus",
+    "bpe_fertility_by_lang",
+    "bpe_trained_merges",
+    "brand_discount_qty_slope",
+    "cdc_chunk_dedup",
+    "corpus_funnel_by_source",
+    "embedding_decontamination",
+    "embedding_dim_stats",
+    "event_value_hour_stats",
+    "events_funnel",
+    "events_hourly_continuous",
+    "events_latest_by_key",
+    "events_sessionized",
+    "events_steps_to_purchase",
+    "events_trailing_burst",
+    "forecast_revenue_change",
+    "grouping_sets_revenue",
+    "lang_nchars_median_udaf",
+    "langid_heuristic",
+    "lineitem_distinct_stats",
+    "local_supplier_revenue",
+    "multimodal_dedup_by_digest",
+    "multimodal_frame_samples",
+    "nation_eventtype_matrix",
+    "nation_market_share",
+    "nation_value_concentration",
+    "near_dup_canonical_by_source",
+    "near_dup_cross_source_matrix",
+    "orders_retention_cohort",
+    "part_best_supplier",
+    "part_type_edit_distance",
+    "pq_code_histogram",
+    "pq_quantization_error",
+    "priority_order_counts",
+    "purchase_last_view_asof",
+    "revenue_by_segment",
+    "segment_acctbal_top_decile",
+    "segment_balance_flags",
+    "small_quantity_revenue",
+    "source_unigram_kl",
+    "stream_ingest_funnel",
+    "stream_semantic_dedup_ingest",
+    "tokenizer_fertility_by_lang",
+    "top_orders_by_revenue",
+    "unigram_vocab_pruned",
 ]
 
 

@@ -61,6 +61,7 @@ from airflow_ml_pipeline_spark.operators.pq_train import (
     residual_expr,  # noqa: F401  (re-export: used by the train step/tests)
 )
 from airflow_ml_pipeline_spark.operators.similarity import (
+    FILTER_LABEL,
     IVF_NPROBE,
     QUERY_VEC_ID,
     TOP_K,
@@ -192,6 +193,19 @@ def _adc_luts(qvec: list[float]) -> tuple[list[float], list[list[float]], float]
     return lut0, lut, math.sqrt(qn)
 
 
+def _adc_sql(lut0: list[float], lut: list[list[float]]) -> str:
+    """The ADC sum as ONE Spark SQL expression over the stored index
+    columns (cluster_id, pq_code): 1 + PQ_M constant-array lookups —
+    the per-candidate score of every IVF-PQ probe variant (shared so
+    the plain, filtered, and rerank probes cannot drift)."""
+    lut0_lit = "array(" + ", ".join(f"{v!r}D" for v in lut0) + ")"
+    terms = [f"element_at({lut0_lit}, cluster_id + 1)"]
+    for mi in range(PQ_M):
+        lit = "array(" + ", ".join(f"{v!r}D" for v in lut[mi]) + ")"
+        terms.append(f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)")
+    return " + ".join(terms)
+
+
 def _fetch_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = (
@@ -302,7 +316,7 @@ VNORM_SQL = """sqrt(list_sum(list_transform(range(1, 65),
                       * CAST(embedding[i] AS DOUBLE))))"""
 
 
-def _sql_ann_ivfpq() -> str:
+def _sql_ann_ivfpq(extra_where: str = "") -> str:
     """DuckDB twin of the ADC probe. The engine computes the LUTs
     DRIVER-SIDE in Python; the oracle computes each LUT entry ONCE in
     the 1-row ``q`` CTE as the same left-associative chain over
@@ -310,7 +324,9 @@ def _sql_ann_ivfpq() -> str:
     and both chains evaluate in the same order, so every table entry,
     the probe set, the ADC sum, and the final rounded score are
     bit-identical across engines (the ``_sql_ann_ivf`` treatment
-    extended to the PQ LUTs)."""
+    extended to the PQ LUTs). ``extra_where`` appends a metadata
+    predicate (AND-prefixed) to the probed-cell scan — the filtered
+    variant."""
     from airflow_ml_pipeline_spark.operators.ivf_centroids import (
         IVF_CENTROIDS,
         IVF_CENTROID_N2,
@@ -381,7 +397,7 @@ def _sql_ann_ivfpq() -> str:
     SELECT vec_id, label,
            round(({adc}) / (qn * {VNORM_SQL}), 6) AS adc_cos
     FROM coded CROSS JOIN q
-    WHERE cluster_id IN (SELECT j FROM probe)
+    WHERE cluster_id IN (SELECT j FROM probe){extra_where}
     ORDER BY adc_cos DESC, vec_id
     LIMIT {TOP_K}
     """
@@ -416,12 +432,58 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = pq_index(emb)
-    lut0_lit = "array(" + ", ".join(f"{v!r}D" for v in lut0) + ")"
-    terms = [f"element_at({lut0_lit}, cluster_id + 1)"]
-    for mi in range(PQ_M):
-        lit = "array(" + ", ".join(f"{v!r}D" for v in lut[mi]) + ")"
-        terms.append(f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)")
-    adc = " + ".join(terms)
+    adc = _adc_sql(lut0, lut)
+    return (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
+                "adc_cos"
+            ),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "ann_ivfpq_filtered_topk",
+    oracle=_sql_ann_ivfpq(extra_where=f" AND label = {FILTER_LABEL}"),
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF-PQ probe — top-k under a metadata predicate
+    (label = FILTER_LABEL), the most common real retrieval shape
+    (a language slice, a source allowlist, a tenant id). The predicate
+    is applied INSIDE the probed cells, before ADC ranking — i.e. the
+    candidate set is {{cluster in probe}} ∩ {{label = L}} — never by
+    post-filtering an unfiltered shortlist, which k-starves whenever
+    fewer than k global winners carry the label (at the 10% selectivity
+    of this corpus an unfiltered ADC top-10 typically holds ~1 matching
+    row). The base-table filter commutes with the projection-only
+    encode, so Catalyst pushes ``label = L`` into the parquet scan
+    (plan contract: tests/test_plan_contracts.py) while the probe's
+    cluster_id filter prunes partitions at scale exactly as in
+    ``ann_ivfpq_topk`` — at 100 TB the scan reads only nprobe cells'
+    row groups and label filtering is free row-group pruning on top.
+
+    Recall contract: vs the FILTERED exact scan
+    (``knn_cosine_bruteforce_filtered``), measured by
+    tests/test_pq.py::test_filtered_recall_vs_filtered_bruteforce —
+    the floor is the same probed-fraction bound as the unfiltered
+    family (the predicate and the probe are independent on this
+    corpus). Oracle: the green ``_sql_ann_ivfpq`` statement with the
+    predicate appended to the probed-cell WHERE — one generator, so
+    the filtered and unfiltered twins cannot drift."""
+    qvec = _fetch_query_vec(spark, sf_dir)
+    lut0, lut, qnorm = _adc_luts(qvec)
+    probes = _ivf_probe_lists(qvec)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == FILTER_LABEL
+    )
+    indexed = pq_index(emb)
+    adc = _adc_sql(lut0, lut)
     return (
         indexed.filter(F.col("cluster_id").isin(probes))
         .select(
@@ -634,12 +696,7 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = pq_index(emb)
-    lut0_lit = "array(" + ", ".join(f"{v!r}D" for v in lut0) + ")"
-    terms = [f"element_at({lut0_lit}, cluster_id + 1)"]
-    for mi in range(PQ_M):
-        lit = "array(" + ", ".join(f"{v!r}D" for v in lut[mi]) + ")"
-        terms.append(f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)")
-    adc = " + ".join(terms)
+    adc = _adc_sql(lut0, lut)
     short = (
         indexed.filter(F.col("cluster_id").isin(probes))
         .select(

@@ -84,6 +84,54 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The standing metadata predicate for FILTERED retrieval (most real
+#: retrieval calls carry one: a language slice, a source allowlist, a
+#: tenant id). label=3 keeps ~10% of every test corpus and — unlike the
+#: unfiltered family — never contains the query vector itself (vec_id 0
+#: is label 5/2/2 across the SFs), the realistic shape.
+FILTER_LABEL = 3
+
+
+@query(
+    "knn_cosine_bruteforce_filtered",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id, label, {SQL_COS_VS_QVEC} AS cos_sim
+        FROM embeddings CROSS JOIN q
+        WHERE label = {FILTER_LABEL}
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def knn_cosine_bruteforce_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FILTERED cosine top-k — the ground truth for the filtered
+    ANN probe's recall gate (tests/test_pq.py): the label predicate is
+    applied BEFORE ranking (a filter on the scan, pushed to parquet),
+    never by post-filtering an unfiltered top-k — post-filtering
+    k-starves whenever fewer than k of the global winners carry the
+    label. Same broadcast-query / TakeOrderedAndProject shape as the
+    unfiltered query."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == FILTER_LABEL
+    )
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        l2_norm(F.col("embedding")) * F.col("qnorm")
+    )
+    return (
+        emb.crossJoin(_query_vec(load_table(spark, sf_dir, "embeddings")))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -809,3 +809,17 @@ def test_ivfpq_rerank_broadcasts_shortlist(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_filtered_ann_pushes_predicate_into_scan(spark, sf_dir):
+    """ann_ivfpq_filtered_topk's label predicate must reach the parquet
+    scan (PushedFilters — row-group pruning at scale, NOT a post-filter
+    on an unfiltered shortlist), and the ADC path must stay join-free
+    (the lookup tables are literals, so there is nothing to cartesian
+    against)."""
+    plan = _plan(registry.QUERIES["ann_ivfpq_filtered_topk"](spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EqualTo(label,3)" in pushed, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -213,3 +213,59 @@ def test_code_histogram_accounts_every_vector(spark, sf_dir):
         assert 1 <= r.n_cells <= 16
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vecs
     assert per_sub == {mi: n for mi in range(PQ_M)}
+
+
+def test_filtered_recall_vs_filtered_bruteforce(spark, sf_dir):
+    """The filtered probe's recall gate, stated against the FILTERED
+    exact scan (the correct ground truth — comparing against the
+    unfiltered scan would conflate predicate selectivity with index
+    recall): the probe and the label predicate are independent on this
+    corpus, so the floor is the same probed-fraction bound as the
+    unfiltered family (measured 0.5/0.2/0.2 across the SFs with the
+    frozen codebooks — deterministic, not flaky). Every result must
+    carry the predicate label and come from a probed cell."""
+    from airflow_ml_pipeline_spark.operators import similarity
+    from airflow_ml_pipeline_spark.operators.similarity import FILTER_LABEL
+
+    exact = [
+        r.vec_id
+        for r in similarity.knn_cosine_bruteforce_filtered(
+            spark, sf_dir
+        ).collect()
+    ]
+    rows = pq.ann_ivfpq_filtered_topk(spark, sf_dir).collect()
+    assert rows and all(r.label == FILTER_LABEL for r in rows)
+    recall = len(set(exact) & {r.vec_id for r in rows}) / len(exact)
+    assert recall >= 0.2, f"filtered IVF-PQ recall {recall} below floor"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = pq._fetch_query_vec(spark, sf_dir)
+    probes = set(pq._ivf_probe_lists(qvec))
+    cells = {
+        r.vec_id: r.cluster_id
+        for r in pq.pq_index(emb).select("vec_id", "cluster_id").collect()
+    }
+    assert all(cells[r.vec_id] in probes for r in rows)
+
+
+def test_filtered_probe_beats_post_filtering(spark, sf_dir):
+    """The design contract the docstring states: filtering INSIDE the
+    probed cells returns a full-k, all-matching result where
+    post-filtering the unfiltered ADC top-k would k-starve (at ~10%
+    label selectivity the unfiltered top-10 holds only a few matching
+    rows)."""
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        FILTER_LABEL,
+        TOP_K,
+    )
+
+    filtered = pq.ann_ivfpq_filtered_topk(spark, sf_dir).collect()
+    assert len(filtered) == TOP_K
+    post = [
+        r
+        for r in pq.ann_ivfpq_topk(spark, sf_dir).collect()
+        if r.label == FILTER_LABEL
+    ]
+    assert len(post) < TOP_K, (
+        "post-filtering did not starve — selectivity assumption changed"
+    )

@@ -26,22 +26,18 @@ from airflow_ml_pipeline_spark.plans import registry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 PREFIX = 50
 
-#: queries with no driver row of any kind as of round-12 start. The r11
-#: prefix witnessed all 4 names that were listed here (CORRECTNESS_r11:
-#: all hash-green, committed in 3154688), so the set is pruned per the
-#: standing rotation rule — a stale entry would protect queries that no
-#: longer need protection at the expense of the oldest-evidence cohorts.
-#: Every query newly declared in round 12 MUST be added here (and to the
-#: head of CHECK_PRIORITY) until it earns a driver row.
+#: queries with no driver row of any kind as of round-14 start. The r13
+#: driver run witnessed every r12 and r13 name previously listed here
+#: (CORRECTNESS_r13: 50/50 green, committed in fc8cb65), so the set is
+#: pruned per the standing rotation rule — a stale entry would protect
+#: queries that no longer need protection at the expense of the
+#: oldest-evidence cohorts. Every query newly declared in round 14 MUST
+#: be added here (and to the head of CHECK_PRIORITY) until it earns a
+#: driver row.
 NEVER_WITNESSED: set[str] = {
-    # r12 new queries
-    "stream_dedup_eviction_timing",
-    "source_mixture_reweighted",
-    "corpus_doremi_mix_fill",
-    "corpus_curriculum_schedule",
-    "source_doremi_epochs",
-    "curriculum_shard_manifest",
-    "corpus_mix_budget_ablation",
+    # r14 new queries
+    "knn_cosine_bruteforce_filtered",
+    "ann_ivfpq_filtered_topk",
 }
 
 #: every operator family must have at least one representative with driver
