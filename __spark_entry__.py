@@ -76,6 +76,7 @@ CHECK_PRIORITY = [
     # -- round-14 new queries (zero driver rows until the r14 run) --
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",
+    "stream_pq_encode_ingest",
     # -- latest driver row: round 9 (41 names) --
     "corpus_prepared",
     "corpus_shard_skew_report",

@@ -174,6 +174,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_filtered_topk",
+    "knn_cosine_bruteforce_filtered",
+    "stream_pq_encode_ingest",
     "pq_code_histogram",
     "pq_quantization_error",
     "embedding_near_dup_pairs",

@@ -38,6 +38,7 @@ NEVER_WITNESSED: set[str] = {
     # r14 new queries
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",
+    "stream_pq_encode_ingest",
 }
 
 #: every operator family must have at least one representative with driver
