@@ -439,8 +439,8 @@ assert WALK_CAP % 2 == 0, "two-step walk requires an even WALK_CAP"
 
 def _walk_body_single(linked: str) -> str:
     """The ORIGINAL one-step walk (r9 form) — retained as the semantic
-    reference: tests/test_recursive_cc_port.py::test_two_step_walk_
-    equals_single_step pins that the committed two-step body below
+    reference: tests/test_recursive_cc_port.py::test_multi_step_walk_
+    equals_single_step pins that the committed multi-step body below
     produces identical aggregates over the full corpus (necessary
     because engine and oracle run the SAME statement, so a semantic slip
     in the rewrite would hash-agree across engines and hide)."""
@@ -467,49 +467,50 @@ def _walk_body_single(linked: str) -> str:
     """
 
 
-def _walk_body(linked: str, hop: str) -> str:
+def _walk_body(linked: str, hopu: str) -> str:
     """The walk CTE body + final aggregate both engines run VERBATIM
     over prepared ``linked(user_id, event_id, event_type, nxt, rn)``
-    and ``hop(user_id, entry, out_type, out_nxt, step)`` relations
+    and ``hopu(tag, user_id, entry, out_type, out_nxt, step)`` relations
     (Spark binds materialized temp views; the oracle binds inline
     CTEs). The BROADCAST hint is a Spark join-strategy comment
     (each recursion level hash-joins the frontier against the cap-bounded
     linked table in place instead of shuffle-joining it — A/B r9); DuckDB
     parses it as a plain comment, so the statement stays identical.
 
-    TWO STEPS PER LEVEL (r13, VERDICT r12 ask #4): UnionLoop prices
-    recursion by DEPTH (~0.2 s fixed job overhead + one broadcast build
-    per level), so the walk advances two links per iteration over a
-    precomputed JUMP relation and the level count halves (26 vs 51
-    jobs) while each level keeps exactly ONE broadcast join (a first
-    attempt that joined ``linked`` twice per level rebuilt two
-    broadcasts per level and only recovered ~20%). The jump row keyed
-    by the event the frontier is about to visit (l1) precomposes both
-    hops via window leads:
+    UP TO FOUR STEPS PER LEVEL (r14, VERDICT r13 ask #7; supersedes the
+    r13 two-step walk): UnionLoop prices recursion by DEPTH (~0.2 s
+    fixed job overhead + one broadcast build per level), so the walk
+    advances over ``hopu`` — the union of the composed FOUR-link jump
+    (``hop2 = hop ∘ hop``, tag 4) and the plain two-link jump (tag 2) —
+    picking the tag per row: tag 4 while ``depth <= cap - 4`` (a
+    four-jump can never overshoot the cap), tag 2 for the final
+    boundary level. ~14 recursion levels instead of 26 (r13) or 51
+    (r9), still exactly ONE broadcast join per level (the union
+    relation is ~2x linked-sized — the broadcast stays cap-bounded).
+    Same-session A/B at sf0.1: two-step min 7.59 s / median 8.11 s ->
+    four-step min 6.04 s / median 6.23 s (SCALING.md §Round-14).
 
-    - if l1's event is a purchase or has no successor, the jump is a
-      TERMINAL one-step (out = l1, step 1) — never walking past a
-      purchase, never losing a dead-end's last event;
-    - otherwise the jump lands two ahead (out = l2, step 2); the
-      ridden-over mid event l1 is by construction NEVER a purchase
-      (a purchase l1 takes the terminal branch), so the aggregate
-      needs no mid accounting at all (ADVICE r13 removed the dead
-      ``mid_type`` plumbing — only terminal-depth events can be
-      purchases, exactly as in the one-step walk).
-    Frontier gating is unchanged (walk only while the frontier's own
-    event isn't 'purchase', depth < cap; WALK_CAP must stay even —
-    see its assert). Equivalence to the one-step walk over the full
-    corpus is pinned by tests/test_recursive_cc_port.py (both engines
-    run the same statement, so only an independent equivalence check
-    can catch a rewrite slip)."""
+    Jump-composition invariants (every jump variant preserves them):
+    a jump never advances past a purchase or a dead-end's last event
+    (a terminal first leg short-circuits the composition), so only
+    terminal-depth events can be purchases — exactly the one-step
+    walk's reachability. Frontier gating is unchanged (walk only while
+    the frontier's own event isn't 'purchase', depth < cap; WALK_CAP
+    must stay even — see its assert; the tag gate handles the mod-4
+    boundary for any even cap). Equivalence to the RETAINED one-step
+    body over the full corpus is pinned by
+    tests/test_recursive_cc_port.py (both engines run the same
+    statement, so only an independent equivalence check can catch a
+    rewrite slip)."""
     return f"""walk AS (
         SELECT user_id, event_type, nxt, CAST(0 AS BIGINT) AS depth
         FROM {linked} WHERE rn = 1
         UNION ALL
         SELECT /*+ BROADCAST(j) */ w.user_id, j.out_type, j.out_nxt,
                w.depth + j.step
-        FROM walk w JOIN {hop} j
+        FROM walk w JOIN {hopu} j
           ON j.user_id = w.user_id AND j.entry = w.nxt
+         AND j.tag = CASE WHEN w.depth <= {WALK_CAP - 4} THEN 4 ELSE 2 END
         WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
     )
     SELECT user_id,
@@ -551,6 +552,40 @@ def _hop_body(linked: str) -> str:
     )"""
 
 
+def _hopu_body(linked: str) -> str:
+    """``hop`` plus its self-composition ``hop2`` (up to FOUR links per
+    jump) and the tagged union ``hopu`` the r14 walk joins. The
+    composition short-circuits whenever the first leg is terminal
+    (lands on a purchase, a dead-end, or — out of the walk's gated
+    depth range only — a pruned row, the ``j2.entry IS NULL`` arm:
+    within gating the second leg always exists because reachable rows
+    are capped at rn <= WALK_CAP + 1), so the four-jump preserves the
+    never-past-a-purchase invariant by construction. Built from the
+    already-capped ``linked`` via ONE self-join of the window-lead hop
+    relation — at 100 TB this is a per-user-partition local join on
+    the cap-bounded table, built once before the recursion."""
+    return f"""{_hop_body(linked)},
+    hop2 AS (
+        SELECT j1.user_id, j1.entry,
+               CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
+                         OR j2.entry IS NULL
+                    THEN j1.out_type ELSE j2.out_type END AS out_type,
+               CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
+                         OR j2.entry IS NULL
+                    THEN j1.out_nxt ELSE j2.out_nxt END AS out_nxt,
+               CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
+                         OR j2.entry IS NULL
+                    THEN j1.step ELSE j1.step + j2.step END AS step
+        FROM hop j1 LEFT JOIN hop j2
+          ON j2.user_id = j1.user_id AND j2.entry = j1.out_nxt
+    ),
+    hopu AS (
+        SELECT CAST(4 AS BIGINT) AS tag, * FROM hop2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS tag, * FROM hop
+    )"""
+
+
 def _sql_walk_over(linked: str, hop: str) -> str:
     return f"""
     WITH RECURSIVE {_walk_body(linked, hop)}"""
@@ -573,8 +608,8 @@ def _sql_steps_to_purchase(table: str = "events") -> str:
         FROM {table}
     ),
     linked AS (SELECT * FROM linked_all WHERE rn <= {WALK_CAP + 1}),
-    {_hop_body("linked")},
-    {_walk_body("linked", "hop")}"""
+    {_hopu_body("linked")},
+    {_walk_body("linked", "hopu")}"""
 
 
 @query("events_steps_to_purchase", oracle=_sql_steps_to_purchase())
@@ -598,13 +633,14 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable rows and bounds the stored table to |users|·(cap+1)
     regardless of history length). Recursion cost is DEPTH-priced
     (~0.2 s/level fixed UnionLoop job overhead + one broadcast build),
-    so since r13 each level advances TWO links over the materialized
-    ``hop`` jump relation (one window pass over linked, pinned the same
-    way) — 26 levels instead of 51, still one frontier-sized broadcast
-    hash join per level, never corpus x corpus, never a per-level
-    shuffle (SCALING.md r13 A/B). ``walked`` < WALK_CAP or reached=1
-    certifies per-user termination; -1 marks no purchase within the
-    cap."""
+    so since r14 each level advances UP TO FOUR links over the
+    materialized ``hopu`` tagged jump relation (one window pass + one
+    per-user-local self-join over linked, pinned the same way) — ~14
+    levels instead of 26 (r13 two-step) or 51 (r9 one-step), still one
+    cap-bounded broadcast hash join per level, never corpus x corpus,
+    never a per-level shuffle (SCALING.md r13/r14 A/Bs). ``walked`` <
+    WALK_CAP or reached=1 certifies per-user termination; -1 marks no
+    purchase within the cap."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
 
@@ -626,11 +662,11 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     linked.createOrReplaceTempView("events_walk_linked")
-    # the hop jump relation, pinned for the same reason as linked (an
-    # inline CTE would re-run its window every level); built by the
-    # SAME SQL text the oracle inlines, over the pinned linked view
-    hop = spark.sql(
-        f"WITH {_hop_body('events_walk_linked')} SELECT * FROM hop"
+    # the tagged jump relation, pinned for the same reason as linked (an
+    # inline CTE would re-run its window + self-join every level); built
+    # by the SAME SQL text the oracle inlines, over the pinned linked view
+    hopu = spark.sql(
+        f"WITH {_hopu_body('events_walk_linked')} SELECT * FROM hopu"
     ).localCheckpoint(eager=False)
-    hop.createOrReplaceTempView("events_walk_hop")
-    return spark.sql(_sql_walk_over("events_walk_linked", "events_walk_hop"))
+    hopu.createOrReplaceTempView("events_walk_hopu")
+    return spark.sql(_sql_walk_over("events_walk_linked", "events_walk_hopu"))

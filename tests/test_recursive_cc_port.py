@@ -86,8 +86,9 @@ def test_aggregate_in_recursive_step_still_unsupported(spark, edges_view):
         spark.sql(sql).collect()
 
 
-def test_two_step_walk_equals_single_step(spark, sf_dir):
-    """THE equivalence pin for the r13 two-step walk rewrite
+def test_multi_step_walk_equals_single_step(spark, sf_dir):
+    """THE equivalence pin for the multi-step walk rewrites (r13
+    two-step, r14 tag-gated four-step)
     (events_steps_to_purchase): engine and oracle run the SAME
     statement, so a semantic slip in the rewrite would hash-agree
     across engines and hide — only an independent comparison against
