@@ -77,6 +77,7 @@ CHECK_PRIORITY = [
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",
     "stream_pq_encode_ingest",
+    "pq_cell_stats",
     # -- latest driver row: round 9 (41 names) --
     "corpus_prepared",
     "corpus_shard_skew_report",

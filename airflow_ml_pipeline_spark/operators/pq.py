@@ -498,13 +498,49 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_error() -> str:
-    """Reconstruction v_hat = coarse_centroid + codeword per subspace,
-    so err_i = (v_i - c_i) - cw_i, folded left-to-right in both
-    engines; the centroid and codeword lists are selected by scalar
-    CASEs (one per row), never indexed as nested literals inside a
-    lambda. The int8 baseline column restates the green
-    ``embedding_quantization_error`` kernel verbatim."""
+def _pq_mse_col():
+    """Per-vector PQ reconstruction MSE (raw, un-ppm'd) as one Spark
+    column over (embedding, cluster_id, pq_code): err = (v - centroid)
+    - codeword per element, squared and folded left-to-right. Shared by
+    the per-vector error query and the per-cell stats query."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    cent2d = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in IVF_CENTROIDS
+    )
+    cw_terms = []
+    for mi in range(PQ_M):
+        lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in cw) + ")"
+                for cw in PQ_CODEBOOKS[mi]
+            )
+            + ")"
+        )
+        cw_terms.append(
+            f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)"
+        )
+    recon = "concat(" + ", ".join(cw_terms) + ")"
+    return F.expr(
+        f"""aggregate(
+            zip_with(
+                zip_with(`embedding`, element_at(array({cent2d}), cluster_id + 1),
+                         (x, y) -> CAST(x AS DOUBLE) - y),
+                {recon},
+                (x, y) -> pow(x - y, 2D)),
+            0.0D, (acc, x) -> acc + x) / 64"""
+    )
+
+
+def _sql_recon_pieces() -> tuple[str, list[str], str]:
+    """(cc_case, cw_cases, rec): the scalar-CASE reconstruction pieces
+    over the ``coded`` CTE's columns — the coarse centroid list selected
+    by cluster_id, one codeword list per subspace selected by its code
+    column, and their concatenation. Shared by the per-vector error
+    oracle and the per-cell stats oracle (one generator)."""
     from airflow_ml_pipeline_spark.operators.ivf_centroids import (
         IVF_CENTROIDS,
         IVF_K,
@@ -540,6 +576,17 @@ def _sql_pq_error() -> str:
             + f" END AS cw{mi}"
         )
     rec = " || ".join(f"cw{mi}" for mi in range(PQ_M))
+    return cc_case, cw_cases, rec
+
+
+def _sql_pq_error() -> str:
+    """Reconstruction v_hat = coarse_centroid + codeword per subspace,
+    so err_i = (v_i - c_i) - cw_i, folded left-to-right in both
+    engines; the centroid and codeword lists are selected by scalar
+    CASEs (one per row), never indexed as nested literals inside a
+    lambda. The int8 baseline column restates the green
+    ``embedding_quantization_error`` kernel verbatim."""
+    cc_case, cw_cases, rec = _sql_recon_pieces()
     sep = ",\n               "
     return f"""
     WITH {_sql_pq_coded().lstrip()},
@@ -581,33 +628,7 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ivf_assign(emb)
     a = a.select(*a.columns, F.expr(_pq_code_sql()).alias("pq_code"))
 
-    cent2d = ", ".join(
-        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
-        for c in IVF_CENTROIDS
-    )
-    cw_terms = []
-    for mi in range(PQ_M):
-        lit = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{float(v)!r}D" for v in cw) + ")"
-                for cw in PQ_CODEBOOKS[mi]
-            )
-            + ")"
-        )
-        cw_terms.append(
-            f"element_at({lit}, element_at(pq_code, {mi + 1}) + 1)"
-        )
-    recon = "concat(" + ", ".join(cw_terms) + ")"
-    pq_mse = F.expr(
-        f"""aggregate(
-            zip_with(
-                zip_with(`embedding`, element_at(array({cent2d}), cluster_id + 1),
-                         (x, y) -> CAST(x AS DOUBLE) - y),
-                {recon},
-                (x, y) -> pow(x - y, 2D)),
-            0.0D, (acc, x) -> acc + x) / 64"""
-    )
+    pq_mse = _pq_mse_col()
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.greatest(
         F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12)
@@ -772,4 +793,87 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.countDistinct("cluster_id").cast("bigint").alias("n_cells"),
+    )
+
+
+def _sql_pq_cell_stats() -> str:
+    """Per-cell restatement of the per-vector error oracle: the same
+    coded/recon chain, then one GROUP BY cluster_id with decimal-exact
+    sums (the SQL_DSUM convention — sums, not means, so no rounding
+    boundary crosses engines) and the code string distinct-count."""
+    from airflow_ml_pipeline_spark.functions.compare import SQL_DSUM
+
+    cc_case, cw_cases, rec = _sql_recon_pieces()
+    sep = ",\n               "
+    code_s = " || '-' || ".join(
+        f"CAST(c{mi} AS VARCHAR)" for mi in range(PQ_M)
+    )
+    coded = _sql_pq_coded().lstrip().replace(
+        "coded AS (", "coded AS MATERIALIZED (", 1
+    )
+    return f"""
+    WITH {coded},
+    recon AS (
+        SELECT *,
+               {cc_case} AS cc,
+               {sep.join(cw_cases)}
+        FROM coded
+    ),
+    pv AS (
+        SELECT cluster_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> pow(CAST(embedding[i] AS DOUBLE) - cc[i]
+                              - rec[i], 2)))
+                     / 64 * 1000000, 3) AS mse,
+               round({VNORM_SQL}, 6) AS vn,
+               {code_s} AS code_s
+        FROM (SELECT *, ({rec}) AS rec FROM recon)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {SQL_DSUM("mse")} AS pq_mse_ppm_sum,
+           {SQL_DSUM("vn")} AS vnorm_sum,
+           CAST(COUNT(DISTINCT code_s) AS BIGINT) AS n_codes_used
+    FROM pv GROUP BY cluster_id
+    """
+
+
+@query("pq_cell_stats", oracle=_sql_pq_cell_stats())
+def pq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell health of the IVF-PQ index — the table a 100 TB
+    deployment watches to plan codebook retraining and partition
+    rebalancing: per coarse cell its population (n_vecs — skewed cells
+    mean skewed probe latency and call for splitting or re-training the
+    coarse quantizer), the decimal-exact SUM of per-vector
+    reconstruction error ppm (sum + count rather than a mean, so no
+    rounding boundary crosses engines; a cell whose mean error drifts
+    up is outgrowing its codebooks), the vnorm mass, and the number of
+    DISTINCT full code words in use (code diversity — a cell whose
+    population collapses onto few codes carries ~0 bits per subspace
+    there). Complements ``pq_code_histogram`` (per-(subspace, code)
+    utilization) with the per-PARTITION view.
+
+    One encode pass + one 16-group aggregate with map-side partials;
+    output is IVF_K rows regardless of corpus size. Reuses the shared
+    encode/reconstruction kernels (``pq_index``, ``_pq_mse_col``,
+    ``_sql_recon_pieces``) so this query, ``pq_quantization_error``,
+    and their oracles cannot drift."""
+    from airflow_ml_pipeline_spark.functions.compare import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = pq_index(emb)
+    base = idx.select(
+        "cluster_id",
+        F.round(_pq_mse_col() * 1_000_000, 3).alias("mse"),
+        F.round(F.col("vnorm"), 6).alias("vn"),
+        F.concat_ws(
+            "-",
+            F.transform(F.col("pq_code"), lambda c: c.cast("string")),
+        ).alias("code_s"),
+    )
+    return base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        dsum(F.col("mse")).alias("pq_mse_ppm_sum"),
+        dsum(F.col("vn")).alias("vnorm_sum"),
+        F.countDistinct("code_s").cast("bigint").alias("n_codes_used"),
     )

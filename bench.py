@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_pq_encode_ingest",
     "pq_code_histogram",
     "pq_quantization_error",
+    "pq_cell_stats",
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",

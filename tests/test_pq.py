@@ -269,3 +269,26 @@ def test_filtered_probe_beats_post_filtering(spark, sf_dir):
     assert len(post) < TOP_K, (
         "post-filtering did not starve — selectivity assumption changed"
     )
+
+
+def test_cell_stats_conserve_mass_and_match_per_vector(spark, sf_dir):
+    """pq_cell_stats must re-aggregate exactly what the per-vector error
+    query reports: n_vecs sums to the corpus count, per-cell decimal
+    error sums equal the per-vector frame's groupBy on the same 3dp
+    lattice, and code diversity is bounded by cell population."""
+    from decimal import Decimal
+
+    rows = {r.cluster_id: r for r in pq.pq_cell_stats(spark, sf_dir).collect()}
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows.values()) == emb_n
+    per_vec = pq.pq_quantization_error(spark, sf_dir).collect()
+    by_cell: dict[int, Decimal] = {}
+    for r in per_vec:
+        by_cell[r.cluster_id] = by_cell.get(
+            r.cluster_id, Decimal(0)
+        ) + Decimal(repr(r.pq_mse_ppm))
+    assert set(by_cell) == set(rows)
+    for cid, s in by_cell.items():
+        assert Decimal(repr(rows[cid].pq_mse_ppm_sum)) == s, cid
+    for r in rows.values():
+        assert 1 <= r.n_codes_used <= r.n_vecs

@@ -39,6 +39,7 @@ NEVER_WITNESSED: set[str] = {
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",
     "stream_pq_encode_ingest",
+    "pq_cell_stats",
 }
 
 #: every operator family must have at least one representative with driver

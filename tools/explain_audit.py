@@ -141,6 +141,9 @@ AUDITED = [
     "ann_ivfpq_rerank_topk",
     "pq_code_histogram",
     "pq_quantization_error",
+    "ann_ivfpq_filtered_topk",
+    "knn_cosine_bruteforce_filtered",
+    "pq_cell_stats",
     "engineered_customer_features",
     "unigram_lm_segmented",
     "tokenizer_fertility_by_lang",

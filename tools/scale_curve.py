@@ -163,6 +163,10 @@ QUERIES = [
     ("ann_ivfpq_rerank_topk", "embeddings"),
     ("pq_code_histogram", "embeddings"),
     ("pq_quantization_error", "embeddings"),
+    ("ann_ivfpq_filtered_topk", "embeddings"),
+    ("knn_cosine_bruteforce_filtered", "embeddings"),
+    ("stream_pq_encode_ingest", "embeddings"),
+    ("pq_cell_stats", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
     ("dedup_corpus", "documents"),
