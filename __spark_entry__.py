@@ -78,6 +78,7 @@ CHECK_PRIORITY = [
     "ann_ivfpq_filtered_topk",
     "stream_pq_encode_ingest",
     "pq_cell_stats",
+    "ann_ivfpq_adaptive_topk",
     # -- latest driver row: round 9 (41 names) --
     "corpus_prepared",
     "corpus_shard_skew_report",

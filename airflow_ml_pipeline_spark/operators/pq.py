@@ -877,3 +877,136 @@ def pq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("vn")).alias("vnorm_sum"),
         F.countDistinct("code_s").cast("bigint").alias("n_codes_used"),
     )
+
+
+#: Adaptive probe budget: scan the nearest cells until they cover at
+#: least this fraction (ppm) of corpus MASS. Fixed nprobe misallocates
+#: scan budget under cell skew (6 tiny cells scan almost nothing; 6
+#: giant cells scan half the corpus); a mass target keeps the scanned
+#: fraction — and therefore both cost and expected recall on an
+#: unclustered corpus — stable regardless of how the quantizer's cells
+#: are populated. 300000 ppm ~= the fixed probe's average coverage on
+#: this corpus, so the two variants are directly comparable.
+ADAPTIVE_MASS_PPM = 300_000
+
+
+def _adaptive_probe_cells(
+    spark: SparkSession, sf_dir: str, qvec: list[float]
+) -> list[int]:
+    """Minimal prefix of the cos-ranked cells whose cumulative
+    population reaches ceil(N * ADAPTIVE_MASS_PPM / 1e6): rank all
+    IVF_K cells by the same (cos DESC, j) order as the fixed probe
+    (bit-identical doubles in both engines), then take cells while the
+    mass accumulated BEFORE each is still short of the target — all
+    integer arithmetic after the ranking, so the probe set is exactly
+    restatable. The per-cell counts are ONE 16-row aggregate (at 100 TB
+    they are index metadata maintained at ingest, not a scan)."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_K
+
+    order = _ivf_probe_lists(qvec, nprobe=IVF_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = {
+        r.cluster_id: r.n
+        for r in ivf_assign(emb)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    target = (n_total * ADAPTIVE_MASS_PPM + 999_999) // 1_000_000
+    probes, cum = [], 0
+    for j in order:
+        if cum >= target:
+            break
+        probes.append(j)
+        cum += counts.get(j, 0)
+    return probes
+
+
+def _sql_ann_ivfpq_adaptive() -> str:
+    """The green ``_sql_ann_ivfpq`` statement with ONLY the probe CTE
+    swapped (string surgery on the known line — one generator for the
+    whole LUT/coded/ADC restatement): the fixed LIMIT-nprobe probe
+    becomes the minimal mass-covering prefix, computed from the same
+    cent_cos ranking plus a per-cell histogram of the coded store and
+    an integer ceil target — every term either a bit-identical double
+    (the ranking) or exact integer arithmetic (the cumsum and target),
+    so the probe set cannot diverge between engines."""
+    fixed = f"probe AS (SELECT j FROM cent_cos ORDER BY cos DESC, j LIMIT {IVF_NPROBE}),"
+    adaptive = f""",
+    hist AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM coded GROUP BY cluster_id
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    ranked AS (
+        SELECT c.j,
+               SUM(COALESCE(h.n, 0)) OVER (
+                   ORDER BY c.cos DESC, c.j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before
+        FROM cent_cos c LEFT JOIN hist h ON h.cluster_id = c.j
+    ),
+    probe AS (
+        SELECT j FROM ranked CROSS JOIN nn
+        WHERE COALESCE(cum_before, 0)
+              < (nn.n * {ADAPTIVE_MASS_PPM} + 999999) // 1000000
+    )
+"""
+    base = _sql_ann_ivfpq()
+    assert fixed in base
+    # the probe CTE now reads from coded's histogram, so it must follow
+    # the coded CTE: drop the fixed probe line (the CTE list stays valid
+    # because the next CTE name follows directly) and splice the
+    # adaptive CTEs between the coded block's close and the final
+    # SELECT (leading comma continues the WITH list; no trailing comma)
+    base = base.replace(fixed, "", 1)
+    # the final SELECT is the only one followed by the rounded-ADC
+    # projection (the bare "SELECT vec_id, label," prefix also occurs
+    # inside the coded chain's s CTE)
+    marker = "    SELECT vec_id, label,\n           round(("
+    assert base.count(marker) == 1
+    return base.replace(marker, adaptive + marker, 1)
+
+
+@query("ann_ivfpq_adaptive_topk", oracle=_sql_ann_ivfpq_adaptive())
+def ann_ivfpq_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with a MASS-ADAPTIVE cell budget: instead of a
+    fixed nprobe, scan the minimal prefix of cos-ranked cells covering
+    >= ADAPTIVE_MASS_PPM of corpus mass. This is the probe-planning
+    step a production deployment runs per query: under cell skew a
+    fixed nprobe either starves recall (the nearest cells happen to be
+    tiny) or blows the latency budget (they happen to be giant), while
+    a mass target pins the scanned fraction — the actual cost — and
+    degrades gracefully as the quantizer ages away from the data
+    distribution. The per-cell histogram is ONE 16-row aggregate here
+    (index metadata maintained at ingest at 100 TB; the probe plan
+    itself is driver-side integer arithmetic over 16 numbers).
+
+    ORACLE-CHECKED end-to-end: the ranking doubles are bit-identical
+    (frozen literals, same association order), the histogram and the
+    ceil target are exact integers, and the ADC scoring reuses the
+    green ``_sql_ann_ivfpq`` statement with only the probe CTE swapped
+    — so WHICH cells the plan probes is itself driver-hash-pinned, not
+    just the final top-k. tests/test_pq.py pins minimality (dropping
+    the last probed cell falls short of the target) and the recall
+    floor vs brute force."""
+    qvec = _fetch_query_vec(spark, sf_dir)
+    lut0, lut, qnorm = _adc_luts(qvec)
+    probes = _adaptive_probe_cells(spark, sf_dir, qvec)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = pq_index(emb)
+    adc = _adc_sql(lut0, lut)
+    return (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
+                "adc_cos"
+            ),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -175,6 +175,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_filtered_topk",
+    "ann_ivfpq_adaptive_topk",
     "knn_cosine_bruteforce_filtered",
     "stream_pq_encode_ingest",
     "pq_code_histogram",

@@ -292,3 +292,45 @@ def test_cell_stats_conserve_mass_and_match_per_vector(spark, sf_dir):
         assert Decimal(repr(rows[cid].pq_mse_ppm_sum)) == s, cid
     for r in rows.values():
         assert 1 <= r.n_codes_used <= r.n_vecs
+
+
+def test_adaptive_probe_minimal_mass_cover(spark, sf_dir):
+    """The adaptive probe is the MINIMAL cos-ranked prefix covering the
+    mass target: the probed cells reach >= ceil(N * MASS_PPM / 1e6)
+    vectors, dropping the last probed cell falls short, and the set is
+    a prefix of the full cos ranking (the fixed probe's order)."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_K
+
+    qvec = pq._fetch_query_vec(spark, sf_dir)
+    probes = pq._adaptive_probe_cells(spark, sf_dir, qvec)
+    order = pq._ivf_probe_lists(qvec, nprobe=IVF_K)
+    assert probes == order[: len(probes)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = {
+        r.cluster_id: r.n
+        for r in pq.ivf_assign(emb)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    target = (n * pq.ADAPTIVE_MASS_PPM + 999_999) // 1_000_000
+    covered = sum(counts.get(j, 0) for j in probes)
+    assert covered >= target
+    assert covered - counts.get(probes[-1], 0) < target
+
+
+def test_adaptive_probe_recall_floor(spark, sf_dir):
+    """Recall vs brute force is bounded below by the same
+    scanned-fraction argument as the fixed probe (the mass target IS
+    the scanned fraction on this corpus); results come only from
+    probed cells."""
+    from airflow_ml_pipeline_spark.operators import similarity
+
+    exact = [
+        r.vec_id
+        for r in similarity.knn_cosine_bruteforce(spark, sf_dir).collect()
+    ]
+    rows = pq.ann_ivfpq_adaptive_topk(spark, sf_dir).collect()
+    recall = len(set(exact) & {r.vec_id for r in rows}) / len(exact)
+    assert recall >= 0.2, f"adaptive probe recall {recall} below floor"

@@ -40,6 +40,7 @@ NEVER_WITNESSED: set[str] = {
     "ann_ivfpq_filtered_topk",
     "stream_pq_encode_ingest",
     "pq_cell_stats",
+    "ann_ivfpq_adaptive_topk",
 }
 
 #: every operator family must have at least one representative with driver

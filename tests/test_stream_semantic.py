@@ -86,3 +86,25 @@ def test_stream_semantic_store_records_every_arrival(spark, sf_dir):
     for vid in set(buckets) - kept:
         peers = [u for u, bkt in buckets.items() if bkt == buckets[vid] and u < vid]
         assert peers, f"suppressed {vid} has no earlier same-bucket peer"
+
+
+def test_range_staging_rejects_non_dense_vec_ids(spark, tmp_path, monkeypatch):
+    """Planted failure for the ADVICE r13 staging guard: a corpus whose
+    vec_ids are not dense 0..n-1 would map some vector to a batch index
+    outside [0, N) and silently never stage it — the guard must fail
+    LOUDLY at staging time, before any arrival file is written."""
+    import pytest
+
+    sparse = spark.range(3).select(
+        (F.col("id") * 7 + 100).alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    monkeypatch.setattr(
+        ingest, "load_table", lambda _s, _d, _t: sparse
+    )
+    with pytest.raises(RuntimeError, match="dense 0..n-1 vec_ids"):
+        ingest.stage_range_vec_batches(
+            spark, "/nonexistent-sf", arrivals=str(tmp_path / "arr")
+        )
+    assert not (tmp_path / "arr").exists()

@@ -144,6 +144,7 @@ AUDITED = [
     "ann_ivfpq_filtered_topk",
     "knn_cosine_bruteforce_filtered",
     "pq_cell_stats",
+    "ann_ivfpq_adaptive_topk",
     "engineered_customer_features",
     "unigram_lm_segmented",
     "tokenizer_fertility_by_lang",

@@ -167,6 +167,7 @@ QUERIES = [
     ("knn_cosine_bruteforce_filtered", "embeddings"),
     ("stream_pq_encode_ingest", "embeddings"),
     ("pq_cell_stats", "embeddings"),
+    ("ann_ivfpq_adaptive_topk", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
     ("dedup_corpus", "documents"),
