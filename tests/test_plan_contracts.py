@@ -823,3 +823,29 @@ def test_filtered_ann_pushes_predicate_into_scan(spark, sf_dir):
     assert "EqualTo(label,3)" in pushed, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_adaptive_probe_scan_is_projection_only(spark, sf_dir):
+    """ann_ivfpq_adaptive_topk: after the driver-side probe plan (two
+    metadata jobs — the query vector fetch and the 16-row histogram),
+    the scan itself must be the same projection-only ADC shape as the
+    fixed probe: no join, no shuffle before the top-k, global top-k as
+    TakeOrderedAndProject."""
+    plan = _plan(registry.QUERIES["ann_ivfpq_adaptive_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cell_stats_aggregate_is_partial(spark, sf_dir):
+    """pq_cell_stats: ONE corpus scan feeding map-side partial
+    aggregation — the exchange carries 16-group partials (plus the
+    distinct-code two-phase), never raw rows; no join anywhere."""
+    plan = _plan(registry.QUERIES["pq_cell_stats"](spark, sf_dir))
+    # count physical scan NODES (the formatted plan repeats the node
+    # name once in the tree and once in the detail listing)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan

@@ -78,6 +78,8 @@ FAMILY_REPRESENTATIVES = {
                  "events_sessionized", "events_gap_fill",
                  "errors_before_purchase", "orders_by_weekday"},
     "retrieval": {"bm25_topk", "retrieval_rrf_fused"},
+    "pq_index": {"ann_ivfpq_topk", "ann_ivfpq_rerank_topk",
+                 "pq_quantization_error", "pq_code_histogram"},
     "quality_model": {"doc_quality_model_scores", "doc_quality_model_train",
                       "corpus_model_quality_filtered"},
     "selection": {"doc_dsir_weights", "doc_ppl_buckets",
