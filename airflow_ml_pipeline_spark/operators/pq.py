@@ -206,6 +206,35 @@ def _adc_sql(lut0: list[float], lut: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
+def _adc_probe_topk(
+    indexed: DataFrame,
+    probes: list[int],
+    lut0: list[float],
+    lut: list[list[float]],
+    qnorm: float,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Probe-scan + ADC-score + top-k — THE shared tail of every IVF-PQ
+    probe variant (plain, filtered, adaptive, and the rerank shortlist),
+    so the rounding scale and the (adc_cos DESC, vec_id) tie order live
+    in exactly one place (r14 review finding: four copies had begun to
+    accumulate). ``indexed`` must carry (vec_id, label, cluster_id,
+    pq_code, vnorm)."""
+    adc = _adc_sql(lut0, lut)
+    return (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
+                "adc_cos"
+            ),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _fetch_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = (
@@ -216,7 +245,9 @@ def _fetch_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row[0]]
 
 
-def _sql_pq_coded(alias_cols: str = "vec_id, label, embedding") -> str:
+def _sql_pq_coded(
+    alias_cols: str = "vec_id, label, embedding", materialized: bool = False
+) -> str:
     """DuckDB CTE chain reproducing the engine's index columns bit-exactly:
     coarse assignment (the green ``ann_ivf_topk`` least/CASE form), then
     per subspace the PQ code as least+CASE over PQ_K distance chains —
@@ -280,6 +311,13 @@ def _sql_pq_coded(alias_cols: str = "vec_id, label, embedding") -> str:
             + f" ELSE -1 END AS INTEGER) AS c{mi}"
         )
     sep = ",\n               "
+    # MATERIALIZED stops DuckDB's default CTE inlining from re-evaluating
+    # the full encode chain per reference (multiply-referenced consumers:
+    # the ADC probes' final select, the histogram's 8 UNION branches) —
+    # parameterized here so no call site needs fragile string surgery
+    # (r14 review finding: an unasserted .replace would silently no-op
+    # if this text ever changed).
+    mat = "MATERIALIZED " if materialized else ""
     return f"""
     s AS (
         SELECT {alias_cols}, {", ".join(scores)}
@@ -304,7 +342,7 @@ def _sql_pq_coded(alias_cols: str = "vec_id, label, embedding") -> str:
                {sep.join(min_sql)}
         FROM chains
     ),
-    coded AS (
+    coded AS {mat}(
         SELECT *,
                {sep.join(pick_sql)}
         FROM mins
@@ -382,9 +420,7 @@ def _sql_ann_ivfpq(extra_where: str = "") -> str:
     # 145-column q into its 17 references (and the 190-column coded
     # into the final select's 9 CASE references) re-evaluated the
     # chains per reference — 20.5 s vs 1.8 s at sf0.001, measured.
-    coded = _sql_pq_coded().lstrip().replace(
-        "coded AS (", "coded AS MATERIALIZED (", 1
-    )
+    coded = _sql_pq_coded(materialized=True).lstrip()
     return f"""
     WITH q AS MATERIALIZED (
         SELECT {sep.join(lut_cols)}
@@ -432,19 +468,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = pq_index(emb)
-    adc = _adc_sql(lut0, lut)
-    return (
-        indexed.filter(F.col("cluster_id").isin(probes))
-        .select(
-            "vec_id",
-            "label",
-            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
-                "adc_cos"
-            ),
-        )
-        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _adc_probe_topk(indexed, probes, lut0, lut, qnorm)
 
 
 @query(
@@ -483,19 +507,7 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == FILTER_LABEL
     )
     indexed = pq_index(emb)
-    adc = _adc_sql(lut0, lut)
-    return (
-        indexed.filter(F.col("cluster_id").isin(probes))
-        .select(
-            "vec_id",
-            "label",
-            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
-                "adc_cos"
-            ),
-        )
-        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _adc_probe_topk(indexed, probes, lut0, lut, qnorm)
 
 
 def _pq_mse_col():
@@ -717,19 +729,9 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = pq_index(emb)
-    adc = _adc_sql(lut0, lut)
-    short = (
-        indexed.filter(F.col("cluster_id").isin(probes))
-        .select(
-            "vec_id",
-            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
-                "adc_cos"
-            ),
-        )
-        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
-        .limit(RERANK_SHORTLIST)
-        .select("vec_id")
-    )
+    short = _adc_probe_topk(
+        indexed, probes, lut0, lut, qnorm, k=RERANK_SHORTLIST
+    ).select("vec_id")
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"),
         l2_norm(F.col("embedding")).alias("qnorm"),
@@ -759,10 +761,8 @@ def _sql_pq_code_histogram() -> str:
     # AS MATERIALIZED (ADVICE r13): DuckDB inlines CTEs by default, so
     # the PQ_M UNION ALL branches would each re-evaluate the full encode
     # chain — the same re-evaluation mode _sql_ann_ivfpq documents and
-    # pins; identical string surgery here (oracle runtime only).
-    coded = _sql_pq_coded().lstrip().replace(
-        "coded AS (", "coded AS MATERIALIZED (", 1
-    )
+    # pins (oracle runtime only).
+    coded = _sql_pq_coded(materialized=True).lstrip()
     return f"""
     WITH {coded}
     {un}
@@ -808,9 +808,7 @@ def _sql_pq_cell_stats() -> str:
     code_s = " || '-' || ".join(
         f"CAST(c{mi} AS VARCHAR)" for mi in range(PQ_M)
     )
-    coded = _sql_pq_coded().lstrip().replace(
-        "coded AS (", "coded AS MATERIALIZED (", 1
-    )
+    coded = _sql_pq_coded(materialized=True).lstrip()
     return f"""
     WITH {coded},
     recon AS (
@@ -997,16 +995,4 @@ def ann_ivfpq_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed = pq_index(emb)
-    adc = _adc_sql(lut0, lut)
-    return (
-        indexed.filter(F.col("cluster_id").isin(probes))
-        .select(
-            "vec_id",
-            "label",
-            F.round(F.expr(adc) / (F.lit(qnorm) * F.col("vnorm")), 6).alias(
-                "adc_cos"
-            ),
-        )
-        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _adc_probe_topk(indexed, probes, lut0, lut, qnorm)

@@ -52,36 +52,49 @@ def _query_vec(df: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "knn_cosine_bruteforce",
-    oracle=f"""
+def _sql_knn_topk(extra_where: str = "") -> str:
+    """ONE generator for the exact cosine top-k oracle and its filtered
+    twin (``extra_where`` appends a scan predicate) — the r14 review's
+    twin-drift rule: a future change to the cosine/rounding convention
+    reaches both ground truths or neither."""
+    return f"""
     WITH q AS (
         SELECT CAST(embedding AS DOUBLE[]) AS qvec
         FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
     ),
     scored AS (
         SELECT vec_id, label, {SQL_COS_VS_QVEC} AS cos_sim
-        FROM embeddings CROSS JOIN q
+        FROM embeddings CROSS JOIN q{extra_where}
     )
     SELECT vec_id, label, cos_sim
     FROM scored
     ORDER BY cos_sim DESC, vec_id
     LIMIT {TOP_K}
-    """,
-)
-def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for the standing query vector: broadcast the query,
-    one scan, TakeOrderedAndProject for the global top-k (no full sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """
+
+
+def _knn_cos_topk(emb: DataFrame, qsrc: DataFrame) -> DataFrame:
+    """Shared engine tail of the exact-scan family: broadcast the query
+    (from ``qsrc`` — the UNFILTERED table, so a predicate can never
+    exclude the query vector itself), one scan of ``emb``,
+    TakeOrderedAndProject for the global top-k (no full sort)."""
     sim = dot(F.col("embedding"), F.col("qvec")) / (
         l2_norm(F.col("embedding")) * F.col("qnorm")
     )
     return (
-        emb.crossJoin(_query_vec(emb))
+        emb.crossJoin(_query_vec(qsrc))
         .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query("knn_cosine_bruteforce", oracle=_sql_knn_topk())
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the standing query vector: broadcast the query,
+    one scan, TakeOrderedAndProject for the global top-k (no full sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn_cos_topk(emb, emb)
 
 
 #: The standing metadata predicate for FILTERED retrieval (most real
@@ -94,21 +107,9 @@ FILTER_LABEL = 3
 
 @query(
     "knn_cosine_bruteforce_filtered",
-    oracle=f"""
-    WITH q AS (
-        SELECT CAST(embedding AS DOUBLE[]) AS qvec
-        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    oracle=_sql_knn_topk(
+        extra_where=f"\n        WHERE label = {FILTER_LABEL}"
     ),
-    scored AS (
-        SELECT vec_id, label, {SQL_COS_VS_QVEC} AS cos_sim
-        FROM embeddings CROSS JOIN q
-        WHERE label = {FILTER_LABEL}
-    )
-    SELECT vec_id, label, cos_sim
-    FROM scored
-    ORDER BY cos_sim DESC, vec_id
-    LIMIT {TOP_K}
-    """,
 )
 def knn_cosine_bruteforce_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact FILTERED cosine top-k — the ground truth for the filtered
@@ -117,18 +118,10 @@ def knn_cosine_bruteforce_filtered(spark: SparkSession, sf_dir: str) -> DataFram
     never by post-filtering an unfiltered top-k — post-filtering
     k-starves whenever fewer than k of the global winners carry the
     label. Same broadcast-query / TakeOrderedAndProject shape as the
-    unfiltered query."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("label") == FILTER_LABEL
-    )
-    sim = dot(F.col("embedding"), F.col("qvec")) / (
-        l2_norm(F.col("embedding")) * F.col("qnorm")
-    )
-    return (
-        emb.crossJoin(_query_vec(load_table(spark, sf_dir, "embeddings")))
-        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(TOP_K)
+    unfiltered query (one generator for both oracle and body)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn_cos_topk(
+        emb.filter(F.col("label") == FILTER_LABEL), emb
     )
 
 

@@ -1573,9 +1573,14 @@ def stage_range_vec_batches(
     # lands in [0, N) iff vec_id is in [0, n_total) — a non-dense corpus
     # with any vec_id outside that range would silently stage NOTHING for
     # that vector and only surface later as an oracle mismatch. Fail
-    # loudly at staging time instead.
+    # loudly at staging time instead. NULL vec_ids are the same silent-
+    # drop class (both range predicates evaluate to NULL, and the batch
+    # expression maps them to no file) — the isNull arm catches them
+    # (r14 review finding).
     oob = emb.filter(
-        (F.col("vec_id") < 0) | (F.col("vec_id") >= n_total)
+        F.col("vec_id").isNull()
+        | (F.col("vec_id") < 0)
+        | (F.col("vec_id") >= n_total)
     ).count()
     if oob:
         raise RuntimeError(
@@ -1807,7 +1812,11 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pqe_ingest_dirs(sf_dir: str) -> tuple[str, str, str]:
     """(arrivals, store, checkpoint) for the PQ encode ingester. Tagged
     by the embeddings corpus fingerprint (streams vectors, like the
-    semantic-dedup family)."""
+    semantic-dedup family). The arrivals are a second staging of the
+    same ranges the semantic-dedup family stages — deliberately NOT
+    shared (r14 review): each family's checkpoint records its own
+    source path, so sharing would couple their replay lifecycles for
+    the price of a few MB of one-time staging on these corpora."""
     from airflow_ml_pipeline_spark.operators.similarity import (
         _embeddings_fingerprint,
     )
