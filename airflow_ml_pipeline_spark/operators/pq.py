@@ -888,6 +888,32 @@ def pq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADAPTIVE_MASS_PPM = 300_000
 
 
+#: (sf_dir, corpus fingerprint) -> {cluster_id: count}. The cell
+#: histogram is INDEX METADATA (maintained at ingest at 100 TB, a
+#: 16-number table) — computing it per probe call re-ran the full
+#: encode-assign scan (~0.6 s of the adaptive probe's construction);
+#: cached per corpus version like similarity._IVF_INDEX.
+_CELL_COUNTS: dict[tuple[str, str], dict[int, int]] = {}
+
+
+def _cell_counts(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        _embeddings_fingerprint,
+    )
+
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    if key not in _CELL_COUNTS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CELL_COUNTS[key] = {
+            r.cluster_id: r.n
+            for r in ivf_assign(emb)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    return _CELL_COUNTS[key]
+
+
 def _adaptive_probe_cells(
     spark: SparkSession, sf_dir: str, qvec: list[float]
 ) -> list[int]:
@@ -902,14 +928,7 @@ def _adaptive_probe_cells(
     from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_K
 
     order = _ivf_probe_lists(qvec, nprobe=IVF_K)
-    emb = load_table(spark, sf_dir, "embeddings")
-    counts = {
-        r.cluster_id: r.n
-        for r in ivf_assign(emb)
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts = _cell_counts(spark, sf_dir)
     n_total = sum(counts.values())
     target = (n_total * ADAPTIVE_MASS_PPM + 999_999) // 1_000_000
     probes, cum = [], 0
