@@ -73,7 +73,9 @@ CHECK_PRIORITY = [
     # within a cohort (the driver samples a ~50-name prefix;
     # intra-cohort order carries no evidence signal). Ordering
     # contract: tests/test_registry_order.py.
-    # -- round-14 new queries (zero driver rows until the r14 run) --
+    # -- round-15 new queries (zero driver rows) --
+    "embedding_covariance_matrix",
+    # -- round-14 new queries (first driver rows in r14) --
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",
     "stream_pq_encode_ingest",

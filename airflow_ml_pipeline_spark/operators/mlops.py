@@ -55,26 +55,46 @@ def _cleanup_stage() -> None:
     shutil.rmtree(STAGE_CUSTOMERS, ignore_errors=True)
 
 
+#: foreign staged copies older than this are garbage even if their pid
+#: probe says "alive" — 12 h is double a driver round's wall-clock
+_STAGE_MAX_AGE_S = 12 * 3600
+
+
 def _prune_dead_stages() -> None:
     """Sweep stale per-PID staged copies left by processes that never
     reached atexit (SIGKILL'd bench runs, driver timeouts — VERDICT r13
     noted /tmp accumulation survives the atexit hook). A staged path
     whose embedded PID is no longer alive is garbage by construction:
-    the path is only ever read by the process that wrote it."""
+    the path is only ever read by the process that wrote it. The PID
+    probe alone is not sufficient (ADVICE r14): a RECYCLED pid — or one
+    now owned by another uid, the PermissionError arm — would keep a
+    dead process's staging alive indefinitely, so the sweep is also
+    age-gated: any foreign stage untouched for _STAGE_MAX_AGE_S is
+    removed regardless of the probe (PID reuse then merely delays
+    cleanup instead of blocking it; the gate comfortably exceeds a
+    driver round's wall-clock so no live session is swept)."""
     import glob
     import re
     import shutil
+    import time
 
     for p in glob.glob("/tmp/spark_graft_stage/synthetic_customers_2000_*"):
         m = re.search(r"_(\d+)\.parquet$", p)
         if not m or int(m.group(1)) == os.getpid():
             continue
         try:
+            age = time.time() - os.stat(p).st_mtime
+        except OSError:
+            continue  # vanished under a concurrent sweep
+        if age > _STAGE_MAX_AGE_S:
+            shutil.rmtree(p, ignore_errors=True)
+            continue
+        try:
             os.kill(int(m.group(1)), 0)
         except ProcessLookupError:
             shutil.rmtree(p, ignore_errors=True)
         except PermissionError:
-            pass  # pid alive under another uid — leave it
+            pass  # pid alive under another uid — the age gate will reap it
 
 
 atexit.register(_cleanup_stage)

@@ -903,6 +903,12 @@ def _cell_counts(spark: SparkSession, sf_dir: str) -> dict[int, int]:
 
     key = (sf_dir, _embeddings_fingerprint(sf_dir))
     if key not in _CELL_COUNTS:
+        # evict stale fingerprints for the same sf_dir (ADVICE r14:
+        # unlike similarity._IVF_INDEX this cache never dropped entries
+        # for regenerated corpora, leaking one 16-entry dict per
+        # regeneration for the life of the driver)
+        for stale in [k2 for k2 in _CELL_COUNTS if k2[0] == sf_dir]:
+            del _CELL_COUNTS[stale]
         emb = load_table(spark, sf_dir, "embeddings")
         _CELL_COUNTS[key] = {
             r.cluster_id: r.n

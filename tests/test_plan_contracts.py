@@ -77,6 +77,21 @@ def test_pair_kernels_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
+def test_covariance_gram_pass_shape(spark, sf_dir):
+    """embedding_covariance_matrix's pair aggregate must partial-
+    aggregate BELOW its exchange (map-side combine collapses each task's
+    2080-key explode to bounded partials — the whole scale story), the
+    64-row dim sums must broadcast into the pair frame, and nothing may
+    plan a cartesian or sort-merge join."""
+    plan = _plan(registry.QUERIES["embedding_covariance_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    first_agg = plan.find("HashAggregate")
+    first_ex = plan.find("Exchange")
+    assert 0 <= first_agg < first_ex, plan
+
+
 def test_broadcast_eval_decontamination(spark, sf_dir):
     """Both decontamination ops stream the corpus past a BROADCAST eval
     side; a shuffle join here would move the 100 TB side."""

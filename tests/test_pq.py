@@ -250,10 +250,13 @@ def test_filtered_recall_vs_filtered_bruteforce(spark, sf_dir):
 
 def test_filtered_probe_beats_post_filtering(spark, sf_dir):
     """The design contract the docstring states: filtering INSIDE the
-    probed cells returns a full-k, all-matching result where
-    post-filtering the unfiltered ADC top-k would k-starve (at ~10%
-    label selectivity the unfiltered top-10 holds only a few matching
-    rows)."""
+    probed cells returns a full-k, all-matching result, and
+    post-filtering the unfiltered ADC top-k can never return MORE
+    matching rows than in-cell filtering. The strict k-starvation
+    assert (post < k) is gated on the MEASURED label selectivity
+    (ADVICE r14: the bare inequality coupled the test to the current
+    corpus's ~10% label mix and would fail spuriously on regenerated
+    data even though the query stays correct)."""
     from airflow_ml_pipeline_spark.operators.similarity import (
         FILTER_LABEL,
         TOP_K,
@@ -261,14 +264,22 @@ def test_filtered_probe_beats_post_filtering(spark, sf_dir):
 
     filtered = pq.ann_ivfpq_filtered_topk(spark, sf_dir).collect()
     assert len(filtered) == TOP_K
+    assert all(r.label == FILTER_LABEL for r in filtered)
     post = [
         r
         for r in pq.ann_ivfpq_topk(spark, sf_dir).collect()
         if r.label == FILTER_LABEL
     ]
-    assert len(post) < TOP_K, (
-        "post-filtering did not starve — selectivity assumption changed"
+    assert len(post) <= len(filtered)
+    emb = load_table(spark, sf_dir, "embeddings")
+    selectivity = (
+        emb.filter(F.col("label") == FILTER_LABEL).count() / emb.count()
     )
+    if selectivity < 0.3:
+        assert len(post) < TOP_K, (
+            f"post-filtering did not starve at selectivity "
+            f"{selectivity:.2f} — the filtered probe's advantage vanished"
+        )
 
 
 def test_cell_stats_conserve_mass_and_match_per_vector(spark, sf_dir):

@@ -35,12 +35,10 @@ PREFIX = 50
 #: be added here (and to the head of CHECK_PRIORITY) until it earns a
 #: driver row.
 NEVER_WITNESSED: set[str] = {
-    # r14 new queries
-    "knn_cosine_bruteforce_filtered",
-    "ann_ivfpq_filtered_topk",
-    "stream_pq_encode_ingest",
-    "pq_cell_stats",
-    "ann_ivfpq_adaptive_topk",
+    # r15 new queries (the r14 batch earned green rows in
+    # CORRECTNESS_r14.json, committed at round-15 start, so it is pruned
+    # per the standing rotation rule)
+    "embedding_covariance_matrix",
 }
 
 #: every operator family must have at least one representative with driver

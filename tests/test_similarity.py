@@ -150,6 +150,33 @@ def test_pca_variance_matches_numpy(spark, sf_dir):
     assert got[-1].cum_ratio <= 1.0 + 1e-9
 
 
+def test_covariance_lattice_matches_numpy(spark, sf_dir):
+    """The oracle-checked covariance lattice equals numpy's sample
+    covariance of the collected vectors to within the per-term decimal
+    rounding (DEC is 6 dp, so moment sums drift < n * 5e-7 / (n-1) from
+    the unrounded value), and the moment identities hold: every row
+    carries the corpus count, and the diagonal is non-negative."""
+    import numpy as np
+
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        embedding_covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    want = np.cov(X, rowvar=False, ddof=1)
+    rows = embedding_covariance_matrix(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r.n_vecs == len(emb)
+        assert abs(r.cov - want[r.dim_i - 1][r.dim_j - 1]) < 2e-5, (
+            r.dim_i,
+            r.dim_j,
+        )
+        if r.dim_i == r.dim_j:
+            assert r.cov >= 0.0
+
+
 def test_hard_negatives_semantics(spark, sf_dir):
     """For every anchor: the positive shares the anchor's label, the hard
     negative does not, neither is the anchor itself, and each is the true

@@ -38,6 +38,7 @@ AUDITED = [
     "corpus_token_budget_fill",
     "doc_repetition_stats",
     "embedding_quantization_error",
+    "embedding_covariance_matrix",
     "lang_nchars_median_udaf",
     "events_variant_stats",
     "nation_pair_volume",

@@ -69,6 +69,7 @@ QUERIES = [
     ("near_dup_incremental", "documents"),
     ("doc_dup_span_scrubbed", "documents"),
     ("embedding_corr_matrix", "embeddings"),
+    ("embedding_covariance_matrix", "embeddings"),
     ("bm25_topk", "documents"),
     ("retrieval_rrf_fused", "documents"),
     ("event_transition_matrix", "events"),
