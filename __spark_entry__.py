@@ -75,6 +75,8 @@ CHECK_PRIORITY = [
     # contract: tests/test_registry_order.py.
     # -- round-15 new queries (zero driver rows) --
     "embedding_covariance_matrix",
+    "pq_rebalance_plan",
+    "pq_index_rebalanced",
     # -- round-14 new queries (first driver rows in r14) --
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",

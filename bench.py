@@ -182,6 +182,8 @@ HEADLINE = [
     "pq_code_histogram",
     "pq_quantization_error",
     "pq_cell_stats",
+    "pq_rebalance_plan",
+    "pq_index_rebalanced",
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",

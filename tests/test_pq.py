@@ -345,3 +345,82 @@ def test_adaptive_probe_recall_floor(spark, sf_dir):
     rows = pq.ann_ivfpq_adaptive_topk(spark, sf_dir).collect()
     recall = len(set(exact) & {r.vec_id for r in rows}) / len(exact)
     assert recall >= 0.2, f"adaptive probe recall {recall} below floor"
+
+
+def test_rebalance_plan_flags_exactly_the_stale_cells(spark, sf_dir):
+    """On the committed corpora the planner's improvement rule flags
+    exactly the odd (pre-refresh-encoded) cells: even cells score a
+    stale/fresh ratio of exactly 1.0 (same codes), odd cells' weakest
+    observed elevation is 1.0934 (sf0.01) — both comfortably separated
+    from REBALANCE_IMPROVE = 1.05."""
+    plan = pq.pq_rebalance_plan(spark, sf_dir).collect()
+    for r in plan:
+        assert r.reencode == (r.cluster_id % 2 == 1), r
+        if r.cluster_id % 2 == 0:
+            # identical codes -> identical decimal sums, bit-exactly
+            assert r.stale_mse_ppm_sum == r.fresh_mse_ppm_sum, r
+        else:
+            assert (
+                r.stale_mse_ppm_sum
+                > pq.REBALANCE_IMPROVE * r.fresh_mse_ppm_sum
+            ), r
+
+
+def test_rebalanced_store_converges_to_fresh_build(spark, sf_dir):
+    """The metamorphic convergence contract: after the apply step the
+    on-disk store equals a fresh full pq_index build row-for-row
+    (cluster, codes, vnorm), the reencoded flag marks exactly the
+    flagged cells, and re-running the planner against the converged
+    codes flags nothing (stale == fresh sums everywhere)."""
+    rows = {r.vec_id: r for r in pq.pq_index_rebalanced(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    fresh = pq.pq_index(emb).select(
+        "vec_id",
+        "cluster_id",
+        F.concat_ws(
+            "-", F.transform(F.col("pq_code"), lambda c: c.cast("string"))
+        ).alias("code_s"),
+        F.round(F.col("vnorm"), 6).alias("vnorm"),
+    ).collect()
+    assert len(fresh) == len(rows)
+    for f in fresh:
+        r = rows[f.vec_id]
+        assert (r.cluster_id, r.code_s, r.vnorm) == (
+            f.cluster_id,
+            f.code_s,
+            f.vnorm,
+        ), f.vec_id
+        assert r.reencoded == (f.cluster_id % 2 == 1), f.vec_id
+
+
+def test_rebalance_rewrites_only_flagged_partitions(spark, sf_dir):
+    """The only-touched-cells-rewritten contract, at the FILE level: the
+    apply step dynamic-overwrites the flagged (odd) cells' partition
+    directories, so every untouched even-cell file predates every
+    rewritten odd-cell file. (The store is idempotent per corpus
+    version; both markers exist by the time this runs.)"""
+    import glob
+    import os
+
+    store = pq.rebalance_pq_store(spark, sf_dir)
+    assert os.path.exists(os.path.join(store, "_rebalanced"))
+    newest_even = 0.0
+    oldest_odd = float("inf")
+    odd_seen = False
+    for d in glob.glob(os.path.join(store, "cluster_id=*")):
+        cid = int(d.rsplit("=", 1)[1])
+        mtimes = [
+            os.stat(p).st_mtime
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        ]
+        assert mtimes, d
+        if cid % 2 == 0:
+            newest_even = max(newest_even, max(mtimes))
+        else:
+            odd_seen = True
+            oldest_odd = min(oldest_odd, min(mtimes))
+    assert odd_seen
+    assert newest_even < oldest_odd, (
+        "an even (untouched) cell's files were rewritten by the apply "
+        f"step: newest_even={newest_even}, oldest_odd={oldest_odd}"
+    )

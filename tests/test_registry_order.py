@@ -39,6 +39,8 @@ NEVER_WITNESSED: set[str] = {
     # CORRECTNESS_r14.json, committed at round-15 start, so it is pruned
     # per the standing rotation rule)
     "embedding_covariance_matrix",
+    "pq_rebalance_plan",
+    "pq_index_rebalanced",
 }
 
 #: every operator family must have at least one representative with driver

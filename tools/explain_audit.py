@@ -145,6 +145,8 @@ AUDITED = [
     "ann_ivfpq_filtered_topk",
     "knn_cosine_bruteforce_filtered",
     "pq_cell_stats",
+    "pq_rebalance_plan",
+    "pq_index_rebalanced",
     "ann_ivfpq_adaptive_topk",
     "engineered_customer_features",
     "unigram_lm_segmented",

@@ -168,6 +168,8 @@ QUERIES = [
     ("knn_cosine_bruteforce_filtered", "embeddings"),
     ("stream_pq_encode_ingest", "embeddings"),
     ("pq_cell_stats", "embeddings"),
+    ("pq_rebalance_plan", "embeddings"),
+    ("pq_index_rebalanced", "embeddings"),
     ("ann_ivfpq_adaptive_topk", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
