@@ -77,6 +77,8 @@ CHECK_PRIORITY = [
     "embedding_covariance_matrix",
     "pq_rebalance_plan",
     "pq_index_rebalanced",
+    "stream_store_deletes",
+    "stream_pq_delete_ingest",
     # -- round-14 new queries (first driver rows in r14) --
     "knn_cosine_bruteforce_filtered",
     "ann_ivfpq_filtered_topk",

@@ -1952,3 +1952,529 @@ def stream_pq_encode_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("int").alias("batch_id"),
     ]
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Streaming store DELETES (VERDICT r14 ask #5): the GDPR/refresh lifecycle
+# every ingest twin above was missing — a delete stream that TOMBSTONES
+# fingerprints in the standing store exactly-once, with re-arrivals after a
+# deletion re-entering cleanly. The store stays the batch_id-partitioned
+# event log the module docstring describes; a fingerprint's LIVE state is
+# its latest event (delete outranks an add in the same batch), so deletes
+# compose with the exactly-once contract unchanged: batch N's adds
+# anti-join against the fingerprints LIVE as of batches < N (not
+# ever-seen — a deleted fingerprint must be able to win again), batch N's
+# deletes become tombstone rows, and the whole batch overwrites only its
+# own partition. Replay is idempotent; compaction at 100 TB folds the log
+# per fingerprint (keep the max-rank row) without changing reads.
+# ---------------------------------------------------------------------------
+
+#: arrival schedule: adds at batches 0/2/4/5 (doc_id % 4 == 0,1,2,3), two
+#: delete batches interleaved at 1 and 3 — so the staged stream exercises
+#: delete-after-add, add-after-delete (re-entry), and delete-of-dead-fp.
+DEL_N_BATCHES = 6
+DEL_ADD_BATCH = {0: 0, 1: 2, 2: 4, 3: 5}  # doc_id % 4 -> add batch
+
+
+def delete_ingest_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the delete-ingest lifecycle —
+    its own fingerprint-tagged trio, pruned like every ingest store."""
+    base = f"del-{os.path.basename(os.path.normpath(sf_dir))}"
+    tag = f"{base}-{_corpus_fingerprint(sf_dir)}"
+    _prune_stale_tags(base, tag)
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "arrivals"),
+        os.path.join(root, "store"),
+        os.path.join(root, "checkpoint"),
+    )
+
+
+def stage_delete_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage DEL_N_BATCHES single-file arrivals of (doc_id, text, op):
+    batches 0/2/4/5 are adds (doc_id % 4 == 0/1/2/3), batch 1 deletes
+    the fingerprints of docs with doc_id % 4 == 0 AND doc_id % 3 == 0
+    (content that arrived in batch 0), batch 3 deletes fingerprints of
+    docs with doc_id % 4 <= 1 AND doc_id % 5 == 2 (content from batches
+    0 or 2 — some of it re-arrives later as adds, the re-entry case).
+    Deletion requests reference content (text -> fingerprint), carrying
+    the requester's doc_id only as provenance. mtime+name ordering makes
+    file i micro-batch i, the property the oracle's batch arithmetic
+    states."""
+    import glob
+    import time
+
+    arrivals, _, _ = delete_ingest_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if os.path.exists(marker):
+        return arrivals
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 4
+    batches = [
+        docs.filter(mod == 0).select("doc_id", "text", F.lit("add").alias("op")),
+        docs.filter((mod == 0) & (F.col("doc_id") % 3 == 0)).select(
+            "doc_id", "text", F.lit("del").alias("op")
+        ),
+        docs.filter(mod == 1).select("doc_id", "text", F.lit("add").alias("op")),
+        docs.filter((mod <= 1) & (F.col("doc_id") % 5 == 2)).select(
+            "doc_id", "text", F.lit("del").alias("op")
+        ),
+        docs.filter(mod == 2).select("doc_id", "text", F.lit("add").alias("op")),
+        docs.filter(mod == 3).select("doc_id", "text", F.lit("add").alias("op")),
+    ]
+    tmp = f"{arrivals}.build.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(tmp, f"part{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(tmp, f"batch-{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = time.time() + i
+        os.utime(dst, (t, t))
+    try:
+        os.rename(tmp, arrivals)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return arrivals
+
+
+def _live_fps(store_df: DataFrame) -> DataFrame:
+    """The LIVE view of the event-log store: per fingerprint the
+    max-rank event, rank = batch_id * 2 + (op = 'del') — later batches
+    outrank earlier ones, and a delete outranks an add within the same
+    batch. Returns (fp, doc_id, added_in_batch) for live fingerprints
+    only. One fp-keyed aggregate over fingerprint-sized rows — the same
+    shuffle class as the store build itself."""
+    rank = F.col("batch_id").cast("int") * 2 + (
+        F.col("op") == "del"
+    ).cast("int")
+    m = (
+        store_df.select(
+            "fp",
+            F.struct(
+                rank.alias("rk"),
+                F.col("op").alias("op"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("batch_id").cast("int").alias("b"),
+            ).alias("s"),
+        )
+        .groupBy("fp")
+        .agg(F.max("s").alias("m"))
+    )
+    return m.filter(F.col("m.op") == "add").select(
+        "fp",
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.b").alias("added_in_batch"),
+    )
+
+
+def apply_delete_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: the batch's adds elect per-fp winners
+    (min doc_id) and anti-join against the fingerprints LIVE as of
+    earlier batches (NOT ever-seen — re-entry after deletion must win);
+    its deletes become distinct tombstone rows. Both land in THIS
+    batch's partition only (exactly-once: a retry rewrites its own
+    output deterministically)."""
+    spark = batch_df.sparkSession
+    winners = (
+        batch_df.filter(F.col("op") == "add")
+        .select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    prior = store_before(spark, store_dir, batch_id)
+    if prior is not None:
+        winners = winners.join(
+            _live_fps(prior).select("fp"), "fp", "left_anti"
+        )
+    adds = winners.select(
+        "fp", "doc_id", F.lit("add").alias("op")
+    )
+    dels = (
+        batch_df.filter(F.col("op") == "del")
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+        .select(
+            "fp",
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit("del").alias("op"),
+        )
+    )
+    adds.unionByName(dels).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Replay the staged add/delete schedule through the ingester
+    (AvailableNow, one file per micro-batch) and return the store.
+    Idempotent per corpus version: the checkpoint remembers processed
+    files. Asserts the file->batch mapping the oracle's arithmetic
+    assumes (every stored add row's doc_id lands in its schedule's
+    batch)."""
+    arrivals, store, checkpoint = delete_ingest_dirs(sf_dir)
+    stage_delete_batches(spark, sf_dir)
+    schema = spark.read.parquet(arrivals).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_delete_batch(df, bid, store)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_case = "CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5 END"
+    bad = (
+        spark.read.parquet(store)
+        .filter(
+            (F.col("op") == "add")
+            & (F.expr(batch_case) != F.col("batch_id").cast("int"))
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"delete ingest: {bad} add rows landed in the wrong micro-batch"
+        )
+    return store
+
+
+def _delete_ingest_oracle() -> str:
+    return """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS fp,
+               CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 5 END AS ab
+        FROM documents
+    ),
+    dels AS (
+        SELECT md5(text) AS fp, 1 AS db FROM documents
+        WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT md5(text) AS fp, 3 AS db FROM documents
+        WHERE doc_id % 4 <= 1 AND doc_id % 5 = 2
+    ),
+    lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels GROUP BY fp),
+    cand AS (
+        SELECT d.fp, d.ab, MIN(d.doc_id) AS doc_id
+        FROM d LEFT JOIN lastdel l ON l.fp = d.fp
+        WHERE d.ab > COALESCE(l.dmax, -1)
+        GROUP BY d.fp, d.ab
+    ),
+    first_live AS (SELECT fp, MIN(ab) AS ab FROM cand GROUP BY fp)
+    SELECT c.fp, c.doc_id, CAST(c.ab AS INTEGER) AS added_in_batch
+    FROM cand c JOIN first_live f ON f.fp = c.fp AND f.ab = c.ab
+    """
+
+
+@query("stream_store_deletes", oracle=_delete_ingest_oracle())
+def stream_store_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DELETES against the fingerprint store — the GDPR /
+    content-refresh lifecycle: tombstone events arrive interleaved with
+    adds, each micro-batch applies both exactly-once (batch-owned
+    partition overwrite), a deleted fingerprint's later re-arrival
+    re-enters the store, and the LIVE view is the per-fingerprint
+    max-rank event with delete-outranks-add within a batch.
+
+    ORACLE-CHECKED stream/batch equivalence: the staged schedule is
+    pure doc_id arithmetic (adds at batches 0/2/4/5 by doc_id % 4,
+    deletes at 1 and 3 by the rules ``stage_delete_batches`` documents),
+    so the converged live set is a closed-form function of the corpus —
+    a fingerprint is live iff it has an add batch after its last delete
+    batch, its doc_id is the min arrival of its FIRST live add batch
+    (later adds of a live fp are anti-join-suppressed, exactly the
+    store mechanics) — which the DuckDB twin states directly. Deletes
+    of dead fingerprints are recorded but change nothing; tombstones
+    block nothing that arrives later.
+
+    Scale: the store is an append-only event log over 16-byte
+    fingerprints; every per-batch step is fingerprint-keyed (one
+    shuffle of fp-sized rows), the live view is one fp-keyed aggregate,
+    and periodic compaction (fold to max-rank row per fp) bounds the
+    log without changing any read."""
+    store = run_delete_ingest(spark, sf_dir)
+    return _live_fps(spark.read.parquet(store))
+
+
+# ---------------------------------------------------------------------------
+# Streaming PQ-store DELETES: the same GDPR/refresh lifecycle as
+# ``stream_store_deletes`` applied to the coded ANN store — delete events
+# (by vec_id, the index key) tombstone a vector's (cluster_id, pq_code,
+# vnorm) row exactly-once, and the live store converges to the batch
+# encoder's output over the RETAINED vectors. Encoding is stateless, so
+# the only cross-batch state is liveness itself: the store stays the
+# batch_id-partitioned event log, the live view is the per-vec_id max-rank
+# event (delete outranks add within a batch), and compaction folds the log
+# per key without changing reads.
+# ---------------------------------------------------------------------------
+
+#: adds at batches 0/2/4/5 (vec_id range quarters 0..3 — the family's
+#: RANGE staging), deletes at 1 (quarter 0, vec_id % 3 == 0) and 3
+#: (quarters 0-1, vec_id % 5 == 2): every delete strikes content already
+#: encoded, and tombstoned rows never re-arrive (vec_ids are unique).
+PQD_QUARTERS = 4
+
+
+def pqd_ingest_dirs(sf_dir: str) -> tuple[str, str, str]:
+    """(arrivals, store, checkpoint) for the PQ delete-ingest lifecycle.
+    Tagged by the embeddings corpus fingerprint (streams vectors)."""
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        _embeddings_fingerprint,
+    )
+
+    base = f"pqd-{os.path.basename(os.path.normpath(sf_dir))}"
+    tag = f"{base}-{_embeddings_fingerprint(sf_dir)}"
+    _prune_stale_tags(base, tag)
+    root = os.path.join(INGEST_ROOT, tag)
+    return (
+        os.path.join(root, "arrivals"),
+        os.path.join(root, "store"),
+        os.path.join(root, "checkpoint"),
+    )
+
+
+def stage_pq_delete_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the add/delete schedule as 6 single-file arrivals of
+    (vec_id, label, embedding, op) — mtime+name ordered so file i is
+    micro-batch i. Delete events carry only the key (label/embedding
+    NULL): a deletion request references the indexed vector, not its
+    payload."""
+    import glob
+    import time
+
+    arrivals, _, _ = pqd_ingest_dirs(sf_dir)
+    marker = os.path.join(arrivals, "_staged")
+    if os.path.exists(marker):
+        return arrivals
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n_total = emb.count()
+    oob = emb.filter(
+        F.col("vec_id").isNull()
+        | (F.col("vec_id") < 0)
+        | (F.col("vec_id") >= n_total)
+    ).count()
+    if oob:
+        raise RuntimeError(
+            f"pq delete staging: {oob} vec_ids outside [0, {n_total})"
+            " — range staging requires dense 0..n-1 vec_ids"
+        )
+    q = (F.col("vec_id") * PQD_QUARTERS / F.lit(n_total)).cast("int")
+    nulls = [
+        F.lit(None).cast(emb.schema["label"].dataType).alias("label"),
+        F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
+    ]
+    batches = [
+        emb.filter(q == 0).select("*", F.lit("add").alias("op")),
+        emb.filter((q == 0) & (F.col("vec_id") % 3 == 0)).select(
+            "vec_id", *nulls, F.lit("del").alias("op")
+        ),
+        emb.filter(q == 1).select("*", F.lit("add").alias("op")),
+        emb.filter((q <= 1) & (F.col("vec_id") % 5 == 2)).select(
+            "vec_id", *nulls, F.lit("del").alias("op")
+        ),
+        emb.filter(q == 2).select("*", F.lit("add").alias("op")),
+        emb.filter(q == 3).select("*", F.lit("add").alias("op")),
+    ]
+    tmp = f"{arrivals}.build.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(tmp, f"part{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(tmp, f"batch-{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = time.time() + i
+        os.utime(dst, (t, t))
+    try:
+        os.rename(tmp, arrivals)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return arrivals
+
+
+def apply_pq_delete_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: encode the batch's adds with the frozen
+    artifacts (the SAME ``pq_index`` kernel as the batch encoder and the
+    append-only ingester), turn its deletes into distinct tombstone
+    rows, and overwrite only this batch's partition — exactly-once by
+    the module's batch-owned-overwrite contract; no seen-store is
+    needed because encoding is stateless and liveness is resolved at
+    read time by event rank."""
+    from airflow_ml_pipeline_spark.operators.pq import pq_index
+
+    adds = batch_df.filter(F.col("op") == "add").drop("op")
+    coded = pq_index(adds).select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        "pq_code",
+        "vnorm",
+        F.lit("add").alias("op"),
+    )
+    dels = (
+        batch_df.filter(F.col("op") == "del")
+        .select("vec_id", "label")  # label is NULL with the source dtype
+        .distinct()
+        .select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("array<int>").alias("pq_code"),
+            F.lit(None).cast("double").alias("vnorm"),
+            F.lit("del").alias("op"),
+        )
+    )
+    coded.unionByName(dels).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def _live_pq_rows(store_df: DataFrame) -> DataFrame:
+    """LIVE view of the coded event log: per vec_id the max-rank event
+    (rank = batch_id * 2 + is-delete), kept iff it is an add. Returns
+    the full index columns plus added_in_batch."""
+    rank = F.col("batch_id").cast("int") * 2 + (
+        F.col("op") == "del"
+    ).cast("int")
+    m = (
+        store_df.select(
+            "vec_id",
+            F.struct(
+                rank.alias("rk"),
+                F.col("op").alias("op"),
+                F.col("label").alias("label"),
+                F.col("cluster_id").alias("cluster_id"),
+                F.col("pq_code").alias("pq_code"),
+                F.col("vnorm").alias("vnorm"),
+                F.col("batch_id").cast("int").alias("b"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("m"))
+    )
+    return m.filter(F.col("m.op") == "add").select(
+        "vec_id",
+        F.col("m.label").alias("label"),
+        F.col("m.cluster_id").alias("cluster_id"),
+        F.col("m.pq_code").alias("pq_code"),
+        F.col("m.vnorm").alias("vnorm"),
+        F.col("m.b").alias("added_in_batch"),
+    )
+
+
+def run_pq_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Replay the staged add/delete schedule through the PQ ingester
+    (AvailableNow, one file per micro-batch) and return the store.
+    Idempotent per corpus version; asserts the file->batch mapping the
+    oracle's arithmetic assumes."""
+    arrivals, store, checkpoint = pqd_ingest_dirs(sf_dir)
+    stage_pq_delete_batches(spark, sf_dir)
+    schema = spark.read.parquet(arrivals).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(arrivals)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_pq_delete_batch(df, bid, store)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    quarter = (F.col("vec_id") * PQD_QUARTERS / F.lit(n_total)).cast("int")
+    add_batch = (
+        F.when(quarter == 0, 0)
+        .when(quarter == 1, 2)
+        .when(quarter == 2, 4)
+        .otherwise(5)
+    )
+    bad = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter(
+            (F.col("op") == "add")
+            & (add_batch != F.col("batch_id").cast("int"))
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"pq delete ingest: {bad} add rows landed in the wrong batch"
+        )
+    return store
+
+
+def _pq_delete_oracle() -> str:
+    from airflow_ml_pipeline_spark.operators.pq import VNORM_SQL, _sql_pq_coded
+    from airflow_ml_pipeline_spark.operators.pq_train import PQ_M
+
+    codes = ", ".join(f"c{mi}" for mi in range(PQ_M))
+    return f"""
+    WITH {_sql_pq_coded().lstrip()},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT vec_id, label, cluster_id, {codes},
+           round({VNORM_SQL}, 6) AS vnorm,
+           CAST(CASE vec_id * {PQD_QUARTERS} // nn.n
+                WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4
+                ELSE 5 END AS INTEGER) AS added_in_batch
+    FROM coded CROSS JOIN nn
+    WHERE NOT ((vec_id * {PQD_QUARTERS} // nn.n = 0 AND vec_id % 3 = 0)
+            OR (vec_id * {PQD_QUARTERS} // nn.n <= 1 AND vec_id % 5 = 2))
+    """
+
+
+@query("stream_pq_delete_ingest", oracle=_pq_delete_oracle())
+def stream_pq_delete_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DELETES against the coded ANN store: tombstone events
+    (by vec_id) arrive interleaved with encode batches, each micro-batch
+    applies both exactly-once, and the live store converges to exactly
+    the batch encoder's output over the RETAINED vectors — which is the
+    oracle: the full coded chain filtered by the delete schedule's
+    closed-form arithmetic, codes and rounded vnorm value-hash-checked
+    per row. Completes the delete lifecycle across the ingest stores
+    (fingerprints: ``stream_store_deletes``; PQ codes: here).
+
+    Scale: the store is an append-only event log of ~12 B/vector code
+    rows partitioned by batch (cluster_id at 100 TB); deletes are
+    key-only tombstones, the live view is one key-keyed aggregate, and
+    probes serve from the compacted live rows with partition pruning
+    intact."""
+    from airflow_ml_pipeline_spark.operators.pq_train import PQ_M
+
+    store = run_pq_delete_ingest(spark, sf_dir)
+    live = _live_pq_rows(spark.read.option("basePath", store).parquet(store))
+    cols = [F.col("vec_id"), F.col("label"), F.col("cluster_id")]
+    cols += [
+        F.element_at(F.col("pq_code"), mi + 1).alias(f"c{mi}")
+        for mi in range(PQ_M)
+    ]
+    cols += [
+        F.round(F.col("vnorm"), 6).alias("vnorm"),
+        F.col("added_in_batch"),
+    ]
+    return live.select(*cols)

@@ -199,6 +199,8 @@ HEADLINE = [
     "stream_errors_before_purchase_outer",
     "stream_dedup_eviction_timing",
     "stream_semantic_dedup_ingest",
+    "stream_store_deletes",
+    "stream_pq_delete_ingest",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",

@@ -41,6 +41,8 @@ NEVER_WITNESSED: set[str] = {
     "embedding_covariance_matrix",
     "pq_rebalance_plan",
     "pq_index_rebalanced",
+    "stream_store_deletes",
+    "stream_pq_delete_ingest",
 }
 
 #: every operator family must have at least one representative with driver

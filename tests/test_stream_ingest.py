@@ -154,3 +154,95 @@ def test_funnel_rerun_is_stable_and_consistent(spark, sf_dir):
         assert 0 <= n_gate <= n_arr
         assert 0 < n_uniq <= n_arr
         assert 0 <= n_new <= n_uniq
+
+
+def test_delete_ingest_tombstones_and_reentry(spark, sf_dir):
+    """Semantics of the delete lifecycle on the staged schedule: the
+    live view excludes every fingerprint whose last event is a delete,
+    includes every fingerprint with a later add (re-entry), tombstone
+    rows exist in the store (the deletes actually landed), and the
+    exercise is non-trivial (some deleted fingerprint stays dead)."""
+    store = ingest.run_delete_ingest(spark, sf_dir)
+    rows = spark.read.parquet(store).collect()
+    dels = {r.fp for r in rows if r.op == "del"}
+    assert dels, "no tombstones landed — the delete batches are empty"
+    live = {
+        r.fp: (r.doc_id, r.added_in_batch)
+        for r in ingest.stream_store_deletes(spark, sf_dir).collect()
+    }
+    # recompute the closed form: last delete batch per fp, first add
+    # batch after it
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    adds: dict[str, list[tuple[int, int]]] = {}
+    lastdel: dict[str, int] = {}
+    import hashlib
+
+    for r in docs.collect():
+        fp = hashlib.md5(r.text.encode()).hexdigest()
+        ab = {0: 0, 1: 2, 2: 4, 3: 5}[r.doc_id % 4]
+        adds.setdefault(fp, []).append((ab, r.doc_id))
+        if r.doc_id % 4 == 0 and r.doc_id % 3 == 0:
+            lastdel[fp] = max(lastdel.get(fp, -1), 1)
+        if r.doc_id % 4 <= 1 and r.doc_id % 5 == 2:
+            lastdel[fp] = max(lastdel.get(fp, -1), 3)
+    want = {}
+    dead = set()
+    for fp, arr in adds.items():
+        dmax = lastdel.get(fp, -1)
+        after = [(b, d) for b, d in arr if b > dmax]
+        if after:
+            b = min(x[0] for x in after)
+            want[fp] = (min(d for bb, d in after if bb == b), b)
+        else:
+            dead.add(fp)
+    assert live == want
+    assert dead, "every deleted fingerprint re-entered — schedule too weak"
+    assert dead.isdisjoint(live)
+
+
+def test_delete_ingest_rerun_is_noop(spark, sf_dir):
+    """Replaying against the processed checkpoint changes nothing: the
+    store's row multiset (incl. tombstones) is stable across reruns."""
+    store = ingest.run_delete_ingest(spark, sf_dir)
+    # tombstone rows carry NULL doc_id — sort on repr so None compares
+    before = sorted(map(tuple, spark.read.parquet(store).collect()), key=repr)
+    store2 = ingest.run_delete_ingest(spark, sf_dir)
+    assert store2 == store
+    after = sorted(map(tuple, spark.read.parquet(store).collect()), key=repr)
+    assert before == after
+
+
+def test_apply_delete_batch_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch rewrites exactly its own partition: adds
+    anti-join LIVE prior fingerprints (so a re-arrival after deletion
+    wins again) and a second apply of the same batch leaves the store
+    identical."""
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, "aa", "add"), (2, "aa", "add"), (3, "bb", "add")],
+        "doc_id long, text string, op string",
+    )
+    ingest.apply_delete_batch(b0, 0, store)
+    b1 = spark.createDataFrame(
+        [(1, "aa", "del")], "doc_id long, text string, op string"
+    )
+    ingest.apply_delete_batch(b1, 1, store)
+    b2 = spark.createDataFrame(
+        [(9, "aa", "add")], "doc_id long, text string, op string"
+    )
+    ingest.apply_delete_batch(b2, 2, store)
+    first = sorted(map(tuple, spark.read.parquet(store).collect()), key=repr)
+    ingest.apply_delete_batch(b2, 2, store)  # retry
+    second = sorted(map(tuple, spark.read.parquet(store).collect()), key=repr)
+    assert first == second
+    live = {
+        r.fp: r.doc_id
+        for r in ingest._live_fps(spark.read.parquet(store)).collect()
+    }
+    import hashlib
+
+    fa = hashlib.md5(b"aa").hexdigest()
+    fb = hashlib.md5(b"bb").hexdigest()
+    # 'aa' was deleted at batch 1 and re-entered at batch 2 with the NEW
+    # arrival's id — not the batch-0 winner's
+    assert live == {fa: 9, fb: 3}

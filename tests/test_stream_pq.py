@@ -85,3 +85,51 @@ def test_pq_ingest_replay_is_idempotent(spark, sf_dir):
         .collect()
     )
     assert before == after
+
+
+def test_pq_delete_store_converges_to_retained_batch_encode(spark, sf_dir):
+    """Metamorphic convergence of the delete lifecycle: the live view
+    after ingest+deletes equals the batch encoder's output restricted
+    to the retained vec_ids — codes, cluster, and norm row-for-row —
+    tombstones actually landed, and some vector was actually deleted."""
+    store = ingest.run_pq_delete_ingest(spark, sf_dir)
+    raw = spark.read.option("basePath", store).parquet(store)
+    assert raw.filter(F.col("op") == "del").count() > 0
+    live = {
+        r.vec_id: (r.cluster_id, tuple(r.pq_code), round(r.vnorm, 6))
+        for r in ingest._live_pq_rows(raw).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = (F.col("vec_id") * ingest.PQD_QUARTERS / F.lit(n)).cast("int")
+    deleted = {
+        r.vec_id
+        for r in emb.filter(
+            ((q == 0) & (F.col("vec_id") % 3 == 0))
+            | ((q <= 1) & (F.col("vec_id") % 5 == 2))
+        ).collect()
+    }
+    assert deleted, "delete schedule matched nothing"
+    batch = {
+        r.vec_id: (r.cluster_id, tuple(r.pq_code), round(r.vnorm, 6))
+        for r in pq.pq_index(emb)
+        .select("vec_id", "cluster_id", "pq_code", "vnorm")
+        .collect()
+        if r.vec_id not in deleted
+    }
+    assert live == batch
+
+
+def test_pq_delete_ingest_rerun_is_noop(spark, sf_dir):
+    """Replaying against the processed checkpoint changes nothing."""
+    store = ingest.run_pq_delete_ingest(spark, sf_dir)
+    before = sorted(
+        map(tuple, spark.read.option("basePath", store).parquet(store).collect()),
+        key=repr,
+    )
+    assert ingest.run_pq_delete_ingest(spark, sf_dir) == store
+    after = sorted(
+        map(tuple, spark.read.option("basePath", store).parquet(store).collect()),
+        key=repr,
+    )
+    assert before == after

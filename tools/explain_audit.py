@@ -133,6 +133,8 @@ AUDITED = [
     "curriculum_shard_manifest",
     "corpus_mix_budget_ablation",
     "stream_dedup_eviction_timing",
+    "stream_store_deletes",
+    "stream_pq_delete_ingest",
     # round-11 additions
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",

@@ -103,6 +103,8 @@ QUERIES = [
     ("bpe_fertility_by_lang", "documents"),
     ("corpus_shard_skew_report", "documents"),
     ("stream_pii_scrub_ingest", "documents"),
+    ("stream_store_deletes", "documents"),
+    ("stream_pq_delete_ingest", "embeddings"),
     ("quality_rule_breakdown", "documents"),
     ("events_dau_wau", "events"),
     ("near_dup_cluster_size_histogram", "documents"),
