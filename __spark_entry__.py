@@ -9,14 +9,14 @@ The real implementation lives in ``airflow_ml_pipeline_spark``; this module
 exposes the engine's declared-query registry
 (airflow_ml_pipeline_spark/plans/registry.py) in an explicit verification
 priority order: the driver's correctness budget is a prefix of this dict.
-Round-12 rotation (VERDICT r11 ask #2): every query has a committed
+Round-15 rotation (VERDICT r14 ask #1): every query has a committed
 driver row and every oracle-backed query is green on its latest row, so
-the head is any queries newly declared in round 12, then the whole
+the head is the queries newly declared in round 15, then the whole
 registry strictly by the age of each query's latest committed driver
-row (judge-recomputed cohorts: r7 x30 -> r8 x49 -> r9 x50 -> r10 x50 ->
-the 50 names the r11 driver just checked last). The whole registry is
-listed so a query can no longer register without a priority slot; the
-ordering contract lives in tests/test_registry_order.py.
+row (cohorts r10 x46 -> r11 x50 -> r12 x50 -> r13 x50 -> the 50 names
+the r14 driver checked last). The whole registry is listed so a query
+can no longer register without a priority slot; the ordering contract
+lives in tests/test_registry_order.py.
 """
 
 from __future__ import annotations
@@ -65,11 +65,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: covers the WHOLE registry, ordered by evidence age (zero-evidence
 #: queries first, then oldest committed driver row first).
 CHECK_PRIORITY = [
-    # ---- round-14 rotation (VERDICT r13 ask #1) ----
-    # Head: queries newly declared in round 14 (zero driver rows),
+    # ---- round-15 rotation (VERDICT r14 ask #1) ----
+    # Head: queries newly declared in round 15 (zero driver rows),
     # then the registry strictly by the age of each query's latest
-    # committed driver row — cohorts r9 (41, the stalest evidence)
-    # -> r10 (50) -> r11 (50) -> r12 (50) -> r13 (50), alphabetical
+    # committed driver row — cohorts r10 (46: the 50-name r10 cohort
+    # minus the 4 names the r14 driver re-greened) -> r11 (50) ->
+    # r12 (50) -> r13 (50) -> r14 (50: the r14-checked prefix =
+    # 5 r14-new + the 41-name r9 cohort + 4 r10 names), alphabetical
     # within a cohort (the driver samples a ~50-name prefix;
     # intra-cohort order carries no evidence signal). Ordering
     # contract: tests/test_registry_order.py.
@@ -79,59 +81,8 @@ CHECK_PRIORITY = [
     "pq_index_rebalanced",
     "stream_store_deletes",
     "stream_pq_delete_ingest",
-    # -- round-14 new queries (first driver rows in r14) --
-    "knn_cosine_bruteforce_filtered",
-    "ann_ivfpq_filtered_topk",
-    "stream_pq_encode_ingest",
-    "pq_cell_stats",
-    "ann_ivfpq_adaptive_topk",
-    # -- latest driver row: round 9 (41 names) --
-    "corpus_prepared",
-    "corpus_shard_skew_report",
-    "corpus_sketch_stats",
-    "corpus_training_mix_fill",
-    "customer_drift_profile",
-    "customer_fuzzy_matches",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "dedup_source_priority",
-    "doc_bigram_logprob",
-    "doc_containment_md5",
-    "doc_dup_span_coverage",
-    "doc_dup_span_scrubbed",
-    "doc_ngram_novelty",
-    "doc_stats",
-    "doc_token_entropy",
-    "embedding_corr_matrix",
-    "embedding_hard_negatives",
-    "embedding_near_dup_pairs",
-    "embedding_pca_variance",
-    "embedding_split_drift",
-    "event_transition_matrix",
-    "events_anomaly_zscore",
-    "events_dau_wau",
-    "events_funnel_windowed",
-    "events_gap_fill",
-    "knn_cosine_bruteforce",
-    "langid_confusion",
-    "multimodal_features",
-    "near_dup_cluster_size_histogram",
-    "near_dup_jaccard_histogram",
-    "packing_efficiency_report",
-    "pii_prevalence_by_source",
-    "quality_rule_breakdown",
-    "segment_value_salted_join",
-    "ship_delay_profile",
-    "simhash_md5",
-    "source_learnability_mix",
-    "stream_pii_scrub_ingest",
-    "unigram_vocab_em",
-    "user_value_totals_salted",
-    # -- latest driver row: round 10 (50 names) --
-    "ab_conversion_ztest",
-    "above_average_orders",
-    "brand_revenue",
-    "corpus_boilerplate_ngrams",
+    "stream_store_compacted",
+    # -- latest driver row: round 10 (46 names) --
     "cube_revenue",
     "custkeys_both_statuses",
     "custkeys_only_finished",
@@ -331,6 +282,57 @@ CHECK_PRIORITY = [
     "tokenizer_fertility_by_lang",
     "top_orders_by_revenue",
     "unigram_vocab_pruned",
+    # -- latest driver row: round 14 (50 names) --
+    "ab_conversion_ztest",
+    "above_average_orders",
+    "ann_ivfpq_adaptive_topk",
+    "ann_ivfpq_filtered_topk",
+    "brand_revenue",
+    "corpus_boilerplate_ngrams",
+    "corpus_prepared",
+    "corpus_shard_skew_report",
+    "corpus_sketch_stats",
+    "corpus_training_mix_fill",
+    "customer_drift_profile",
+    "customer_fuzzy_matches",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "dedup_source_priority",
+    "doc_bigram_logprob",
+    "doc_containment_md5",
+    "doc_dup_span_coverage",
+    "doc_dup_span_scrubbed",
+    "doc_ngram_novelty",
+    "doc_stats",
+    "doc_token_entropy",
+    "embedding_corr_matrix",
+    "embedding_hard_negatives",
+    "embedding_near_dup_pairs",
+    "embedding_pca_variance",
+    "embedding_split_drift",
+    "event_transition_matrix",
+    "events_anomaly_zscore",
+    "events_dau_wau",
+    "events_funnel_windowed",
+    "events_gap_fill",
+    "knn_cosine_bruteforce",
+    "knn_cosine_bruteforce_filtered",
+    "langid_confusion",
+    "multimodal_features",
+    "near_dup_cluster_size_histogram",
+    "near_dup_jaccard_histogram",
+    "packing_efficiency_report",
+    "pii_prevalence_by_source",
+    "pq_cell_stats",
+    "quality_rule_breakdown",
+    "segment_value_salted_join",
+    "ship_delay_profile",
+    "simhash_md5",
+    "source_learnability_mix",
+    "stream_pii_scrub_ingest",
+    "stream_pq_encode_ingest",
+    "unigram_vocab_em",
+    "user_value_totals_salted",
 ]
 
 

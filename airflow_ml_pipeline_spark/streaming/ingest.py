@@ -2478,3 +2478,109 @@ def stream_pq_delete_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("added_in_batch"),
     ]
     return live.select(*cols)
+
+
+def compact_delete_store(spark: SparkSession, sf_dir: str) -> str:
+    """COMPACTION of the fingerprint event log: fold to the max-rank
+    event per fingerprint (tombstones retained — the GDPR audit trail
+    and the guard against an out-of-order replay resurrecting a deleted
+    fingerprint) and write the folded store next to the log. Idempotent
+    per corpus version; reads against the compacted store are
+    BY CONSTRUCTION identical to reads against the full log (the live
+    view already selects the max-rank event — tests pin the equality)."""
+    _, store, _ = delete_ingest_dirs(sf_dir)
+    run_delete_ingest(spark, sf_dir)
+    compacted = f"{store}_compacted"
+    marker = os.path.join(compacted, "_compacted")
+    if os.path.exists(marker):
+        return compacted
+    s = spark.read.parquet(store)
+    rank = F.col("batch_id").cast("int") * 2 + (
+        F.col("op") == "del"
+    ).cast("int")
+    folded = (
+        s.select(
+            "fp",
+            F.struct(
+                rank.alias("rk"),
+                F.col("op").alias("op"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("batch_id").cast("int").alias("b"),
+            ).alias("s"),
+        )
+        .groupBy("fp")
+        .agg(F.max("s").alias("m"))
+        .select(
+            "fp",
+            F.col("m.op").alias("op"),
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.b").alias("batch_id"),
+        )
+    )
+    tmp = f"{compacted}.build.{os.getpid()}"
+    folded.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, compacted)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return compacted
+
+
+def _compacted_oracle() -> str:
+    return """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS fp,
+               CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 5 END AS ab
+        FROM documents
+    ),
+    dels AS (
+        SELECT md5(text) AS fp, 1 AS db FROM documents
+        WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT md5(text) AS fp, 3 AS db FROM documents
+        WHERE doc_id % 4 <= 1 AND doc_id % 5 = 2
+    ),
+    lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels GROUP BY fp),
+    cand AS (
+        SELECT d.fp, d.ab, MIN(d.doc_id) AS doc_id
+        FROM d LEFT JOIN lastdel l ON l.fp = d.fp
+        WHERE d.ab > COALESCE(l.dmax, -1)
+        GROUP BY d.fp, d.ab
+    ),
+    first_live AS (SELECT fp, MIN(ab) AS ab FROM cand GROUP BY fp),
+    live AS (
+        SELECT c.fp, 'add' AS op, c.doc_id,
+               CAST(c.ab AS INTEGER) AS batch_id
+        FROM cand c JOIN first_live f ON f.fp = c.fp AND f.ab = c.ab
+    )
+    SELECT fp, op, doc_id, batch_id FROM live
+    UNION ALL
+    SELECT l.fp, 'del' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(l.dmax AS INTEGER) AS batch_id
+    FROM lastdel l
+    WHERE l.fp NOT IN (SELECT fp FROM live)
+    """
+
+
+@query("stream_store_compacted", oracle=_compacted_oracle())
+def stream_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTED fingerprint store — the maintenance op the
+    event-log design calls for at 100 TB: fold the log to one max-rank
+    event per fingerprint (live adds keep their winner row, dead
+    fingerprints keep their final tombstone) so the store size is
+    bounded by distinct-fingerprint cardinality, not event history,
+    while every read stays identical (tests pin live-view equality
+    against the unfolded log; the oracle states the closed form of the
+    final event per fingerprint, tombstones included).
+
+    Scale: one fp-keyed aggregate over the log + a rewrite of the
+    folded store — the standard LSM-style compaction pass, run
+    off-peak; batch partitions compacted so far can be dropped
+    atomically after the fold lands."""
+    compacted = compact_delete_store(spark, sf_dir)
+    return spark.read.parquet(compacted).select(
+        "fp", "op", "doc_id", F.col("batch_id").cast("int").alias("batch_id")
+    )

@@ -201,6 +201,7 @@ HEADLINE = [
     "stream_semantic_dedup_ingest",
     "stream_store_deletes",
     "stream_pq_delete_ingest",
+    "stream_store_compacted",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",

@@ -43,6 +43,7 @@ NEVER_WITNESSED: set[str] = {
     "pq_index_rebalanced",
     "stream_store_deletes",
     "stream_pq_delete_ingest",
+    "stream_store_compacted",
 }
 
 #: every operator family must have at least one representative with driver

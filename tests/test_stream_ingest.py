@@ -246,3 +246,25 @@ def test_apply_delete_batch_retry_is_idempotent(spark, tmp_path):
     # 'aa' was deleted at batch 1 and re-entered at batch 2 with the NEW
     # arrival's id — not the batch-0 winner's
     assert live == {fa: 9, fb: 3}
+
+
+def test_compacted_store_preserves_reads(spark, sf_dir):
+    """Compaction must not change any read: the live view over the
+    compacted store equals the live view over the full log, the
+    compacted store has exactly one row per distinct fingerprint, and
+    dead fingerprints keep their final tombstone."""
+    store = ingest.run_delete_ingest(spark, sf_dir)
+    compacted = ingest.compact_delete_store(spark, sf_dir)
+    log = spark.read.parquet(store)
+    comp = spark.read.parquet(compacted)
+    assert comp.count() == log.select("fp").distinct().count()
+    live_log = sorted(
+        map(tuple, ingest._live_fps(log).collect()), key=repr
+    )
+    live_comp = sorted(
+        map(tuple, ingest._live_fps(comp).collect()), key=repr
+    )
+    assert live_log == live_comp
+    dead = comp.filter(F.col("op") == "del")
+    assert dead.count() > 0
+    assert dead.filter(F.col("doc_id").isNotNull()).count() == 0

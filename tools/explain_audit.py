@@ -135,6 +135,7 @@ AUDITED = [
     "stream_dedup_eviction_timing",
     "stream_store_deletes",
     "stream_pq_delete_ingest",
+    "stream_store_compacted",
     # round-11 additions
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",

@@ -105,6 +105,7 @@ QUERIES = [
     ("stream_pii_scrub_ingest", "documents"),
     ("stream_store_deletes", "documents"),
     ("stream_pq_delete_ingest", "embeddings"),
+    ("stream_store_compacted", "documents"),
     ("quality_rule_breakdown", "documents"),
     ("events_dau_wau", "events"),
     ("near_dup_cluster_size_histogram", "documents"),
