@@ -82,6 +82,7 @@ CHECK_PRIORITY = [
     "stream_store_deletes",
     "stream_pq_delete_ingest",
     "stream_store_compacted",
+    "corpus_group_split",
     # -- latest driver row: round 10 (46 names) --
     "cube_revenue",
     "custkeys_both_statuses",

@@ -571,6 +571,64 @@ def canonical_by_source(clusters: DataFrame, docs: DataFrame) -> DataFrame:
 
 
 @query(
+    "corpus_group_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    g AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, group_id,
+               CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS bkt
+        FROM g
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN bkt < 8 THEN 'train'
+                WHEN bkt = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test assignment — the FIX for the leakage
+    ``split_leakage_audit`` detects: a random per-document split puts
+    near-duplicate copies of the same content on both sides of an eval
+    boundary, so the model sees the eval content in training. Here the
+    split unit is the near-dup CLUSTER (singletons are their own
+    group), hashed to an 80/10/10 bucket by the engine-portable
+    md5-prefix rule — every member of a duplicate cluster lands on the
+    SAME side by construction (tests assert zero verified pairs cross
+    splits), and assignment is stable under corpus growth (a group's
+    bucket depends only on its id, not on what else exists).
+
+    Scale shape: the banded-LSH cluster lineage (edge-bounded) LEFT-
+    broadcast-joined into the corpus id stream, then a pure projection
+    (md5 + modulus) — no shuffle beyond the cluster build itself; the
+    oracle restates clustering with the shared recursive-CTE lineage
+    and the documented md5-bucket twin."""
+    cl = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id")
+    # broadcast: the labels frame is bounded by near-dup pair volume
+    g = docs.join(F.broadcast(cl), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_id")
+    )
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bkt < 8, "train").when(bkt == 8, "val").otherwise("test")
+    )
+    return g.select("doc_id", "group_id", split.alias("split"))
+
+
+@query(
     "embedding_quantization_error",
     oracle="""
     WITH s AS (

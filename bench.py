@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_token_budget_fill",
     "near_dup_clusters",
     "near_dup_canonical_by_source",
+    "corpus_group_split",
     "near_dup_cross_source_matrix",
     "near_dup_pagerank",
     "corpus_shuffled_shards",

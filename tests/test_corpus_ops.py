@@ -476,3 +476,35 @@ def test_canonical_by_source_random_clusters_match_recount(spark):
             for r in corpus_ops.canonical_by_source(cl, dd).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_group_split_never_crosses_near_dup_pairs(spark, sf_dir):
+    """The leakage fix's defining property: every verified near-dup
+    pair lands in the SAME split (contrast split_leakage_audit, which
+    finds the doc_id % 10 strawman leaking), every document is
+    assigned exactly once, all three splits are non-empty, and
+    cluster members share their group's assignment."""
+    from airflow_ml_pipeline_spark.operators.corpus_ops import (
+        corpus_group_split,
+        near_dup_clusters,
+    )
+    from airflow_ml_pipeline_spark.operators.dedup import (
+        verified_near_dup_pairs,
+    )
+    from airflow_ml_pipeline_spark.sources.catalog import load_spread
+
+    assign = {
+        r.doc_id: (r.group_id, r.split)
+        for r in corpus_group_split(spark, sf_dir).collect()
+    }
+    n_docs = load_spread(spark, sf_dir, "documents").count()
+    assert len(assign) == n_docs
+    splits = {s for _, s in assign.values()}
+    assert splits == {"train", "val", "test"}
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = verified_near_dup_pairs(docs).collect()
+    assert pairs
+    for p in pairs:
+        assert assign[p.doc_a][1] == assign[p.doc_b][1], (p.doc_a, p.doc_b)
+    for r in near_dup_clusters(spark, sf_dir).collect():
+        assert assign[r.doc_id][0] == r.cluster_id

@@ -44,6 +44,7 @@ NEVER_WITNESSED: set[str] = {
     "stream_store_deletes",
     "stream_pq_delete_ingest",
     "stream_store_compacted",
+    "corpus_group_split",
 }
 
 #: every operator family must have at least one representative with driver

@@ -157,6 +157,7 @@ AUDITED = [
     "doc_dsir_weights",
     "doc_learnability_rho",
     "near_dup_canonical_by_source",
+    "corpus_group_split",
     "near_dup_cross_source_matrix",
     "corpus_curation_funnel",
     "multimodal_dedup_by_digest",

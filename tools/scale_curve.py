@@ -138,6 +138,7 @@ QUERIES = [
     ("doc_dsir_weights", "documents"),
     ("doc_learnability_rho", "documents"),
     ("near_dup_canonical_by_source", "documents"),
+    ("corpus_group_split", "documents"),
     ("near_dup_cross_source_matrix", "documents"),
     ("corpus_curation_funnel", "documents"),
     ("stream_ingest_funnel", "documents"),
