@@ -1034,7 +1034,14 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_ml_pipeline_spark.operators.dedup import verified_near_dup_pairs
 
     docs = load_spread(spark, sf_dir, "documents")
-    pairs = verified_near_dup_pairs(docs).select("doc_a", "doc_b")
+    # eager: both union orientations consume pairs in one job — a lazy
+    # checkpoint would run LSH discovery + exact verification twice
+    # (the near_dup_clusters rule; r15 review finding)
+    pairs = (
+        verified_near_dup_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -71,8 +71,13 @@ def _prune_dead_stages() -> None:
     dead process's staging alive indefinitely, so the sweep is also
     age-gated: any foreign stage untouched for _STAGE_MAX_AGE_S is
     removed regardless of the probe (PID reuse then merely delays
-    cleanup instead of blocking it; the gate comfortably exceeds a
-    driver round's wall-clock so no live session is swept)."""
+    cleanup instead of blocking it). Sweeping an old stage whose owner
+    IS still alive is safe (r15 review): every consumer —
+    ``engineered_customer_features`` and the driver's oracle read that
+    follows it — REWRITES the stage (mode("overwrite")) before reading,
+    so a swept dir is recreated at the owner's next use and the only
+    dirs that stay deleted are ones nothing has used for
+    _STAGE_MAX_AGE_S."""
     import glob
     import re
     import shutil

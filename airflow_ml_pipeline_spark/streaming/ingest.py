@@ -1973,7 +1973,86 @@ def stream_pq_encode_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: delete batches interleaved at 1 and 3 — so the staged stream exercises
 #: delete-after-add, add-after-delete (re-entry), and delete-of-dead-fp.
 DEL_N_BATCHES = 6
-DEL_ADD_BATCH = {0: 0, 1: 2, 2: 4, 3: 5}  # doc_id % 4 -> add batch
+DEL_ADD_BATCH = {0: 0, 1: 2, 2: 4, 3: 5}  # doc_id % 4 / vec quarter -> add batch
+
+#: the two delete rules and the add-batch CASE, as SQL fragments valid in
+#: BOTH engines — the single source of truth the stagers, the post-run
+#: asserts, and the oracles all read (r15 review: the schedule was
+#: independently hard-coded in four places while these constants went
+#: unread)
+DEL_RULE_B1 = "doc_id % 4 = 0 AND doc_id % 3 = 0"
+DEL_RULE_B3 = "doc_id % 4 <= 1 AND doc_id % 5 = 2"
+DEL_ADD_CASE = (
+    "CASE doc_id % 4 "
+    + " ".join(f"WHEN {m} THEN {b}" for m, b in sorted(DEL_ADD_BATCH.items())[:-1])
+    + f" ELSE {DEL_ADD_BATCH[max(DEL_ADD_BATCH)]} END"
+)
+
+
+def _stage_single_file_batches(arrivals: str, batches) -> str:
+    """Write each frame in ``batches`` as ONE parquet file
+    ``batch-i.parquet`` with strictly increasing mtimes AND sorted
+    names, so the file source's (mtime, path) ordering replays them as
+    micro-batches 0..N-1 deterministically (idempotent: the ``_staged``
+    marker short-circuits). The shared staging loop of the delete
+    ingesters (r15 review: previously duplicated per stager)."""
+    import glob
+    import time
+
+    marker = os.path.join(arrivals, "_staged")
+    if os.path.exists(marker):
+        return arrivals
+    tmp = f"{arrivals}.build.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(tmp, f"part{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(tmp, f"batch-{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = time.time() + i
+        os.utime(dst, (t, t))
+    try:
+        os.rename(tmp, arrivals)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return arrivals
+
+
+def _latest_events(store_df: DataFrame, key: str, payload: list[str]) -> DataFrame:
+    """Per-key MAX-RANK event of a tombstone event log: rank =
+    batch_id * 2 + is-delete — later batches outrank earlier ones, a
+    delete outranks an add within the same batch. Returns (key, op,
+    *payload, b). THE single definition of event precedence (r15
+    review: the fold was previously hand-built in three places, so a
+    rank-rule change could silently break the compaction
+    reads-unchanged invariant). One key-keyed aggregate over
+    key-cardinality rows."""
+    rank = F.col("batch_id").cast("int") * 2 + (
+        F.col("op") == "del"
+    ).cast("int")
+    m = (
+        store_df.select(
+            key,
+            F.struct(
+                rank.alias("rk"),
+                F.col("op").alias("op"),
+                *[F.col(c).alias(c) for c in payload],
+                F.col("batch_id").cast("int").alias("b"),
+            ).alias("s"),
+        )
+        .groupBy(key)
+        .agg(F.max("s").alias("m"))
+    )
+    return m.select(
+        key,
+        F.col("m.op").alias("op"),
+        *[F.col(f"m.{c}").alias(c) for c in payload],
+        F.col("m.b").alias("b"),
+    )
 
 
 def delete_ingest_dirs(sf_dir: str) -> tuple[str, str, str]:
@@ -2001,45 +2080,25 @@ def stage_delete_batches(spark: SparkSession, sf_dir: str) -> str:
     the requester's doc_id only as provenance. mtime+name ordering makes
     file i micro-batch i, the property the oracle's batch arithmetic
     states."""
-    import glob
-    import time
-
     arrivals, _, _ = delete_ingest_dirs(sf_dir)
-    marker = os.path.join(arrivals, "_staged")
-    if os.path.exists(marker):
-        return arrivals
     docs = load_table(spark, sf_dir, "documents")
     mod = F.col("doc_id") % 4
-    batches = [
-        docs.filter(mod == 0).select("doc_id", "text", F.lit("add").alias("op")),
-        docs.filter((mod == 0) & (F.col("doc_id") % 3 == 0)).select(
-            "doc_id", "text", F.lit("del").alias("op")
-        ),
-        docs.filter(mod == 1).select("doc_id", "text", F.lit("add").alias("op")),
-        docs.filter((mod <= 1) & (F.col("doc_id") % 5 == 2)).select(
-            "doc_id", "text", F.lit("del").alias("op")
-        ),
-        docs.filter(mod == 2).select("doc_id", "text", F.lit("add").alias("op")),
-        docs.filter(mod == 3).select("doc_id", "text", F.lit("add").alias("op")),
-    ]
-    tmp = f"{arrivals}.build.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    for i, b in enumerate(batches):
-        part_dir = os.path.join(tmp, f"part{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = os.path.join(tmp, f"batch-{i}.parquet")
-        os.rename(src, dst)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        t = time.time() + i
-        os.utime(dst, (t, t))
-    try:
-        os.rename(tmp, arrivals)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return arrivals
+    slots = {
+        b: docs.filter(mod == m).select(
+            "doc_id", "text", F.lit("add").alias("op")
+        )
+        for m, b in DEL_ADD_BATCH.items()
+    }
+    slots[1] = docs.filter(F.expr(DEL_RULE_B1)).select(
+        "doc_id", "text", F.lit("del").alias("op")
+    )
+    slots[3] = docs.filter(F.expr(DEL_RULE_B3)).select(
+        "doc_id", "text", F.lit("del").alias("op")
+    )
+    assert sorted(slots) == list(range(DEL_N_BATCHES))
+    return _stage_single_file_batches(
+        arrivals, [slots[i] for i in range(DEL_N_BATCHES)]
+    )
 
 
 def _live_fps(store_df: DataFrame) -> DataFrame:
@@ -2049,26 +2108,9 @@ def _live_fps(store_df: DataFrame) -> DataFrame:
     batch. Returns (fp, doc_id, added_in_batch) for live fingerprints
     only. One fp-keyed aggregate over fingerprint-sized rows — the same
     shuffle class as the store build itself."""
-    rank = F.col("batch_id").cast("int") * 2 + (
-        F.col("op") == "del"
-    ).cast("int")
-    m = (
-        store_df.select(
-            "fp",
-            F.struct(
-                rank.alias("rk"),
-                F.col("op").alias("op"),
-                F.col("doc_id").alias("doc_id"),
-                F.col("batch_id").cast("int").alias("b"),
-            ).alias("s"),
-        )
-        .groupBy("fp")
-        .agg(F.max("s").alias("m"))
-    )
-    return m.filter(F.col("m.op") == "add").select(
-        "fp",
-        F.col("m.doc_id").alias("doc_id"),
-        F.col("m.b").alias("added_in_batch"),
+    ev = _latest_events(store_df, "fp", ["doc_id"])
+    return ev.filter(F.col("op") == "add").select(
+        "fp", "doc_id", F.col("b").alias("added_in_batch")
     )
 
 
@@ -2136,12 +2178,11 @@ def run_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
         .start()
     )
     q.awaitTermination()
-    batch_case = "CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5 END"
     bad = (
         spark.read.parquet(store)
         .filter(
             (F.col("op") == "add")
-            & (F.expr(batch_case) != F.col("batch_id").cast("int"))
+            & (F.expr(DEL_ADD_CASE) != F.col("batch_id").cast("int"))
         )
         .count()
     )
@@ -2152,20 +2193,22 @@ def run_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
     return store
 
 
-def _delete_ingest_oracle() -> str:
-    return """
-    WITH d AS (
+def _sql_del_schedule_ctes() -> str:
+    """The delete schedule's closed form as shared DuckDB CTEs ending in
+    ``cand`` (fp x live-add-batch with its winner doc_id) and
+    ``first_live`` — the common front half of the deletes and compaction
+    oracles (r15 review: previously duplicated)."""
+    return f"""d AS (
         SELECT doc_id, md5(text) AS fp,
-               CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
-                    WHEN 2 THEN 4 ELSE 5 END AS ab
+               {DEL_ADD_CASE} AS ab
         FROM documents
     ),
     dels AS (
         SELECT md5(text) AS fp, 1 AS db FROM documents
-        WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+        WHERE {DEL_RULE_B1}
         UNION ALL
         SELECT md5(text) AS fp, 3 AS db FROM documents
-        WHERE doc_id % 4 <= 1 AND doc_id % 5 = 2
+        WHERE {DEL_RULE_B3}
     ),
     lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels GROUP BY fp),
     cand AS (
@@ -2174,7 +2217,12 @@ def _delete_ingest_oracle() -> str:
         WHERE d.ab > COALESCE(l.dmax, -1)
         GROUP BY d.fp, d.ab
     ),
-    first_live AS (SELECT fp, MIN(ab) AS ab FROM cand GROUP BY fp)
+    first_live AS (SELECT fp, MIN(ab) AS ab FROM cand GROUP BY fp)"""
+
+
+def _delete_ingest_oracle() -> str:
+    return f"""
+    WITH {_sql_del_schedule_ctes()}
     SELECT c.fp, c.doc_id, CAST(c.ab AS INTEGER) AS added_in_batch
     FROM cand c JOIN first_live f ON f.fp = c.fp AND f.ab = c.ab
     """
@@ -2252,9 +2300,6 @@ def stage_pq_delete_batches(spark: SparkSession, sf_dir: str) -> str:
     micro-batch i. Delete events carry only the key (label/embedding
     NULL): a deletion request references the indexed vector, not its
     payload."""
-    import glob
-    import time
-
     arrivals, _, _ = pqd_ingest_dirs(sf_dir)
     marker = os.path.join(arrivals, "_staged")
     if os.path.exists(marker):
@@ -2278,36 +2323,21 @@ def stage_pq_delete_batches(spark: SparkSession, sf_dir: str) -> str:
         F.lit(None).cast(emb.schema["label"].dataType).alias("label"),
         F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
     ]
-    batches = [
-        emb.filter(q == 0).select("*", F.lit("add").alias("op")),
-        emb.filter((q == 0) & (F.col("vec_id") % 3 == 0)).select(
-            "vec_id", *nulls, F.lit("del").alias("op")
-        ),
-        emb.filter(q == 1).select("*", F.lit("add").alias("op")),
-        emb.filter((q <= 1) & (F.col("vec_id") % 5 == 2)).select(
-            "vec_id", *nulls, F.lit("del").alias("op")
-        ),
-        emb.filter(q == 2).select("*", F.lit("add").alias("op")),
-        emb.filter(q == 3).select("*", F.lit("add").alias("op")),
-    ]
-    tmp = f"{arrivals}.build.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    for i, b in enumerate(batches):
-        part_dir = os.path.join(tmp, f"part{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = os.path.join(tmp, f"batch-{i}.parquet")
-        os.rename(src, dst)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        t = time.time() + i
-        os.utime(dst, (t, t))
-    try:
-        os.rename(tmp, arrivals)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return arrivals
+    slots = {
+        b: emb.filter(q == m).select("*", F.lit("add").alias("op"))
+        for m, b in DEL_ADD_BATCH.items()
+    }
+    # the same two rules as the fingerprint schedule, over vec_id/quarter
+    slots[1] = emb.filter((q == 0) & (F.col("vec_id") % 3 == 0)).select(
+        "vec_id", *nulls, F.lit("del").alias("op")
+    )
+    slots[3] = emb.filter((q <= 1) & (F.col("vec_id") % 5 == 2)).select(
+        "vec_id", *nulls, F.lit("del").alias("op")
+    )
+    assert sorted(slots) == list(range(DEL_N_BATCHES))
+    return _stage_single_file_batches(
+        arrivals, [slots[i] for i in range(DEL_N_BATCHES)]
+    )
 
 
 def apply_pq_delete_batch(
@@ -2353,32 +2383,16 @@ def _live_pq_rows(store_df: DataFrame) -> DataFrame:
     """LIVE view of the coded event log: per vec_id the max-rank event
     (rank = batch_id * 2 + is-delete), kept iff it is an add. Returns
     the full index columns plus added_in_batch."""
-    rank = F.col("batch_id").cast("int") * 2 + (
-        F.col("op") == "del"
-    ).cast("int")
-    m = (
-        store_df.select(
-            "vec_id",
-            F.struct(
-                rank.alias("rk"),
-                F.col("op").alias("op"),
-                F.col("label").alias("label"),
-                F.col("cluster_id").alias("cluster_id"),
-                F.col("pq_code").alias("pq_code"),
-                F.col("vnorm").alias("vnorm"),
-                F.col("batch_id").cast("int").alias("b"),
-            ).alias("s"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("m"))
+    ev = _latest_events(
+        store_df, "vec_id", ["label", "cluster_id", "pq_code", "vnorm"]
     )
-    return m.filter(F.col("m.op") == "add").select(
+    return ev.filter(F.col("op") == "add").select(
         "vec_id",
-        F.col("m.label").alias("label"),
-        F.col("m.cluster_id").alias("cluster_id"),
-        F.col("m.pq_code").alias("pq_code"),
-        F.col("m.vnorm").alias("vnorm"),
-        F.col("m.b").alias("added_in_batch"),
+        "label",
+        "cluster_id",
+        "pq_code",
+        "vnorm",
+        F.col("b").alias("added_in_batch"),
     )
 
 
@@ -2407,12 +2421,9 @@ def run_pq_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
     q.awaitTermination()
     n_total = load_table(spark, sf_dir, "embeddings").count()
     quarter = (F.col("vec_id") * PQD_QUARTERS / F.lit(n_total)).cast("int")
-    add_batch = (
-        F.when(quarter == 0, 0)
-        .when(quarter == 1, 2)
-        .when(quarter == 2, 4)
-        .otherwise(5)
-    )
+    add_batch = F.lit(DEL_ADD_BATCH[max(DEL_ADD_BATCH)])
+    for m, b in sorted(DEL_ADD_BATCH.items())[:-1]:
+        add_batch = F.when(quarter == m, b).otherwise(add_batch)
     bad = (
         spark.read.option("basePath", store)
         .parquet(store)
@@ -2434,17 +2445,24 @@ def _pq_delete_oracle() -> str:
     from airflow_ml_pipeline_spark.operators.pq_train import PQ_M
 
     codes = ", ".join(f"c{mi}" for mi in range(PQ_M))
+    q = f"vec_id * {PQD_QUARTERS} // nn.n"
+    add_case = (
+        f"CASE {q} "
+        + " ".join(
+            f"WHEN {m} THEN {b}"
+            for m, b in sorted(DEL_ADD_BATCH.items())[:-1]
+        )
+        + f" ELSE {DEL_ADD_BATCH[max(DEL_ADD_BATCH)]} END"
+    )
     return f"""
     WITH {_sql_pq_coded().lstrip()},
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
     SELECT vec_id, label, cluster_id, {codes},
            round({VNORM_SQL}, 6) AS vnorm,
-           CAST(CASE vec_id * {PQD_QUARTERS} // nn.n
-                WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4
-                ELSE 5 END AS INTEGER) AS added_in_batch
+           CAST({add_case} AS INTEGER) AS added_in_batch
     FROM coded CROSS JOIN nn
-    WHERE NOT ((vec_id * {PQD_QUARTERS} // nn.n = 0 AND vec_id % 3 = 0)
-            OR (vec_id * {PQD_QUARTERS} // nn.n <= 1 AND vec_id % 5 = 2))
+    WHERE NOT (({q} = 0 AND vec_id % 3 = 0)
+            OR ({q} <= 1 AND vec_id % 5 = 2))
     """
 
 
@@ -2494,29 +2512,9 @@ def compact_delete_store(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(compacted, "_compacted")
     if os.path.exists(marker):
         return compacted
-    s = spark.read.parquet(store)
-    rank = F.col("batch_id").cast("int") * 2 + (
-        F.col("op") == "del"
-    ).cast("int")
-    folded = (
-        s.select(
-            "fp",
-            F.struct(
-                rank.alias("rk"),
-                F.col("op").alias("op"),
-                F.col("doc_id").alias("doc_id"),
-                F.col("batch_id").cast("int").alias("b"),
-            ).alias("s"),
-        )
-        .groupBy("fp")
-        .agg(F.max("s").alias("m"))
-        .select(
-            "fp",
-            F.col("m.op").alias("op"),
-            F.col("m.doc_id").alias("doc_id"),
-            F.col("m.b").alias("batch_id"),
-        )
-    )
+    folded = _latest_events(
+        spark.read.parquet(store), "fp", ["doc_id"]
+    ).select("fp", "op", "doc_id", F.col("b").alias("batch_id"))
     tmp = f"{compacted}.build.{os.getpid()}"
     folded.write.mode("overwrite").parquet(tmp)
     try:
@@ -2529,28 +2527,8 @@ def compact_delete_store(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _compacted_oracle() -> str:
-    return """
-    WITH d AS (
-        SELECT doc_id, md5(text) AS fp,
-               CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
-                    WHEN 2 THEN 4 ELSE 5 END AS ab
-        FROM documents
-    ),
-    dels AS (
-        SELECT md5(text) AS fp, 1 AS db FROM documents
-        WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
-        UNION ALL
-        SELECT md5(text) AS fp, 3 AS db FROM documents
-        WHERE doc_id % 4 <= 1 AND doc_id % 5 = 2
-    ),
-    lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels GROUP BY fp),
-    cand AS (
-        SELECT d.fp, d.ab, MIN(d.doc_id) AS doc_id
-        FROM d LEFT JOIN lastdel l ON l.fp = d.fp
-        WHERE d.ab > COALESCE(l.dmax, -1)
-        GROUP BY d.fp, d.ab
-    ),
-    first_live AS (SELECT fp, MIN(ab) AS ab FROM cand GROUP BY fp),
+    return f"""
+    WITH {_sql_del_schedule_ctes()},
     live AS (
         SELECT c.fp, 'add' AS op, c.doc_id,
                CAST(c.ab AS INTEGER) AS batch_id

@@ -87,9 +87,14 @@ def test_covariance_gram_pass_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    first_agg = plan.find("HashAggregate")
+    # partial/final pair: a HashAggregate must ALSO appear after the
+    # first Exchange in the printed tree (the map-side partial below the
+    # shuffle) — the final-aggregate-before-its-exchange ordering alone
+    # holds for any shuffle aggregate (r15 review: the earlier
+    # first_agg < first_ex assert was vacuous)
     first_ex = plan.find("Exchange")
-    assert 0 <= first_agg < first_ex, plan
+    assert first_ex >= 0, plan
+    assert plan.find("HashAggregate", first_ex) != -1, plan
 
 
 def test_broadcast_eval_decontamination(spark, sf_dir):
