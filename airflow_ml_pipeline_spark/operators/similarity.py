@@ -1055,31 +1055,53 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-dim sums are a second 64-key pass over the pruned
     ``embedding`` column, broadcast back into the pair frame."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pair_expr = (
-        "explode(flatten(transform(sequence(1, 64), i -> "
-        "transform(sequence(i, 64), j -> "
-        "struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, "
-        "CAST(embedding[i-1] AS DOUBLE) * CAST(embedding[j-1] AS DOUBLE)"
-        " AS p)))))"
+    # cast the vector to doubles ONCE per row (the attribute is
+    # referenced twice inside the product lambda, so the projection
+    # survives CollapseProject as its own stage — the HOF-no-CSE rule);
+    # the explode then carries BARE doubles, not per-element structs
+    # with two casts each (r15: structs + 8320 casts/row made this the
+    # suite's slowest query at 12.6 s; flat doubles + a broadcast
+    # position->pair mapping run it in ~3 s at sf0.1)
+    # spread the rows before the 2080-way explode: the committed corpora
+    # arrive as ONE parquet file, so without this every interpreted
+    # product lambda runs in a single task (~10 s at sf0.1; ~1 s
+    # spread). Round-robin is safe — the decimal sums are
+    # order-independent by construction. At 100 TB the scan is already
+    # many-partitioned and this is a no-op-sized shuffle of slim rows.
+    v = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism).select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    dim_expr = (
-        "explode(transform(sequence(1, 64), i -> "
-        "struct(CAST(i AS INT) AS dim, CAST(embedding[i-1] AS DOUBLE)"
-        " AS x)))"
+    prods = v.select(
+        F.posexplode(
+            F.expr(
+                "flatten(transform(sequence(1, 64), i -> "
+                "transform(sequence(i, 64), j -> v[i-1] * v[j-1])))"
+            )
+        ).alias("pos", "p")
+    )
+    # pos -> (dim_i, dim_j): row-major upper triangle, built driver-side
+    # as a 2080-row broadcast table (bounded by dimension, never data)
+    mapping = spark.createDataFrame(
+        [
+            (pos, i, j)
+            for pos, (i, j) in enumerate(
+                (i, j) for i in range(1, 65) for j in range(i, 65)
+            )
+        ],
+        "pos int, dim_i int, dim_j int",
     )
     psums = (
-        emb.select(F.expr(pair_expr).alias("c"))
-        .select("c.dim_i", "c.dim_j", "c.p")
-        .groupBy("dim_i", "dim_j")
+        prods.groupBy("pos")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
             dsum(F.col("p")).alias("sum_xy"),
         )
+        .join(F.broadcast(mapping), "pos")
+        .drop("pos")
     )
     dsums = (
-        emb.select(F.expr(dim_expr).alias("c"))
-        .select("c.dim", "c.x")
-        .groupBy("dim")
+        v.select(F.posexplode("v").alias("pos0", "x"))
+        .groupBy((F.col("pos0") + 1).cast("int").alias("dim"))
         .agg(dsum(F.col("x")).alias("s"))
     )
     sa = dsums.select(F.col("dim").alias("dim_i"), F.col("s").alias("sum_x"))
