@@ -1134,7 +1134,12 @@ PCA_K = 8  # leading components reported by the variance profile
 @query("embedding_pca_variance")  # rows-only: ONLY the driver-side eigen
 # solve remains unoracled — its d x d input is the value-hash-checked
 # `embedding_covariance_matrix` lattice (r14 ask #2); numpy full-data
-# parity + the trace identity are asserted in tests/test_similarity.py
+# parity + the trace identity are asserted in tests/test_similarity.py.
+# An unrolled fixed-iteration power-method oracle was evaluated and
+# rejected (r15): the corpus spectrum is near-degenerate (adjacent
+# relative eigengaps 0.5-2% at every committed SF), so no
+# SQL-restatable iteration count converges the per-component values —
+# the eigen solve genuinely requires the driver-side symmetric solver.
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA explained-variance profile of the embedding space — the
     dimensionality-reduction decision query (how many components carry
