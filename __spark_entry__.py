@@ -83,6 +83,7 @@ CHECK_PRIORITY = [
     "stream_pq_delete_ingest",
     "stream_store_compacted",
     "corpus_group_split",
+    "stream_store_asof",
     # -- latest driver row: round 10 (46 names) --
     "cube_revenue",
     "custkeys_both_statuses",

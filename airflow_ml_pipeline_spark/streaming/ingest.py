@@ -2193,15 +2193,19 @@ def run_delete_ingest(spark: SparkSession, sf_dir: str) -> str:
     return store
 
 
-def _sql_del_schedule_ctes() -> str:
+def _sql_del_schedule_ctes(asof: int | None = None) -> str:
     """The delete schedule's closed form as shared DuckDB CTEs ending in
     ``cand`` (fp x live-add-batch with its winner doc_id) and
-    ``first_live`` — the common front half of the deletes and compaction
-    oracles (r15 review: previously duplicated)."""
+    ``first_live`` — the common front half of the deletes, compaction,
+    and as-of oracles (r15 review: previously duplicated). ``asof``
+    restricts the event log to batches <= asof (time travel): adds and
+    deletes after the cutoff simply don't exist yet."""
+    add_cut = f"\n        WHERE {DEL_ADD_CASE} <= {asof}" if asof is not None else ""
+    del_cut = f" WHERE db <= {asof}" if asof is not None else ""
     return f"""d AS (
         SELECT doc_id, md5(text) AS fp,
                {DEL_ADD_CASE} AS ab
-        FROM documents
+        FROM documents{add_cut}
     ),
     dels AS (
         SELECT md5(text) AS fp, 1 AS db FROM documents
@@ -2210,7 +2214,7 @@ def _sql_del_schedule_ctes() -> str:
         SELECT md5(text) AS fp, 3 AS db FROM documents
         WHERE {DEL_RULE_B3}
     ),
-    lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels GROUP BY fp),
+    lastdel AS (SELECT fp, MAX(db) AS dmax FROM dels{del_cut} GROUP BY fp),
     cand AS (
         SELECT d.fp, d.ab, MIN(d.doc_id) AS doc_id
         FROM d LEFT JOIN lastdel l ON l.fp = d.fp
@@ -2562,3 +2566,42 @@ def stream_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "fp", "op", "doc_id", F.col("batch_id").cast("int").alias("batch_id")
     )
+
+
+#: time-travel cutoff exercised by the declared as-of query: batch 3 is
+#: the moment after BOTH delete waves but before the re-entry adds of
+#: batches 4/5 — the view where tombstones are maximally visible and
+#: provably different from the final state.
+ASOF_BATCH = 3
+
+
+@query(
+    "stream_store_asof",
+    oracle=f"""
+    WITH {_sql_del_schedule_ctes(asof=ASOF_BATCH)}
+    SELECT c.fp, c.doc_id, CAST(c.ab AS INTEGER) AS added_in_batch
+    FROM cand c JOIN first_live f ON f.fp = c.fp AND f.ab = c.ab
+    """,
+)
+def stream_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read of the fingerprint event log: the live view AS
+    OF batch {ASOF_BATCH} — simply the per-key max-rank fold over the
+    log restricted to batches <= the cutoff, which is what makes the
+    event-log layout auditable: any historical state (what was live
+    when a training run was cut? what had the GDPR sweep removed by
+    batch k?) is reconstructible from the same store with one filter,
+    no snapshots kept. Batch {ASOF_BATCH} sits after both delete waves
+    and before the re-entry adds, so this view provably differs from
+    the final state (tests pin the relationship: as-of live is the
+    final live minus later re-entries/additions, plus nothing).
+
+    Scale: identical shape to the live read — the batch_id filter
+    prunes partitions of the batch-partitioned log before the one
+    key-keyed aggregate; compaction does not break time travel as long
+    as compacted segments record their max folded batch (here the raw
+    log is retained alongside the compacted store)."""
+    store = run_delete_ingest(spark, sf_dir)
+    log = spark.read.parquet(store).filter(
+        F.col("batch_id").cast("int") <= ASOF_BATCH
+    )
+    return _live_fps(log)

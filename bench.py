@@ -203,6 +203,7 @@ HEADLINE = [
     "stream_store_deletes",
     "stream_pq_delete_ingest",
     "stream_store_compacted",
+    "stream_store_asof",
     "source_mixture_reweighted",
     "corpus_doremi_mix_fill",
     "corpus_curriculum_schedule",

@@ -45,6 +45,7 @@ NEVER_WITNESSED: set[str] = {
     "stream_pq_delete_ingest",
     "stream_store_compacted",
     "corpus_group_split",
+    "stream_store_asof",
 }
 
 #: every operator family must have at least one representative with driver

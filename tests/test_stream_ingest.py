@@ -268,3 +268,43 @@ def test_compacted_store_preserves_reads(spark, sf_dir):
     dead = comp.filter(F.col("op") == "del")
     assert dead.count() > 0
     assert dead.filter(F.col("doc_id").isNotNull()).count() == 0
+
+
+def test_asof_view_relates_to_final_state(spark, sf_dir):
+    """Time travel semantics: the as-of-batch-3 view equals the fold
+    over the log restricted to batches <= 3; every fp deleted at batch
+    <= 3 and not re-added by then is absent; and the final view differs
+    from the as-of view exactly by later batches' effects (re-entries
+    and new adds — nothing live as-of 3 with no later event changes)."""
+    store = ingest.run_delete_ingest(spark, sf_dir)
+    log = spark.read.parquet(store)
+    asof = {
+        r.fp: (r.doc_id, r.added_in_batch)
+        for r in ingest.stream_store_asof(spark, sf_dir).collect()
+    }
+    manual = {
+        r.fp: (r.doc_id, r.added_in_batch)
+        for r in ingest._live_fps(
+            log.filter(F.col("batch_id").cast("int") <= ingest.ASOF_BATCH)
+        ).collect()
+    }
+    assert asof == manual
+    final = {
+        r.fp: (r.doc_id, r.added_in_batch)
+        for r in ingest._live_fps(log).collect()
+    }
+    later = {
+        r.fp
+        for r in log.filter(
+            F.col("batch_id").cast("int") > ingest.ASOF_BATCH
+        ).collect()
+    }
+    # a key with no event after the cutoff keeps its as-of state
+    for fp, st in asof.items():
+        if fp not in later:
+            assert final.get(fp) == st, fp
+    for fp, st in final.items():
+        if fp not in later:
+            assert asof.get(fp) == st, fp
+    # the views genuinely differ (batches 4/5 add new content)
+    assert asof != final

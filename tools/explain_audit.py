@@ -136,6 +136,7 @@ AUDITED = [
     "stream_store_deletes",
     "stream_pq_delete_ingest",
     "stream_store_compacted",
+    "stream_store_asof",
     # round-11 additions
     "source_boilerplate_ngrams",
     "source_boilerplate_scrubbed",

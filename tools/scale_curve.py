@@ -106,6 +106,7 @@ QUERIES = [
     ("stream_store_deletes", "documents"),
     ("stream_pq_delete_ingest", "embeddings"),
     ("stream_store_compacted", "documents"),
+    ("stream_store_asof", "documents"),
     ("quality_rule_breakdown", "documents"),
     ("events_dau_wau", "events"),
     ("near_dup_cluster_size_histogram", "documents"),
