@@ -84,6 +84,7 @@ CHECK_PRIORITY = [
     "stream_store_compacted",
     "corpus_group_split",
     "stream_store_asof",
+    "ann_ivfpq_batch_topk",
     # -- latest driver row: round 10 (46 names) --
     "cube_revenue",
     "custkeys_both_statuses",

@@ -1359,3 +1359,193 @@ def pq_index_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vnorm"), 6).alias("vnorm"),
         "reencoded",
     )
+
+
+# ---------------------------------------------------------------------------
+# BATCHED ANN: the ANN-JOIN form of the IVF-PQ probe — top-k for a SET of
+# query vectors in ONE pass over the coded store. This is how retrieval
+# actually runs at 100 TB (decontamination sweeps, hard-negative mining,
+# recommendation candidate generation): per-query scans don't amortize the
+# store read, so the probe plans are collapsed into one broadcast table
+# keyed by (query, probed cell) and the store is scanned once, each
+# candidate scored against exactly the queries probing its cell.
+# ---------------------------------------------------------------------------
+
+
+def _sql_ann_ivfpq_batch() -> str:
+    """DuckDB twin of the batched probe: the single-query ``q`` CTE
+    generalized to ANCHOR_K rows (the md5-smallest vec_ids — the
+    ``embedding_hard_negatives`` anchor convention), every LUT chain the
+    same left-associative sequence as the driver-side Python doubles,
+    the per-query probe a row_number window over the identical ranking,
+    and the ADC score/rounding identical to ``_sql_ann_ivfpq`` — so the
+    whole batch plan (which queries, which cells, which top-k) is
+    value-hash-pinned."""
+    from airflow_ml_pipeline_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        IVF_CENTROID_N2,
+        IVF_K,
+    )
+    from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
+    from airflow_ml_pipeline_spark.operators.similarity import ANCHOR_K
+
+    qnorm = (
+        "sqrt("
+        + " + ".join(f"qvec[{i + 1}] * qvec[{i + 1}]" for i in range(64))
+        + ")"
+    )
+    lut_cols = [f"({qnorm}) AS qn"]
+    for j, c in enumerate(IVF_CENTROIDS):
+        dchain = " + ".join(
+            f"qvec[{i + 1}] * {float(v)!r}" for i, v in enumerate(c)
+        )
+        lut_cols.append(f"({dchain}) AS l0_{j}")
+    for mi in range(PQ_M):
+        off = mi * PQ_SUBDIM
+        for k, cw in enumerate(PQ_CODEBOOKS[mi]):
+            dchain = " + ".join(
+                f"qvec[{off + d1 + 1}] * {float(v)!r}"
+                for d1, v in enumerate(cw)
+            )
+            lut_cols.append(f"({dchain}) AS lm{mi}_{k}")
+    probes = []
+    for j in range(IVF_K):
+        cn = float(math.sqrt(IVF_CENTROID_N2[j]))
+        probes.append(
+            f"SELECT q_id, {j} AS j, l0_{j} / (qn * {cn!r}) AS cos,"
+            f" l0_{j} AS base FROM q"
+        )
+    terms = ["p.base"]
+    for mi in range(PQ_M):
+        terms.append(
+            "(CASE c"
+            + str(mi)
+            + " "
+            + " ".join(f"WHEN {k} THEN q.lm{mi}_{k}" for k in range(PQ_K))
+            + " END)"
+        )
+    adc = " + ".join(terms)
+    sep = ",\n               "
+    coded = _sql_pq_coded(materialized=True).lstrip()
+    return f"""
+    WITH a AS MATERIALIZED (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {ANCHOR_K}
+    ),
+    q AS MATERIALIZED (
+        SELECT q_id, {sep.join(lut_cols)}
+        FROM a
+    ),
+    cent_cos AS ({" UNION ALL ".join(probes)}),
+    probe AS (
+        SELECT q_id, j, base FROM (
+            SELECT q_id, j, base,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, j) AS rn
+            FROM cent_cos)
+        WHERE rn <= {IVF_NPROBE}
+    ),
+    {coded},
+    scored AS (
+        SELECT p.q_id, c.vec_id, c.label,
+               round(({adc}) / (q.qn * {VNORM_SQL}), 6) AS adc_cos
+        FROM coded c
+        JOIN probe p ON p.j = c.cluster_id
+        JOIN q ON q.q_id = p.q_id
+    )
+    SELECT q_id, vec_id, label, adc_cos, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_cos DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("ann_ivfpq_batch_topk", oracle=_sql_ann_ivfpq_batch())
+def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ ANN: ADC top-k for EACH of the ANCHOR_K
+    deterministic query vectors (md5-smallest vec_ids — the
+    ``embedding_hard_negatives`` anchor convention) in ONE scan of the
+    coded store. The per-query probe plans collapse into a broadcast
+    (query, probed-cell) table carrying the coarse IP term and the
+    query's full codeword LUT; the store joins it on cluster_id, so
+    each candidate is scored against exactly the queries probing its
+    cell — the ANN-JOIN shape that amortizes the store read across the
+    whole query batch (per-query scans cost K passes; this costs one).
+
+    ORACLE-CHECKED end-to-end: anchor choice, every LUT double (the
+    driver computes them as the same left-associative chains the
+    oracle's 24-row q CTE evaluates), each query's probe set, the ADC
+    scores, and the per-query (adc_cos DESC, vec_id) top-k are all
+    value-hash-pinned — the batch generalization of the green
+    single-query contract. tests/test_pq.py pins per-anchor agreement
+    with the single-query probe.
+
+    Scale: the broadcast table is ANCHOR_K x IVF_NPROBE rows (bounded
+    by the query batch, never the corpus); the scan side touches only
+    probed cells' partitions; the only data-sized movement is the
+    per-query top-k shuffle of candidate rows keyed by q_id — the
+    irreducible cost of answering the batch."""
+    from pyspark.sql.window import Window
+
+    from airflow_ml_pipeline_spark.operators.similarity import ANCHOR_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(ANCHOR_K)
+        .collect()
+    )
+    rows = []
+    for r in anchors:
+        qvec = [float(x) for x in r.embedding]
+        lut0, lut, qn = _adc_luts(qvec)
+        for cell in _ivf_probe_lists(qvec):
+            rows.append(
+                (
+                    int(r.vec_id),
+                    int(cell),
+                    float(lut0[cell]),
+                    [[float(v) for v in row] for row in lut],
+                    float(qn),
+                )
+            )
+    ptable = spark.createDataFrame(
+        rows,
+        "q_id bigint, cluster_id int, base double,"
+        " lut array<array<double>>, qn double",
+    )
+    indexed = pq_index(emb)
+    terms = " + ".join(
+        ["base"]
+        + [
+            f"element_at(element_at(lut, {mi + 1}),"
+            f" element_at(pq_code, {mi + 1}) + 1)"
+            for mi in range(PQ_M)
+        ]
+    )
+    scored = indexed.join(F.broadcast(ptable), "cluster_id").select(
+        "q_id",
+        "vec_id",
+        "label",
+        F.round(F.expr(terms) / (F.col("qn") * F.col("vnorm")), 6).alias(
+            "adc_cos"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_cos"), F.asc("vec_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "adc_cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -185,6 +185,7 @@ HEADLINE = [
     "pq_cell_stats",
     "pq_rebalance_plan",
     "pq_index_rebalanced",
+    "ann_ivfpq_batch_topk",
     "embedding_near_dup_pairs",
     "embedding_decontamination",
     "label_centroids",

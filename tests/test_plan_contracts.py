@@ -97,6 +97,17 @@ def test_covariance_gram_pass_shape(spark, sf_dir):
     assert plan.find("HashAggregate", first_ex) != -1, plan
 
 
+def test_batch_ann_probe_broadcasts_the_plan_table(spark, sf_dir):
+    """The batched ANN join must stream the coded store past a
+    BROADCAST (query x probed-cell) plan table — a shuffle join here
+    would move the whole store to serve a bounded query batch — and
+    nothing may plan a cartesian."""
+    plan = _plan(registry.QUERIES["ann_ivfpq_batch_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_broadcast_eval_decontamination(spark, sf_dir):
     """Both decontamination ops stream the corpus past a BROADCAST eval
     side; a shuffle join here would move the 100 TB side."""

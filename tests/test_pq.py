@@ -424,3 +424,40 @@ def test_rebalance_rewrites_only_flagged_partitions(spark, sf_dir):
         "an even (untouched) cell's files were rewritten by the apply "
         f"step: newest_even={newest_even}, oldest_odd={oldest_odd}"
     )
+
+
+def test_batch_probe_agrees_with_single_query_probe(spark, sf_dir):
+    """The batch ANN join must reproduce the single-query probe
+    per anchor: for each anchor, running `_adc_probe_topk` with that
+    anchor's own LUTs and probe set returns the same (vec_id, adc_cos)
+    top-k the batch result holds under its q_id; ranks are 1..TOP_K."""
+    from airflow_ml_pipeline_spark.operators.similarity import (
+        ANCHOR_K,
+        TOP_K,
+        _ivf_probe_lists,
+    )
+
+    batch = {}
+    for r in pq.ann_ivfpq_batch_topk(spark, sf_dir).collect():
+        batch.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.adc_cos))
+    assert len(batch) == ANCHOR_K
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = pq.pq_index(emb)
+    anchors = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(ANCHOR_K)
+        .collect()
+    )
+    # spot-check 5 anchors (each single-query probe is a full job)
+    for r in anchors[:5]:
+        qvec = [float(x) for x in r.embedding]
+        lut0, lut, qn = pq._adc_luts(qvec)
+        single = pq._adc_probe_topk(
+            indexed, _ivf_probe_lists(qvec), lut0, lut, qn
+        ).collect()
+        got = sorted(batch[r.vec_id])
+        assert [g[0] for g in got] == list(range(1, TOP_K + 1))
+        assert [(g[1], g[2]) for g in got] == [
+            (s.vec_id, s.adc_cos) for s in single
+        ], r.vec_id

@@ -46,6 +46,7 @@ NEVER_WITNESSED: set[str] = {
     "stream_store_compacted",
     "corpus_group_split",
     "stream_store_asof",
+    "ann_ivfpq_batch_topk",
 }
 
 #: every operator family must have at least one representative with driver

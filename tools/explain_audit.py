@@ -151,6 +151,7 @@ AUDITED = [
     "pq_cell_stats",
     "pq_rebalance_plan",
     "pq_index_rebalanced",
+    "ann_ivfpq_batch_topk",
     "ann_ivfpq_adaptive_topk",
     "engineered_customer_features",
     "unigram_lm_segmented",

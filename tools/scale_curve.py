@@ -175,6 +175,7 @@ QUERIES = [
     ("pq_cell_stats", "embeddings"),
     ("pq_rebalance_plan", "embeddings"),
     ("pq_index_rebalanced", "embeddings"),
+    ("ann_ivfpq_batch_topk", "embeddings"),
     ("ann_ivfpq_adaptive_topk", "embeddings"),
     ("label_centroids", "embeddings"),
     ("dedup_exact", "documents"),
