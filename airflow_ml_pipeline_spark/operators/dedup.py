@@ -721,7 +721,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic and Spark's seed-chaining). The window-min algebra is
     value-verified end-to-end by ``doc_winnowing_md5`` (identical kernel,
     md5-derived hashes); this entry keeps the integer fast path."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     fp = winnowing_fingerprints(docs)
     return fp.select(
         "doc_id",
@@ -1309,7 +1309,7 @@ def doc_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     k, w = WINNOW_K, WINNOW_W
     n_hashes = F.greatest(F.length("text") - k + 1, F.lit(1))
     grams = docs.select(
@@ -1461,7 +1461,7 @@ def doc_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote). md5 basis = the oracle-checkable twin (same pattern as
     ``doc_winnowing_md5``); swap the hash lambda for xxhash64 to get the
     8-byte production fast path."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     # EAGER materialization of the winnowed postings: four consumers read
     # this frame (the df filter, the sizes agg, and both sides of the pair
     # join), and the explode+window lineage would otherwise re-run per
@@ -1610,7 +1610,7 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     production swaps in xxhash64 (8-byte, ~4x faster) exactly as the
     winnowing/simhash twins do."""
     return dup_span_coverage(
-        load_spread(spark, sf_dir, "documents"),
+        load_spread(spark, sf_dir, "documents", by="doc_id"),
         load_table(spark, sf_dir, "documents"),
     )
 
@@ -1739,7 +1739,7 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the BATCH's posting count times per-fp document frequency,
     which the stop-fp cutoff caps; history-sized work never happens per
     increment."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     hist = docs.filter(F.col("doc_id") % 10 < 8)
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
     # the "store": winnowed postings of the historical corpus + its df
@@ -1847,7 +1847,7 @@ def doc_dup_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized postings artifact for both, as documented on the
     coverage query."""
     return dup_span_scrub(
-        load_spread(spark, sf_dir, "documents"),
+        load_spread(spark, sf_dir, "documents", by="doc_id"),
         load_table(spark, sf_dir, "documents"),
     )
 

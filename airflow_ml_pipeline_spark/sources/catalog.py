@@ -71,9 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """``load_table`` + round-robin repartition to the session's default
-    parallelism — for COMPUTE-bound lineages over byte-small tables.
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, by: str | None = None
+) -> DataFrame:
+    """``load_table`` + repartition to the session's default parallelism —
+    for COMPUTE-bound lineages over byte-small tables.
 
     A small parquet table arrives as one scan partition (one file, one row
     group), so expensive per-row work that precedes the first shuffle —
@@ -83,9 +85,23 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     input bytes. The repartition is a tiny exchange here; on a real cluster
     where the table already arrives in many splits it degenerates to a
     rebalance and the downstream plan is unchanged.
+
+    ``by``: hash-partition on that column instead of round-robin. When the
+    downstream lineage explodes rows and then windows/aggregates BY THAT
+    KEY (winnowing postings, span grams), the key partitioning survives
+    the Generate, EnsureRequirements sees ClusteredDistribution(key)
+    already satisfied, and the exploded postings never cross the network —
+    the shuffle moves the documents (bytes of text) instead of the
+    postings (tens of bytes PER CHARACTER of text). Same trick as
+    bucketing, without the table rewrite (guide §2.4); hash on a
+    near-unique key spreads as evenly as round-robin and skips the
+    sort-before-repartition pass round-robin pays for retry determinism.
     """
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    n = spark.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(n, F.col(by))
+    return df.repartition(n)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

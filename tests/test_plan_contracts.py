@@ -880,3 +880,39 @@ def test_cell_stats_aggregate_is_partial(spark, sf_dir):
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_postings_never_cross_the_network(spark, sf_dir):
+    """doc_winnowing_md5 (round-15 opt): the docs frame is hash-spread by
+    doc_id BEFORE the per-position explode, so the per-doc window min
+    rides that partitioning — the only Exchange in the plan is the
+    doc-text repartition (REPARTITION_BY_NUM on doc_id); the exploded
+    postings (~one 32-char hash PER CHARACTER of text) must never be
+    re-shuffled (was: a posting-sized ENSURE_REQUIREMENTS exchange,
+    ~25x the text bytes)."""
+    import re as _re
+
+    plan = _plan(registry.QUERIES["doc_winnowing_md5"](spark, sf_dir))
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+
+
+def test_span_gram_postings_stay_doc_local(spark, sf_dir):
+    """dup_span_coverage over doc_id-spread docs (round-15 opt): the
+    gaps-and-islands window and the per-doc distinct reuse the
+    pre-explode doc_id partitioning — no ENSURE_REQUIREMENTS exchange
+    keyed on doc_id alone may appear (the gram-df aggregate still
+    exchanges on the gram hash, carrying map-side partials)."""
+    from airflow_ml_pipeline_spark.operators.dedup import dup_span_coverage
+    from airflow_ml_pipeline_spark.sources.catalog import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
+    plan = _plan(dup_span_coverage(docs))
+    import re as _re
+
+    for m in _re.finditer(
+        r"Arguments: hashpartitioning\(([^)]*)\), ENSURE_REQUIREMENTS", plan
+    ):
+        keys = m.group(1)
+        assert "doc_id" not in keys.split(",")[0] or "h#" in keys, plan

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip the run; parse the existing event log "
+                         "(wall times reported as 0)")
     args = ap.parse_args()
 
     names = list(args.names)
@@ -45,52 +48,82 @@ def main() -> None:
             if n not in names:
                 names.append(n)
 
-    os.makedirs(EVDIR, exist_ok=True)
-    for old in glob.glob(f"{EVDIR}/*"):
-        os.remove(old)
+    walls: dict[str, float] = {name: 0.0 for name in names}
+    if not args.parse_only:
+        os.makedirs(EVDIR, exist_ok=True)
+        import shutil
 
-    from airflow_ml_pipeline_spark.session import get_spark
+        for old in glob.glob(f"{EVDIR}/*"):
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
-    import __spark_entry__ as entrymod
+        from airflow_ml_pipeline_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        "profile",
-        master=f"local[{cpus}]",
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": EVDIR,
-        },
-    )
-    qs = entrymod.queries()
-    unknown = [n for n in names if n not in qs]
-    if unknown:
-        raise SystemExit(f"unknown queries: {unknown}")
+        import __spark_entry__ as entrymod
 
-    from bench import warm_session
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = get_spark(
+            "profile",
+            master=f"local[{cpus}]",
+            extra_conf={
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": EVDIR,
+            },
+        )
+        qs = entrymod.queries()
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
 
-    warm_session(spark, args.sf, qs)
+        from bench import warm_session
 
-    sc = spark.sparkContext
-    walls: dict[str, float] = {}
-    for name in names:
-        sc.setJobDescription(f"profile:{name}")
-        t0 = time.time()
-        qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
-        walls[name] = round(time.time() - t0, 3)
-        sc.setJobDescription(None)
-    spark.stop()
+        warm_session(spark, args.sf, qs)
+
+        sc = spark.sparkContext
+        for name in names:
+            sc.setJobDescription(f"profile:{name}")
+            t0 = time.time()
+            qs[name](spark, args.sf).write.format("noop").mode(
+                "overwrite").save()
+            walls[name] = round(time.time() - t0, 3)
+            sc.setJobDescription(None)
+        spark.stop()
 
     # ---- parse the event log ----
-    (path,) = [p for p in glob.glob(f"{EVDIR}/*") if not p.endswith(".inprogress")] or glob.glob(f"{EVDIR}/*")
+    # Spark 4 rolling layout: a directory eventlog_v2_<app>/ holding
+    # events_<n>_<app> part files (+ appstatus marker); older layouts are
+    # a single file. Collect every part file.
+    roots = glob.glob(f"{EVDIR}/*")
+    parts: list[str] = []
+    for r in roots:
+        if os.path.isdir(r):
+            parts.extend(
+                p for p in sorted(glob.glob(f"{r}/events_*"))
+                if not p.endswith(".inprogress")
+            )
+        elif not r.endswith(".inprogress"):
+            parts.append(r)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     stage_owner: dict[int, str] = {}
     tasks_per_stage: dict[int, int] = {}
     sread: dict[int, int] = {}
     swrite: dict[int, int] = {}
-    with open(path) as f:
-        for line in f:
+    def _lines():
+        import io
+        import subprocess
+
+        for p in parts:
+            if p.endswith(".zstd"):
+                proc = subprocess.Popen(
+                    ["zstd", "-dc", p], stdout=subprocess.PIPE)
+                assert proc.stdout is not None
+                yield from io.TextIOWrapper(proc.stdout)
+                proc.wait()
+            else:
+                with open(p) as f:
+                    yield from f
+
+    for line in _lines():
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
