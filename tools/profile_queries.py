@@ -197,11 +197,10 @@ def main() -> None:
         )
         for s in r["top_stages"]:
             print(f"   {s['ms']:>6} ms  {s['ntasks']:>4} tasks  {s['name']}")
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "..", "profile_report.json")
-    with open(os.path.abspath(out), "w") as f:
+    out = "/tmp/profile_report.json"
+    with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    print(f"\nfull report: {os.path.abspath(out)}")
+    print(f"\nfull report: {out}")
 
 
 if __name__ == "__main__":
