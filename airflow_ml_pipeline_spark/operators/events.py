@@ -477,28 +477,31 @@ def _walk_body(linked: str, hopu: str) -> str:
     linked table in place instead of shuffle-joining it — A/B r9); DuckDB
     parses it as a plain comment, so the statement stays identical.
 
-    UP TO FOUR STEPS PER LEVEL (r14, VERDICT r13 ask #7; supersedes the
-    r13 two-step walk): UnionLoop prices recursion by DEPTH (~0.2 s
-    fixed job overhead + one broadcast build per level), so the walk
-    advances over ``hopu`` — the union of the composed FOUR-link jump
-    (``hop2 = hop ∘ hop``, tag 4) and the plain two-link jump (tag 2) —
-    picking the tag per row: tag 4 while ``depth <= cap - 4`` (a
-    four-jump can never overshoot the cap), tag 2 for the final
-    boundary level. ~14 recursion levels instead of 26 (r13) or 51
-    (r9), still exactly ONE broadcast join per level (the union
-    relation is ~2x linked-sized — the broadcast stays cap-bounded).
-    Same-session A/B at sf0.1: two-step min 7.59 s / median 8.11 s ->
-    four-step min 6.04 s / median 6.23 s (SCALING.md §Round-14).
+    UP TO EIGHT STEPS PER LEVEL (r15 optimization; supersedes the r14
+    four-step walk, which superseded the r13 two-step): UnionLoop
+    prices recursion by DEPTH (~0.2 s fixed job overhead + one
+    broadcast build per level), so the walk advances over ``hopu`` —
+    the union of the composed EIGHT-link jump (``hop4 = hop2 ∘ hop2``,
+    tag 8), the FOUR-link jump (``hop2 = hop ∘ hop``, tag 4) and the
+    plain two-link jump (tag 2) — picking the tag per row: tag 8 while
+    ``depth <= cap - 8`` (an eight-jump can never overshoot the cap),
+    tag 4 on the ``cap - 8 < depth <= cap - 4`` shoulder, tag 2 for
+    the final boundary level. ~8 recursion levels instead of 14 (r14),
+    26 (r13) or 51 (r9), still exactly ONE broadcast join per level
+    (the union relation is ~3x linked-sized — the broadcast stays
+    cap-bounded). Same-session A/B at sf0.1 in SCALING.md §Round-15.
 
     Jump-composition invariants (every jump variant preserves them):
     a jump never advances past a purchase or a dead-end's last event
     (a terminal first leg short-circuits the composition), so only
     terminal-depth events can be purchases — exactly the one-step
-    walk's reachability. Frontier gating is unchanged (walk only while
-    the frontier's own event isn't 'purchase', depth < cap; WALK_CAP
-    must stay even — see its assert; the tag gate handles the mod-4
-    boundary for any even cap). Equivalence to the RETAINED one-step
-    body over the full corpus is pinned by
+    walk's reachability; a LIVE (non-terminal) row always advanced by
+    its full tag, so live depths stay even and the tag gate's even
+    thresholds are exact. Frontier gating is unchanged (walk only
+    while the frontier's own event isn't 'purchase', depth < cap;
+    WALK_CAP must stay even — see its assert; the tag gate handles
+    the mod-8/mod-4 boundary for any even cap). Equivalence to the
+    RETAINED one-step body over the full corpus is pinned by
     tests/test_recursive_cc_port.py (both engines run the same
     statement, so only an independent equivalence check can catch a
     rewrite slip)."""
@@ -510,7 +513,9 @@ def _walk_body(linked: str, hopu: str) -> str:
                w.depth + j.step
         FROM walk w JOIN {hopu} j
           ON j.user_id = w.user_id AND j.entry = w.nxt
-         AND j.tag = CASE WHEN w.depth <= {WALK_CAP - 4} THEN 4 ELSE 2 END
+         AND j.tag = CASE WHEN w.depth <= {WALK_CAP - 8} THEN 8
+                          WHEN w.depth <= {WALK_CAP - 4} THEN 4
+                          ELSE 2 END
         WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
     )
     SELECT user_id,
@@ -553,19 +558,22 @@ def _hop_body(linked: str) -> str:
 
 
 def _hopu_body(linked: str) -> str:
-    """``hop`` plus its self-composition ``hop2`` (up to FOUR links per
-    jump) and the tagged union ``hopu`` the r14 walk joins. The
-    composition short-circuits whenever the first leg is terminal
-    (lands on a purchase, a dead-end, or — out of the walk's gated
-    depth range only — a pruned row, the ``j2.entry IS NULL`` arm:
-    within gating the second leg always exists because reachable rows
-    are capped at rn <= WALK_CAP + 1), so the four-jump preserves the
-    never-past-a-purchase invariant by construction. Built from the
-    already-capped ``linked`` via ONE self-join of the window-lead hop
-    relation — at 100 TB this is a per-user-partition local join on
-    the cap-bounded table, built once before the recursion."""
-    return f"""{_hop_body(linked)},
-    hop2 AS (
+    """``hop`` plus its self-compositions ``hop2`` (up to FOUR links per
+    jump) and ``hop4 = hop2 ∘ hop2`` (up to EIGHT links), and the tagged
+    union ``hopu`` the walk joins. Each composition short-circuits
+    whenever the first leg is terminal (lands on a purchase, a
+    dead-end, or — out of the walk's gated depth range only — a pruned
+    row, the ``j2.entry IS NULL`` arm: within gating the second leg
+    always exists because reachable rows are capped at
+    rn <= WALK_CAP + 1), so every jump preserves the
+    never-past-a-purchase invariant by construction — inductively for
+    hop4, whose legs are themselves invariant-preserving hop2 jumps.
+    Built from the already-capped ``linked`` via TWO chained self-joins
+    of the window-lead hop relation — at 100 TB these are
+    per-user-partition local joins on the cap-bounded table, built once
+    before the recursion (one extra cap-bounded join buys ~6 fewer
+    UnionLoop levels, each a fixed job + broadcast build)."""
+    compose = """
         SELECT j1.user_id, j1.entry,
                CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
                          OR j2.entry IS NULL
@@ -576,10 +584,15 @@ def _hopu_body(linked: str) -> str:
                CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
                          OR j2.entry IS NULL
                     THEN j1.step ELSE j1.step + j2.step END AS step
-        FROM hop j1 LEFT JOIN hop j2
+        FROM {h} j1 LEFT JOIN {h} j2
           ON j2.user_id = j1.user_id AND j2.entry = j1.out_nxt
-    ),
+    """
+    return f"""{_hop_body(linked)},
+    hop2 AS ({compose.format(h="hop")}),
+    hop4 AS ({compose.format(h="hop2")}),
     hopu AS (
+        SELECT CAST(8 AS BIGINT) AS tag, * FROM hop4
+        UNION ALL
         SELECT CAST(4 AS BIGINT) AS tag, * FROM hop2
         UNION ALL
         SELECT CAST(2 AS BIGINT) AS tag, * FROM hop
