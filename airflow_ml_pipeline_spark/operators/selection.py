@@ -458,16 +458,21 @@ def doc_learnability_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and the raw components are emitted so callers derive any
     threshold they like — no new rounding boundary is introduced.
 
-    Scale: composes the two LM lineages (each: one vocabulary-shaped
-    aggregate broadcast/shuffle-joined back, one doc-keyed aggregate)
-    with one doc-keyed join — nothing new shuffles beyond the components
-    themselves."""
-    u = doc_unigram_logprob(spark, sf_dir)
+    Scale: composes the two LM lineages with one doc-keyed join — and
+    builds the corpus unigram table ONCE (r15 opt): both scorers consume
+    the same pinned ``corpus_vocab`` frame, so the corpus is tokenized
+    for vocabulary once instead of once per scorer (the vocab is the
+    only full-corpus shuffle either LM pays)."""
     from airflow_ml_pipeline_spark.operators.textstats import (
-        doc_bigram_logprob,
+        bigram_doc_scores,
+        corpus_vocab,
+        unigram_doc_scores,
     )
 
-    b = doc_bigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    uni = corpus_vocab(docs).localCheckpoint(eager=False)
+    u = unigram_doc_scores(docs, uni)
+    b = bigram_doc_scores(docs, uni)
     return u.join(b, "doc_id").select(
         "doc_id",
         "n_tokens",
@@ -1059,14 +1064,19 @@ def _source_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped at 0 — DoReMi's clip(L_proxy − L_ref, 0) with loss = −logprob.
     Each per-doc contrast is rounded to 6dp and summed on the decimal
     lattice (order-independent), so the one double division per source
-    is cross-engine exact."""
+    is cross-engine exact. The corpus unigram table is built once and
+    shared by both scorers (r15 opt, same as doc_learnability_rho)."""
     from airflow_ml_pipeline_spark.operators.textstats import (
-        doc_bigram_logprob,
+        bigram_doc_scores,
+        corpus_vocab,
+        unigram_doc_scores,
     )
 
-    u = doc_unigram_logprob(spark, sf_dir)
-    b = doc_bigram_logprob(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    alldocs = load_table(spark, sf_dir, "documents")
+    uni = corpus_vocab(alldocs).localCheckpoint(eager=False)
+    u = unigram_doc_scores(alldocs, uni)
+    b = bigram_doc_scores(alldocs, uni)
+    docs = alldocs.select("doc_id", "source")
     per_doc = u.join(b, "doc_id").join(docs, "doc_id").select(
         "source",
         F.round(

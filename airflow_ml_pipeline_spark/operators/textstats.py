@@ -570,9 +570,29 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs to join per-token — it enters once per document. Each ln value
     is rounded to 6dp before the sum (decimal-exact accumulation,
     order-independent) so Spark and the oracle agree bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    return unigram_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_vocab(docs: DataFrame) -> DataFrame:
+    """(t, cnt): the corpus unigram table — the ONE full-corpus token
+    aggregate both LM scorers consume. Compositions that score under
+    both models (learnability, DoReMi excess loss) build it once, pin it
+    with a lazy localCheckpoint (vocabulary-sized output, corpus-sized
+    compute — exactly the pin-pays case), and pass it to both scorers;
+    standalone scorers build their own."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_doc_scores(docs: DataFrame, uni: DataFrame | None = None) -> DataFrame:
+    """Library form of ``doc_unigram_logprob`` over any (doc_id, text)
+    frame; ``uni`` (default: built here) is the ``corpus_vocab`` table —
+    pass a shared pinned copy when another scorer consumes it too."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = corpus_vocab(docs) if uni is None else uni
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_corpus"))
     ln6 = lambda c: F.log(c).cast("decimal(25,6)")  # noqa: E731
     per_doc = (
@@ -736,7 +756,13 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 decimals BEFORE the per-doc sum (decimal-exact,
     order-independent accumulation), the same bit-parity discipline as
     the unigram scorer."""
-    docs = load_table(spark, sf_dir, "documents")
+    return bigram_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_doc_scores(docs: DataFrame, uni: DataFrame | None = None) -> DataFrame:
+    """Library form of ``doc_bigram_logprob`` over any (doc_id, text)
+    frame; ``uni`` (default: built here) is the shared ``corpus_vocab``
+    unigram table (t, cnt)."""
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
     n = F.size("ts")
     bg = toks.filter(n >= 2).select(
@@ -749,11 +775,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    if uni is None:
+        uni = corpus_vocab(docs)
+    uni = uni.select("t", F.col("cnt").alias("c1"))
     total = uni.agg(F.sum("c1").cast("double").alias("n_corpus"))
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     p = F.lit(BIGRAM_LAMBDA) * (
