@@ -277,6 +277,13 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # hash-partition by src once before pinning (r15 opt, same as the
+        # pagerank edge list): the distinct's (src, dst) partitioning does
+        # not satisfy the per-round src-keyed propagation join, so every
+        # CC round would re-exchange the pinned frame
+        .repartition(
+            pairs.sparkSession.sparkContext.defaultParallelism, F.col("src")
+        )
         .localCheckpoint(eager=False)  # reused every iteration
     )
     # seed label = min(self, neighbors) — one aggregation that IS the first
@@ -1045,6 +1052,17 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        # hash-partition the edge list by src ONCE before pinning: union
+        # output has no partitioning, so every power iteration's
+        # edges-side join (and the deg build) would re-shuffle the same
+        # frame — localCheckpoint's LogicalRDD carries the partitioning,
+        # so all six iterations' edge joins and the degree aggregate ride
+        # this one exchange (r15 opt; the contrib side inherits
+        # id-partitioning from its groupBy, so each iteration's only
+        # remaining exchange is the unavoidable dst aggregation)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("src")
+        )
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
