@@ -69,7 +69,7 @@ from airflow_ml_pipeline_spark.operators.similarity import (
     ivf_assign,
 )
 from airflow_ml_pipeline_spark.plans.registry import query
-from airflow_ml_pipeline_spark.sources.catalog import load_table
+from airflow_ml_pipeline_spark.sources.catalog import load_spread, load_table
 
 
 def _pq_b_tables() -> list[list[list[float]]]:
@@ -664,7 +664,14 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_ml_pipeline_spark.operators.ivf_centroids import IVF_CENTROIDS
     from airflow_ml_pipeline_spark.operators.pq_codebooks import PQ_CODEBOOKS
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the one-file scan before the full-corpus encode pass
+    # (r15 opt): the committed corpora arrive as a single parquet
+    # split, so the codegen'd ADC/recon chains otherwise evaluate
+    # on ONE task (the covariance-pass lesson); keyed on vec_id —
+    # every downstream sum is decimal/int, order-independent. At
+    # 100 TB the scan arrives multi-split and this is one slim
+    # rebalance exchange before compute-bound work.
+    emb = load_spread(spark, sf_dir, "embeddings", by="vec_id")
     a = ivf_assign(emb)
     a = a.select(*a.columns, F.expr(_pq_code_sql()).alias("pq_code"))
 
@@ -811,7 +818,14 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     child is the full code-argmin fold tree pays seconds of per-stage
     machinery even on tiny inputs (the r9 unigram_vocab_em lesson;
     measured here: 5.8 -> ~1 s warm at sf0.1)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the one-file scan before the full-corpus encode pass
+    # (r15 opt): the committed corpora arrive as a single parquet
+    # split, so the codegen'd ADC/recon chains otherwise evaluate
+    # on ONE task (the covariance-pass lesson); keyed on vec_id —
+    # every downstream sum is decimal/int, order-independent. At
+    # 100 TB the scan arrives multi-split and this is one slim
+    # rebalance exchange before compute-bound work.
+    emb = load_spread(spark, sf_dir, "embeddings", by="vec_id")
     indexed = pq_index(emb).select("cluster_id", "pq_code").localCheckpoint(
         eager=False
     )
@@ -886,7 +900,14 @@ def pq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and their oracles cannot drift."""
     from airflow_ml_pipeline_spark.functions.compare import dsum
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the one-file scan before the full-corpus encode pass
+    # (r15 opt): the committed corpora arrive as a single parquet
+    # split, so the codegen'd ADC/recon chains otherwise evaluate
+    # on ONE task (the covariance-pass lesson); keyed on vec_id —
+    # every downstream sum is decimal/int, order-independent. At
+    # 100 TB the scan arrives multi-split and this is one slim
+    # rebalance exchange before compute-bound work.
+    emb = load_spread(spark, sf_dir, "embeddings", by="vec_id")
     idx = pq_index(emb)
     base = idx.select(
         "cluster_id",
@@ -1109,7 +1130,14 @@ def _pq_stale_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PRE-REFRESH encoder's codes (argmin over the first PQ_STALE_K
     codewords), even cells the current encoder's. Pure projection over
     the scan — the same zero-shuffle encode shape as ``pq_index``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the one-file scan before the full-corpus encode pass
+    # (r15 opt): the committed corpora arrive as a single parquet
+    # split, so the codegen'd ADC/recon chains otherwise evaluate
+    # on ONE task (the covariance-pass lesson); keyed on vec_id —
+    # every downstream sum is decimal/int, order-independent. At
+    # 100 TB the scan arrives multi-split and this is one slim
+    # rebalance exchange before compute-bound work.
+    emb = load_spread(spark, sf_dir, "embeddings", by="vec_id")
     a = ivf_assign(emb)
     odd = F.col("cluster_id") % 2 == 1
     return a.select(
