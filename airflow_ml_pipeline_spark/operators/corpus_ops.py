@@ -276,14 +276,18 @@ def near_dup_cluster_labels(pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        # hash-partition by src once before pinning (r15 opt, same as the
-        # pagerank edge list): the distinct's (src, dst) partitioning does
-        # not satisfy the per-round src-keyed propagation join, so every
-        # CC round would re-exchange the pinned frame
+        # hash-partition by src BEFORE the distinct (r16 opt, guide §2.4):
+        # hashpartitioning(src) satisfies the distinct's
+        # ClusteredDistribution(src, dst) — every (src, dst) pair lands
+        # where its src lands — so the dedup aggregate rides this one
+        # exchange instead of adding its own (src, dst) exchange, and the
+        # aggregate PRESERVES the src partitioning the per-round
+        # propagation join needs (r15 opt: pin the partitioning so no CC
+        # round re-exchanges the frame). 2 Exchange → 1 on the edge build.
         .repartition(
             pairs.sparkSession.sparkContext.defaultParallelism, F.col("src")
         )
+        .distinct()
         .localCheckpoint(eager=False)  # reused every iteration
     )
     # seed label = min(self, neighbors) — one aggregation that IS the first

@@ -990,26 +990,59 @@ _SQL_FUNNEL_STAGE4_CTES = (
 def _source_scrub_kept(pdocs: DataFrame) -> DataFrame:
     """(doc_id, source, kept_tokens) — EVERY doc, including fully-scrubbed
     ones — after the per-source boilerplate scrub of ``pdocs``: the
-    funnel's stage-4 kernel, composed from the SAME pieces as
+    funnel's stage-4 kernel, same blacklist/hit lineage as
     ``source_boilerplate_scrubbed`` (pinned gram frame → per-source
-    blacklist → broadcast hit join → ``scrub_hits`` excision). Callers
-    count surviving docs via conditional aggregation (sum(kept > 0)),
-    NOT a filter: a filter on the aliased excision expression gets
-    predicate-pushed and INLINED into the condition, re-evaluating the
-    O(n_tokens x hits) HOF lambda twice per row (the round-4
-    filter-on-expensive-alias lesson). ``pdocs`` should be pinned by the
-    caller: the gram build, blacklist, and token re-scan all consume it
-    within one action."""
+    blacklist → broadcast hit join).
+
+    The excision itself is POSITION ARITHMETIC, not a text rewrite
+    (r16 opt, guide §1.2): the funnel only needs the surviving-token
+    COUNT, and every hit at gram-start p covers exactly tokens
+    [p, p+BOILER_N-1] ⊆ [1, n_tok] — so kept_tokens = n_tok − |union of
+    hit intervals|, computed by one sweep over each doc's sorted hit
+    positions. The previous shape ran the full ``scrub_hits`` rewrite
+    kernel: a SECOND tokenize pass over pdocs, an O(n_tokens × hits)
+    per-token HOF filter, and an md5(concat_ws(kept)) digest the funnel
+    discarded. ``n_tok`` rides in from the stage checkpoints (computed
+    once at the scan, VERDICT r14 ask #6), and is exactly
+    size(tokens(text)) — the same expression scrub_hits re-derived —
+    so the count is bit-identical (equality pinned by
+    tests/test_dedup.py::test_source_scrub_kept_matches_scrub_hits).
+    ``pdocs`` should be pinned by the caller: the gram build, blacklist,
+    and hit join all consume it within one action."""
     g = _doc_grams_src(pdocs).localCheckpoint(eager=False)
     sboiler = source_boiler_grams(pdocs, grams=g)
     posi = g.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
     hits = posi.join(
         F.broadcast(sboiler.select("source", "gram")), ["source", "gram"]
     ).select("doc_id", (F.col("i0") + 1).cast("int").alias("p"))
+    hp = hits.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("p")).alias("hp")
+    )
+    # interval-union sweep over the sorted starts: each position p adds
+    # max(0, (p+N-1) − max(prev_end, p−1)) covered tokens
+    covered = F.aggregate(
+        F.col("hp"),
+        F.struct(F.lit(0).alias("tot"), F.lit(0).alias("end")),
+        lambda acc, p: F.struct(
+            (
+                acc.tot
+                + F.greatest(p + (BOILER_N - 1), acc.end)
+                - F.greatest(p - 1, acc.end)
+            ).alias("tot"),
+            F.greatest(p + (BOILER_N - 1), acc.end).alias("end"),
+        ),
+        lambda acc: acc.tot,
+    )
     return (
-        pdocs.select("doc_id", "source")
-        .join(scrub_hits(pdocs, hits), "doc_id")
-        .select("doc_id", "source", "kept_tokens")
+        pdocs.select("doc_id", "source", "n_tok")
+        .join(hp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("n_tok") - F.coalesce(covered, F.lit(0))
+            ).cast("bigint").alias("kept_tokens"),
+        )
     )
 
 

@@ -646,10 +646,12 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable rows and bounds the stored table to |users|·(cap+1)
     regardless of history length). Recursion cost is DEPTH-priced
     (~0.2 s/level fixed UnionLoop job overhead + one broadcast build),
-    so since r14 each level advances UP TO FOUR links over the
-    materialized ``hopu`` tagged jump relation (one window pass + one
-    per-user-local self-join over linked, pinned the same way) — ~14
-    levels instead of 26 (r13 two-step) or 51 (r9 one-step), still one
+    so since r15 each level advances UP TO EIGHT links over the
+    materialized ``hopu`` tagged jump relation (one window pass + two
+    per-user-local self-joins over linked — hop4 = hop2∘hop2 — pinned
+    the same way, tag gate 8/4/2 keeps live depths even) — ~8 levels
+    instead of 14 (r14 four-step), 26 (r13 two-step) or 51 (r9
+    one-step), still one
     cap-bounded broadcast hash join per level, never corpus x corpus,
     never a per-level shuffle (SCALING.md r13/r14 A/Bs). ``walked`` <
     WALK_CAP or reached=1 certifies per-user termination; -1 marks no

@@ -130,6 +130,7 @@ def _anomaly_zscores(
     replay's emitted anomalies equal `events_anomaly_zscore` row-for-row
     and the same DuckDB oracle checks both."""
     import math
+    from collections import deque
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     from airflow_ml_pipeline_spark.operators.events import (
@@ -151,39 +152,63 @@ def _anomaly_zscores(
         if chunks
         else pd.DataFrame()
     )
-    for r in batch.itertuples():
-        n = len(buf)
-        if n >= ANOMALY_MIN_BASELINE:
-            # Decimal(repr(v)), NOT Decimal(v): Spark's double->decimal
-            # cast (and F.round) quantize the SHORTEST decimal rendering
-            # (BigDecimal.valueOf via Double.toString), not the exact
-            # binary expansion — repr() is Python's shortest rendering,
-            # so this walks the identical lattice (review finding; e.g.
-            # 5e-07: valueOf->0.000001, exact-binary->0.000000)
-            with localcontext() as ctx:
-                # the oracle/batch sums are DECIMAL(38,12)-exact; the
-                # default Python context (28 sig digits) could round a
-                # large sum-of-squares where Spark would not
-                ctx.prec = 50
-                qs = [
-                    Decimal(repr(float(v))).quantize(six, ROUND_HALF_UP)
-                    for v in buf
-                ]
-                s = float(sum(qs))
-                ss = float(sum(q * q for q in qs))
-            nn = float(n)
-            var = (ss - s * s / nn) / (nn - 1)
-            if var > 0:
-                z = (r.value - s / nn) / math.sqrt(var)
-                if abs(z) > ANOMALY_Z:
-                    out["event_id"].append(r.event_id)
-                    out["event_type"].append(key[0])
-                    out["ts_us"].append(r.ts_us)
-                    out["value"].append(r.value)
-                    out["z"].append(
-                        float(Decimal(repr(float(z))).quantize(six, ROUND_HALF_UP))
-                    )
-        buf.append(float(r.value))
+    with localcontext() as ctx:
+        # the oracle/batch sums are DECIMAL(38,12)-exact; the default
+        # Python context (28 sig digits) could round a large
+        # sum-of-squares where Spark would not
+        ctx.prec = 50
+        # Decimal(repr(v)), NOT Decimal(v): Spark's double->decimal cast
+        # (and F.round) quantize the SHORTEST decimal rendering
+        # (BigDecimal.valueOf via Double.toString), not the exact binary
+        # expansion — repr() is Python's shortest rendering, so this
+        # walks the identical lattice (review finding; e.g. 5e-07:
+        # valueOf->0.000001, exact-binary->0.000000).
+        #
+        # INCREMENTAL running sums (r16 opt, guide §4): the quantized
+        # window values and their exact Decimal sum / sum-of-squares are
+        # maintained across rows — append adds (q, q²), eviction
+        # subtracts them. Decimal arithmetic at prec 50 is EXACT for
+        # these bounded 6-dp values, and exact addition/subtraction is
+        # order-independent, so the running sums are bit-identical to
+        # the previous shape's from-scratch re-quantize + re-sum of the
+        # whole buffer on EVERY row (O(rows × baseline) Decimal ops →
+        # O(rows); equality pinned by the stream-equals-batch oracle and
+        # tests/test_streaming.py).
+        qs = deque(
+            Decimal(repr(float(v))).quantize(six, ROUND_HALF_UP) for v in buf
+        )
+        s_dec = sum(qs, Decimal(0))
+        ss_dec = sum((q * q for q in qs), Decimal(0))
+        for r in batch.itertuples():
+            n = len(qs)
+            if n >= ANOMALY_MIN_BASELINE:
+                s = float(s_dec)
+                ss = float(ss_dec)
+                nn = float(n)
+                var = (ss - s * s / nn) / (nn - 1)
+                if var > 0:
+                    z = (r.value - s / nn) / math.sqrt(var)
+                    if abs(z) > ANOMALY_Z:
+                        out["event_id"].append(r.event_id)
+                        out["event_type"].append(key[0])
+                        out["ts_us"].append(r.ts_us)
+                        out["value"].append(r.value)
+                        out["z"].append(
+                            float(
+                                Decimal(repr(float(z))).quantize(
+                                    six, ROUND_HALF_UP
+                                )
+                            )
+                        )
+            buf.append(float(r.value))
+            q = Decimal(repr(float(r.value))).quantize(six, ROUND_HALF_UP)
+            qs.append(q)
+            s_dec += q
+            ss_dec += q * q
+            if len(qs) > ANOMALY_BASELINE_ROWS:
+                q0 = qs.popleft()
+                s_dec -= q0
+                ss_dec -= q0 * q0
         if len(buf) > ANOMALY_BASELINE_ROWS:
             buf = buf[-ANOMALY_BASELINE_ROWS:]
     state.update((buf,))

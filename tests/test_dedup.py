@@ -695,6 +695,40 @@ def test_scrub_stages_compose_via_union(spark):
     assert only_g.kept_tokens == 3  # tokens 4-6 survive
 
 
+def test_source_scrub_kept_matches_scrub_hits(spark, sf_dir):
+    """r16 funnel stage-4 optimization contract: `_source_scrub_kept`
+    now computes kept_tokens by interval-union POSITION arithmetic over
+    the hit starts (no second tokenize, no per-token HOF, no md5) — it
+    must equal the previous shape, the full `scrub_hits` rewrite kernel,
+    doc-for-doc on the shipped corpus (which exercises overlapping and
+    adjacent hit intervals via the planted chrome)."""
+    from airflow_ml_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens(F.col("text")))
+    )
+    fast = {
+        r.doc_id: r.kept_tokens
+        for r in dedup._source_scrub_kept(docs).collect()
+    }
+    g = dedup._doc_grams_src(docs)
+    sboiler = dedup.source_boiler_grams(docs, grams=g)
+    posi = g.select("doc_id", "source", F.posexplode("g").alias("i0", "gram"))
+    hits = posi.join(
+        sboiler.select("source", "gram"), ["source", "gram"]
+    ).select("doc_id", (F.col("i0") + 1).cast("int").alias("p"))
+    slow = {
+        r.doc_id: r.kept_tokens
+        for r in dedup.scrub_hits(docs, hits).collect()
+    }
+    assert fast == slow
+    # the corpus must exercise the interesting cases: at least one doc
+    # with excised tokens and at least one untouched doc
+    n_tok = {r.doc_id: r.n_tok for r in docs.select("doc_id", "n_tok").collect()}
+    assert any(fast[d] < n_tok[d] for d in fast)
+    assert any(fast[d] == n_tok[d] for d in fast)
+
+
 def test_scrub_order_commutes_on_shipped_corpus(spark):
     """Metamorphic pin of the union-of-hit-frames composition (VERDICT
     r11 ask #6): with BOTH blacklists computed on the original corpus

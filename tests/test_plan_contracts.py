@@ -822,10 +822,18 @@ def test_ivfpq_probe_is_projection_only(spark, sf_dir):
 
 def test_pq_error_single_scan_no_shuffle(spark, sf_dir):
     """pq_quantization_error: per-vector reconstruction arithmetic over
-    one scan — no Exchange, no join (the 100 TB posture: encode and
-    audit in the same ingest pass)."""
+    one scan — the ONLY Exchange is the r15 vec_id spread of the
+    single-split scan (REPARTITION_BY_NUM, so the codegen'd encode pass
+    does not run on one task), no join (the 100 TB posture: encode and
+    audit in the same ingest pass). Was "no Exchange" before r15; the
+    spread commit (6e65e8d) changed the shape but the driver's
+    fail-fast pytest never reached this contract — re-pinned r16."""
+    import re as _re
+
     plan = _plan(registry.QUERIES["pq_quantization_error"](spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -912,7 +920,23 @@ def test_span_gram_postings_stay_doc_local(spark, sf_dir):
     import re as _re
 
     for m in _re.finditer(
-        r"Arguments: hashpartitioning\(([^)]*)\), ENSURE_REQUIREMENTS", plan
+        r"Arguments: hashpartitioning\((.*?), \d+\), ENSURE_REQUIREMENTS", plan
     ):
-        keys = m.group(1)
-        assert "doc_id" not in keys.split(",")[0] or "h#" in keys, plan
+        # The capture is the full key list (nested parens included, e.g.
+        # xxhash64(gram#12, 42)); split on top-level commas.
+        keys, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                keys.append(cur.strip())
+                cur = ""
+            else:
+                depth += ch == "("
+                depth -= ch == ")"
+                cur += ch
+        keys.append(cur.strip())
+        # Forbidden shape: an ENSURE_REQUIREMENTS exchange keyed on doc_id
+        # ALONE — that is the posting-sized re-shuffle the r15 spread
+        # removed. A composite key that also carries a gram-hash column is
+        # the legitimate gram aggregate.
+        is_doc_id_only = len(keys) == 1 and keys[0].split("#")[0] == "doc_id"
+        assert not is_doc_id_only, plan
