@@ -1503,7 +1503,15 @@ def doc_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is unreachable (same rationale as embedding_near_dup_pairs). This IS
     # the production shape at 100 TB: the fingerprint postings (~|text|/w
     # rows/doc) are materialized once and every downstream stage scans them.
-    fps = winnow_md5_postings(docs).localCheckpoint(eager=True)
+    # unhex the kernel's hex fps once before pinning: the fingerprint is
+    # internal here (pair join key only, never output), so the pinned
+    # postings, the df aggregate, and both pair-join sides all carry
+    # 16-byte binary instead of 32-char hex (§2.3 narrower types)
+    fps = (
+        winnow_md5_postings(docs)
+        .withColumn("fp", F.unhex("fp"))
+        .localCheckpoint(eager=True)
+    )
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_FP_DF
     )
@@ -1670,7 +1678,14 @@ def dup_span_coverage(
         .select(
             "doc_id",
             "p",
-            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
+            # unhex: the hash is INTERNAL (gram identity only, never
+            # output) — 16-byte binary halves the posting width through
+            # the gram-df exchange vs the 32-char hex string (guide
+            # §2.3 narrower types; unhex is injective on md5 output, so
+            # equality semantics are unchanged)
+            F.unhex(
+                F.md5(F.col("text").substr(F.col("p"), F.lit(k)))
+            ).alias("h"),
         )
     )
     dup = (
@@ -1777,7 +1792,16 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
     # the "store": winnowed postings of the historical corpus + its df
     # stats; materialized once (in production: a parquet artifact)
-    hist_fps = winnow_md5_postings(hist).localCheckpoint(eager=True)
+    # unhex before pinning: fps are internal join keys here (the output
+    # is doc rows), so the store, stop list, and candidate join all
+    # carry 16-byte binary instead of 32-char hex (§2.3). The streaming
+    # twin keeps hex in its persisted artifacts (a store format choice);
+    # both twins run the same containment_dropped_ids rule.
+    hist_fps = (
+        winnow_md5_postings(hist)
+        .withColumn("fp", F.unhex("fp"))
+        .localCheckpoint(eager=True)
+    )
     stop = stop_fps(hist_fps)
     hist_d = hist_fps.join(stop, "fp", "left_anti")
     # feeds sizes AND the candidate join: the lazy checkpoint still
@@ -1788,6 +1812,7 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # models a production artifact and stays eager.
     batch_d = (
         winnow_md5_postings(batch)
+        .withColumn("fp", F.unhex("fp"))
         .join(stop, "fp", "left_anti")
         .localCheckpoint(eager=False)
     )
@@ -1905,7 +1930,11 @@ def dup_span_scrub(
         .select(
             "doc_id",
             "p",
-            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
+            # unhex: internal gram identity only — 16-byte binary keys
+            # through the owners exchange instead of 32-char hex (§2.3)
+            F.unhex(
+                F.md5(F.col("text").substr(F.col("p"), F.lit(k)))
+            ).alias("h"),
         )
     )
     owners = grams.groupBy("h").agg(F.min("doc_id").alias("owner"))

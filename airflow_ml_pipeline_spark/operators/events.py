@@ -477,19 +477,19 @@ def _walk_body(linked: str, hopu: str) -> str:
     linked table in place instead of shuffle-joining it — A/B r9); DuckDB
     parses it as a plain comment, so the statement stays identical.
 
-    UP TO EIGHT STEPS PER LEVEL (r15 optimization; supersedes the r14
-    four-step walk, which superseded the r13 two-step): UnionLoop
+    UP TO SIXTEEN STEPS PER LEVEL (r16 optimization; supersedes the
+    r15 eight-step, r14 four-step and r13 two-step walks): UnionLoop
     prices recursion by DEPTH (~0.2 s fixed job overhead + one
     broadcast build per level), so the walk advances over ``hopu`` —
-    the union of the composed EIGHT-link jump (``hop4 = hop2 ∘ hop2``,
-    tag 8), the FOUR-link jump (``hop2 = hop ∘ hop``, tag 4) and the
-    plain two-link jump (tag 2) — picking the tag per row: tag 8 while
-    ``depth <= cap - 8`` (an eight-jump can never overshoot the cap),
-    tag 4 on the ``cap - 8 < depth <= cap - 4`` shoulder, tag 2 for
-    the final boundary level. ~8 recursion levels instead of 14 (r14),
-    26 (r13) or 51 (r9), still exactly ONE broadcast join per level
-    (the union relation is ~3x linked-sized — the broadcast stays
-    cap-bounded). Same-session A/B at sf0.1 in SCALING.md §Round-15.
+    the union of the composed SIXTEEN-link jump (``hop8 = hop4 ∘
+    hop4``, tag 16), the EIGHT-link jump (tag 8), the FOUR-link jump
+    (tag 4) and the plain two-link jump (tag 2) — picking the tag per
+    row: tag 16 while ``depth <= cap - 16`` (a sixteen-jump can never
+    overshoot the cap), then the 8/4/2 shoulder gates. ~5 recursion
+    levels instead of 8 (r15), 14 (r14), 26 (r13) or 51 (r9), still
+    exactly ONE broadcast join per level (the union relation is ~4x
+    linked-sized — the broadcast stays cap-bounded). Same-session A/B
+    at sf0.1 in SCALING.md §Round-16.
 
     Jump-composition invariants (every jump variant preserves them):
     a jump never advances past a purchase or a dead-end's last event
@@ -513,7 +513,8 @@ def _walk_body(linked: str, hopu: str) -> str:
                w.depth + j.step
         FROM walk w JOIN {hopu} j
           ON j.user_id = w.user_id AND j.entry = w.nxt
-         AND j.tag = CASE WHEN w.depth <= {WALK_CAP - 8} THEN 8
+         AND j.tag = CASE WHEN w.depth <= {WALK_CAP - 16} THEN 16
+                          WHEN w.depth <= {WALK_CAP - 8} THEN 8
                           WHEN w.depth <= {WALK_CAP - 4} THEN 4
                           ELSE 2 END
         WHERE w.event_type <> 'purchase' AND w.depth < {WALK_CAP}
@@ -559,7 +560,8 @@ def _hop_body(linked: str) -> str:
 
 def _hopu_body(linked: str) -> str:
     """``hop`` plus its self-compositions ``hop2`` (up to FOUR links per
-    jump) and ``hop4 = hop2 ∘ hop2`` (up to EIGHT links), and the tagged
+    jump), ``hop4 = hop2 ∘ hop2`` (up to EIGHT links) and
+    ``hop8 = hop4 ∘ hop4`` (up to SIXTEEN links, r16), and the tagged
     union ``hopu`` the walk joins. Each composition short-circuits
     whenever the first leg is terminal (lands on a purchase, a
     dead-end, or — out of the walk's gated depth range only — a pruned
@@ -567,12 +569,12 @@ def _hopu_body(linked: str) -> str:
     always exists because reachable rows are capped at
     rn <= WALK_CAP + 1), so every jump preserves the
     never-past-a-purchase invariant by construction — inductively for
-    hop4, whose legs are themselves invariant-preserving hop2 jumps.
-    Built from the already-capped ``linked`` via TWO chained self-joins
-    of the window-lead hop relation — at 100 TB these are
+    hop4 and hop8, whose legs are themselves invariant-preserving
+    jumps. Built from the already-capped ``linked`` via THREE chained
+    self-joins of the window-lead hop relation — at 100 TB these are
     per-user-partition local joins on the cap-bounded table, built once
-    before the recursion (one extra cap-bounded join buys ~6 fewer
-    UnionLoop levels, each a fixed job + broadcast build)."""
+    before the recursion (each extra cap-bounded join HALVES the
+    remaining UnionLoop levels, each a fixed job + broadcast build)."""
     compose = """
         SELECT j1.user_id, j1.entry,
                CASE WHEN j1.out_type = 'purchase' OR j1.out_nxt IS NULL
@@ -590,7 +592,10 @@ def _hopu_body(linked: str) -> str:
     return f"""{_hop_body(linked)},
     hop2 AS ({compose.format(h="hop")}),
     hop4 AS ({compose.format(h="hop2")}),
+    hop8 AS ({compose.format(h="hop4")}),
     hopu AS (
+        SELECT CAST(16 AS BIGINT) AS tag, * FROM hop8
+        UNION ALL
         SELECT CAST(8 AS BIGINT) AS tag, * FROM hop4
         UNION ALL
         SELECT CAST(4 AS BIGINT) AS tag, * FROM hop2
@@ -646,12 +651,12 @@ def events_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable rows and bounds the stored table to |users|·(cap+1)
     regardless of history length). Recursion cost is DEPTH-priced
     (~0.2 s/level fixed UnionLoop job overhead + one broadcast build),
-    so since r15 each level advances UP TO EIGHT links over the
-    materialized ``hopu`` tagged jump relation (one window pass + two
-    per-user-local self-joins over linked — hop4 = hop2∘hop2 — pinned
-    the same way, tag gate 8/4/2 keeps live depths even) — ~8 levels
-    instead of 14 (r14 four-step), 26 (r13 two-step) or 51 (r9
-    one-step), still one
+    so since r16 each level advances UP TO SIXTEEN links over the
+    materialized ``hopu`` tagged jump relation (one window pass + three
+    per-user-local self-joins over linked — hop8 = hop4∘hop4 — pinned
+    the same way, tag gate 16/8/4/2 keeps live depths even) — ~5
+    levels instead of 8 (r15 eight-step), 14 (r14 four-step), 26 (r13
+    two-step) or 51 (r9 one-step), still one
     cap-bounded broadcast hash join per level, never corpus x corpus,
     never a per-level shuffle (SCALING.md r13/r14 A/Bs). ``walked`` <
     WALK_CAP or reached=1 certifies per-user termination; -1 marks no
