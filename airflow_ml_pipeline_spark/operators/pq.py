@@ -1520,7 +1520,14 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from airflow_ml_pipeline_spark.operators.similarity import ANCHOR_K
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the one-file scan before BOTH full-corpus passes (r16,
+    # closing the r15 gap: this query landed mid-interruption WITHOUT
+    # the vec_id spread its PQ siblings got). Unspread, the anchor
+    # sort-limit (md5 per row over every vector, one TakeOrdered task)
+    # and the codegen'd encode each ran as a ~1-1.8 s SINGLE-task
+    # stage; spread, both are 32-way with a per-partition top-K merged
+    # on the driver.
+    emb = load_spread(spark, sf_dir, "embeddings", by="vec_id")
     anchors = (
         emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

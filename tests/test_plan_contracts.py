@@ -940,3 +940,36 @@ def test_span_gram_postings_stay_doc_local(spark, sf_dir):
         # the legitimate gram aggregate.
         is_doc_id_only = len(keys) == 1 and keys[0].split("#")[0] == "doc_id"
         assert not is_doc_id_only, plan
+
+
+# ---- round-16 additions: the build-round newcomers (VERDICT r15 ask #7) ----
+
+def test_group_split_broadcasts_cluster_labels(spark, sf_dir):
+    """corpus_group_split: the edge-bounded cluster-labels frame reaches
+    the corpus id stream as a BROADCAST left join — never a sort-merge
+    join (which would shuffle the corpus by doc_id for a labels frame
+    bounded by near-dup pair volume), never a cartesian; the md5-bucket
+    split is a pure projection on top."""
+    plan = _plan(registry.QUERIES["corpus_group_split"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_batch_topk_partial_topk_before_exchange(spark, sf_dir):
+    """ann_ivfpq_batch_topk: the probe table reaches the coded store as
+    a BROADCAST join (ANCHOR_K x NPROBE rows, never shuffled store
+    rows), and the per-query top-k runs as WindowGroupLimit BELOW the
+    q_id exchange — each partition ships at most K rows per query, not
+    every scored candidate (the batch-ANN analogue of
+    TakeOrderedAndProject). The scan is vec_id-spread (r16: the encode
+    and the anchor sort-limit otherwise run on ONE task)."""
+    import re as _re
+
+    plan = _plan(registry.QUERIES["ann_ivfpq_batch_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # WindowGroupLimit appears twice: partial (map side) + final
+    assert len(_re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2, plan
