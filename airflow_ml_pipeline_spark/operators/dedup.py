@@ -2145,8 +2145,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew case handled as everywhere else (salt or cap). The only
     data-sized exchanges carry (doc_id, position) pairs and 16-byte chunk
     hashes, never text."""
+    # spread BY doc_id (r16, was round-robin): the boundary distinct,
+    # the chunk-assembly window, and the text join-back are all keyed
+    # doc_id, so the keyed spread lets them ride the scan exchange —
+    # round-robin paid ENSURE_REQUIREMENTS exchanges of the boundary
+    # rows and of the text for the join (measured 8 -> 6 exchanges,
+    # ENSURE 5 -> 3; the winnowing-family lesson)
     return cdc_chunk_stats(
-        load_spread(spark, sf_dir, "documents"),
+        load_spread(spark, sf_dir, "documents", by="doc_id"),
         load_table(spark, sf_dir, "documents"),
     )
 
@@ -2188,9 +2194,11 @@ def cdc_chunk_stats(
     hashed = chunks.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "s",
-        F.md5(F.col("text").substr(F.col("s"), F.col("e") - F.col("s") + 1)).alias(
-            "h"
-        ),
+        # unhex: the chunk hash is internal (ownership key only) —
+        # 16-byte binary through the ownership exchange (§2.3)
+        F.unhex(
+            F.md5(F.col("text").substr(F.col("s"), F.col("e") - F.col("s") + 1))
+        ).alias("h"),
         (F.col("e") - F.col("s") + 1).alias("clen"),
     )
     wh = Window.partitionBy("h").orderBy("doc_id", "s")
@@ -2447,7 +2455,11 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gram concat HOF re-runs per consumer (A/B r10: 4.07 -> 1.72 s
     median at sf0.1, outputs identical). Short docs (<3 tokens) surface
     with n_grams = 0 and ratio 0."""
-    docs = load_spread(spark, sf_dir, "documents")
+    # doc_id-keyed spread (r16): the per-doc coverage aggregate rides
+    # the scan partitioning through the pinned gram frame instead of
+    # re-exchanging hit rows (the cdc/winnowing-family lesson); the
+    # (gram)-keyed blacklist flank is key-agnostic either way
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     g = _doc_grams(docs).localCheckpoint(eager=False)
     boiler = _boiler_grams(docs, grams=g)
     pos = g.select("doc_id", F.explode("g").alias("gram"))
@@ -2531,7 +2543,10 @@ def doc_boilerplate_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token indices are exact on both engines (1-based p covers tokens
     p..p+2; the SQL restates coverage by anti-joining the exploded
     range)."""
-    docs = load_spread(spark, sf_dir, "documents")
+    # doc_id-keyed spread (r16): scrub_hits groups hits and re-joins
+    # tokens BY doc_id — both ride the scan exchange now (see
+    # doc_boilerplate_coverage)
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     g = _doc_grams(docs).localCheckpoint(eager=False)
     boiler = _boiler_grams(docs, grams=g)
     posi = g.select("doc_id", F.posexplode("g").alias("i0", "gram"))
@@ -2729,7 +2744,10 @@ def source_boilerplate_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, gram), and the excision itself is the shared
     ``scrub_hits`` kernel — composing with the corpus-global scrub is a
     union of hit frames through the identical code path."""
-    docs = load_spread(spark, sf_dir, "documents")
+    # doc_id-keyed spread (r16): same rationale as
+    # doc_boilerplate_scrubbed — the scrub_hits doc_id flank rides the
+    # scan exchange; the (source, gram) blacklist flank is key-agnostic
+    docs = load_spread(spark, sf_dir, "documents", by="doc_id")
     g = _doc_grams_src(docs).localCheckpoint(eager=False)
     sboiler = source_boiler_grams(docs, grams=g)
     posi = g.select(
