@@ -1099,7 +1099,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and token re-scan all consume them in one action — the same
     multi-consumer-within-one-job rule as surv); the output is 5 rows."""
     docs, q, surv, prepared, prepared_docs = _prepared_stages(spark, sf_dir)
-    pdocs = prepared_docs.localCheckpoint(eager=True)
+    # doc_id-spread BEFORE the pin (r16): the near-dup anti-join's AQE
+    # coalesce left pdocs as ONE stored partition, so the whole stage-4
+    # lineage (tokenize + gram explode + blacklist + hits) ran as a
+    # single ~1.7 s task (profiled); spread, stage 4 is as wide as the
+    # session and its doc_id-keyed flanks ride the pinned partitioning
+    pdocs = prepared_docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
         # sums the once-computed n_tok column (stored in the stage
@@ -1173,7 +1180,11 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-keyed aggregate with map-side partials, output
     |stages|x|sources| rows."""
     docs, q, surv, prepared, prepared_docs = _prepared_stages(spark, sf_dir)
-    pdocs = prepared_docs.localCheckpoint(eager=True)
+    # doc_id-spread before the pin — see corpus_curation_funnel (the
+    # AQE-coalesced one-partition pin ran stage 4 single-task)
+    pdocs = prepared_docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).localCheckpoint(eager=True)
 
     def counts(df: DataFrame, stage: str) -> DataFrame:
         # sums the once-computed n_tok column (stored in the stage
